@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship sequence pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL.  The tokenized-sequences input table (north rule
+``input_hint``) is derived deterministically from ``documents`` by pure
+integer arithmetic — identically in Spark (``datagen.sequences_view``)
+and in the ``_SEQ`` CTE below — so even token-pipeline queries are
+oracle-checkable.
 """
 
 from __future__ import annotations
@@ -12,27 +15,697 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark import datagen
+from bitquery_kafka_streams_rust_spark.functions import text as TX
+from bitquery_kafka_streams_rust_spark.functions import tokens as TK
+from bitquery_kafka_streams_rust_spark.operators import aggregates as AG
+from bitquery_kafka_streams_rust_spark.operators import dedup as DD
+from bitquery_kafka_streams_rust_spark.operators import similarity as SIM
+from bitquery_kafka_streams_rust_spark.operators import skew as SK
+from bitquery_kafka_streams_rust_spark.operators.filters import FilterBuilder, sequence_gate
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# DuckDB CTE mirroring datagen.sequences_view / shards_view exactly
+# ---------------------------------------------------------------------------
+
+_SEQ = """
+WITH _base AS (
+  SELECT doc_id AS raw_id,
+         CASE WHEN doc_id % 100 = 99 THEN doc_id - 1 ELSE doc_id END AS c
+  FROM documents
+), seq AS (
+  SELECT concat('doc', CAST(c AS VARCHAR))            AS doc_id,
+         CASE WHEN (c * 40503) % 2048 = 0 THEN CAST([] AS INTEGER[])
+              ELSE list_transform(range(0, (c * 40503) % 2048),
+                   i -> CAST((c * 2654435761 + i * 2246822519) % 50257 AS INTEGER)) END AS tokens,
+         CAST((c * 40503) % 2048 AS INTEGER)          AS n_tok,
+         CASE WHEN c % 10 < 6 THEN 'pumpfun'
+              WHEN c % 10 = 6 THEN 'raydium'
+              WHEN c % 10 = 7 THEN 'orca'
+              WHEN c % 10 = 8 THEN 'meteora'
+              ELSE 'phoenix' END                      AS source,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds((raw_id % 86400)
+             - (CASE WHEN raw_id % 20 = 0 THEN (1 + raw_id % 10) * 60 ELSE 0 END)) AS ts
+  FROM _base
+)
+"""
+
+# order-sensitive token checksum: sum((i+1)*t_i) mod 2^31 (portable)
+_CKSUM = (
+    "CAST(coalesce(list_sum(list_transform(range(1, n_tok + 1),"
+    " i -> i * tokens[CAST(i AS INTEGER)])), 0) % 2147483648 AS BIGINT)"
+)
+
+_SHARDS = """
+, _sh_base AS (
+  SELECT doc_id AS c FROM documents WHERE doc_id % 100 <> 99 AND doc_id % 10 <> 7
+), _sh_tok AS (
+  SELECT concat('doc', CAST(c AS VARCHAR)) AS doc_id,
+         CASE WHEN (c * 40503) % 2048 = 0 THEN CAST([] AS INTEGER[])
+              ELSE list_transform(range(0, (c * 40503) % 2048),
+                   i -> CAST((c * 2654435761 + i * 2246822519) % 50257 AS INTEGER)) END AS tokens,
+         CAST((c * 40503) % 2048 AS INTEGER) AS n_tok,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(c % 86400) AS ts
+  FROM _sh_base
+), shards AS (
+  SELECT doc_id,
+         CAST(s AS INTEGER) AS shard_id,
+         list_slice(tokens, s * (n_tok // 4) + 1,
+                    s * (n_tok // 4) + greatest(n_tok // 4, 1)) AS tokens_part,
+         ts + to_seconds(s * 60) AS ts
+  FROM _sh_tok, (SELECT unnest(range(0, 4)) AS s)
+)
+"""
+
+
+def _seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datagen.sequences_view(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minimum end-to-end slice (SURVEY §7): validate → dedup
+    (first-wins by event time) → source/n_tok gate → 10-min tumbling
+    window rollup per source.  The streaming twin of this plan lives in
+    ``streaming/pipeline.py``; this is the batch/oracle form."""
+    seq = _seq(spark, sf_dir)
+    valid = seq.where(TK.is_valid_sequence("tokens", "n_tok"))
+    deduped = DD.dedup_first_wins(valid, "doc_id", ["ts", "doc_id"])
+    gated = deduped.where(
+        sequence_gate(source_allowlist=("pumpfun", "raydium", "orca"), min_n_tok=16)
+    )
+    return (
+        gated.groupBy(F.window("ts", "10 minutes").alias("win"), "source")
+        .agg(
+            F.count("*").alias("n_seq"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.sum(TK.token_checksum("tokens")).alias("sum_cksum"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "source",
+            "n_seq",
+            "sum_tok",
+            "sum_cksum",
+        )
+        .orderBy("win_start", "source")
+    )
+
+
+_FLAGSHIP_SQL = (
+    _SEQ
+    + f"""
+, valid AS (
+  SELECT *, {_CKSUM} AS cksum FROM seq
+  WHERE len(tokens) = n_tok
+    AND NOT EXISTS (SELECT 1 FROM unnest(tokens) AS u(t) WHERE t < 0 OR t >= 50257)
+), deduped AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ts, doc_id) AS rn
+                 FROM valid) WHERE rn = 1
+)
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000) AS win_start,
+       source,
+       count(*)   AS n_seq,
+       sum(n_tok) AS sum_tok,
+       sum(cksum) AS sum_cksum
+FROM deduped
+WHERE source IN ('pumpfun', 'raydium', 'orca') AND n_tok >= 16
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql()
+# ---------------------------------------------------------------------------
+
+
+def _q_seq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5 predicate algebra on the sequences table (filters.rs:44-125)."""
+    fb = (
+        FilterBuilder()
+        .isin("source", ["pumpfun", "meteora"])
+        .value_range("n_tok", 100, 1500)
+        .custom(F.element_at("tokens", 1) % 2 == 0)
+    )
+    seq = _seq(spark, sf_dir)
+    return fb.apply(seq).select(
+        "doc_id", "n_tok", "source", TK.token_checksum("tokens").alias("cksum")
+    )
+
+
+_SQL_SEQ_FILTER = (
+    _SEQ
+    + f"""
+SELECT doc_id, n_tok, source, {_CKSUM} AS cksum
+FROM seq
+WHERE source IN ('pumpfun', 'meteora') AND n_tok BETWEEN 100 AND 1500
+  AND tokens[1] % 2 = 0
+"""
+)
+
+
+def _q_seq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 dedup, first-wins by (ts, doc_id) (consumer.rs:235-248)."""
+    seq = _seq(spark, sf_dir)
+    out = DD.dedup_first_wins(seq, "doc_id", ["ts", "doc_id"])
+    return out.select("doc_id", "n_tok", "source", "ts", TK.token_checksum("tokens").alias("cksum"))
+
+
+_SQL_SEQ_DEDUP = (
+    _SEQ
+    + f"""
+SELECT doc_id, n_tok, source, ts, {_CKSUM} AS cksum
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ts, doc_id) AS rn FROM seq)
+WHERE rn = 1
+"""
+)
+
+
+def _q_seq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup over token arrays — higher-order array fns (§2.10)."""
+    seq = _seq(spark, sf_dir)
+    return (
+        seq.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.sum(TK.token_sum("tokens")).alias("sum_vals"),
+            F.min(F.array_min("tokens")).alias("min_val"),
+            F.max(F.array_max("tokens")).alias("max_val"),
+            AG.conditional_count(F.col("n_tok") == 0).alias("n_empty"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SEQ_TOKEN_STATS = (
+    _SEQ
+    + """
+SELECT source, count(*) AS n_docs, sum(n_tok) AS sum_tok,
+       sum(list_sum(tokens)) AS sum_vals,
+       min(list_min(tokens)) AS min_val, max(list_max(tokens)) AS max_val,
+       sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS n_empty
+FROM seq GROUP BY source ORDER BY source
+"""
+)
+
+
+def _q_seq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 longest sequences per source (O1 generalization, §2.8)."""
+    from pyspark.sql import Window
+
+    seq = _seq(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    return (
+        seq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("source", "rank", "doc_id", "n_tok")
+    )
+
+
+_SQL_SEQ_TOPK = (
+    _SEQ
+    + """
+SELECT source, rank, doc_id, n_tok
+FROM (SELECT source, doc_id, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id ASC) AS rank
+      FROM seq)
+WHERE rank <= 5
+"""
+)
+
+
+def _q_seq_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 sliding window (10 min / 5 min) counts per source."""
+    seq = _seq(spark, sf_dir)
+    return (
+        seq.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "source")
+        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("sum_tok"))
+        .select(F.col("win.start").alias("win_start"), "source", "n", "sum_tok")
+    )
+
+
+_SQL_SEQ_SLIDING = (
+    _SEQ
+    + """
+SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300 * 1000000) AS win_start,
+       source, count(*) AS n, sum(n_tok) AS sum_tok
+FROM seq, (SELECT unnest([0, 1]) AS k)
+WHERE epoch(ts) >= (CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300
+  AND epoch(ts) <  (CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300 + 600
+GROUP BY 1, 2
+"""
+)
+
+
+def _q_seq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 skew: two-level salted agg must equal a plain groupBy."""
+    seq = _seq(spark, sf_dir)
+    out = SK.two_level_agg(
+        seq,
+        key="source",
+        id_col="doc_id",
+        aggs={"n": ("count", "*"), "sum_tok": ("sum", "n_tok"), "max_tok": ("max", "n_tok")},
+    )
+    return out.orderBy("source")
+
+
+_SQL_SEQ_SALTED = (
+    _SEQ
+    + """
+SELECT source, count(*) AS n, sum(n_tok) AS sum_tok, max(n_tok) AS max_tok
+FROM seq GROUP BY source ORDER BY source
+"""
+)
+
+
+def _q_seq_shard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 shard-correlation join (batch form): sequences ⋈ shards on
+    doc_id within ±5 min — the oracle twin of the watermarked
+    stream-stream join in streaming/join.py."""
+    seq = DD.dedup_first_wins(_seq(spark, sf_dir), "doc_id", ["ts", "doc_id"])
+    sh = datagen.shards_view(spark, sf_dir)
+    j = seq.alias("s").join(
+        sh.alias("h"),
+        (F.col("s.doc_id") == F.col("h.doc_id"))
+        & (F.col("h.ts") >= F.col("s.ts") - F.expr("interval 5 minutes"))
+        & (F.col("h.ts") <= F.col("s.ts") + F.expr("interval 5 minutes")),
+    )
+    return (
+        j.groupBy(F.col("s.doc_id").alias("doc_id"), F.col("s.source").alias("source"))
+        .agg(
+            F.count("*").alias("n_shards"),
+            F.sum(F.size("h.tokens_part")).alias("sum_part"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_SEQ_SHARD_JOIN = (
+    _SEQ
+    + _SHARDS
+    + """
+, sdedup AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ts, doc_id) AS rn
+                 FROM seq) WHERE rn = 1
+)
+SELECT s.doc_id AS doc_id, s.source AS source,
+       count(*) AS n_shards, sum(len(h.tokens_part)) AS sum_part
+FROM sdedup s JOIN shards h
+  ON s.doc_id = h.doc_id
+ AND h.ts >= s.ts - INTERVAL 5 MINUTE AND h.ts <= s.ts + INTERVAL 5 MINUTE
+GROUP BY 1, 2 ORDER BY 1
+"""
+)
+
+
+def _q_seq_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D5 vectorized codec: encode tokens → binary payload → decode
+    back (pandas UDFs); checksum of decoded must equal the original.
+    The oracle sees only the CTE (roundtrip is identity), which is
+    exactly the point: the Arrow codec path must be lossless."""
+    seq = _seq(spark, sf_dir)
+    enc = seq.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        TK.encode_tokens("tokens").alias("payload"),
+    )
+    dec = enc.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        TK.decode_tokens("payload").alias("tokens"),
+    )
+    ok = dec.where(F.col("tokens").isNotNull())  # poison-pill gate D5
+    return ok.select("doc_id", "n_tok", TK.token_checksum("tokens").alias("cksum"))
+
+
+_SQL_SEQ_DECODE = _SEQ + f"SELECT doc_id, n_tok, {_CKSUM} AS cksum FROM seq"
+
+
+# -- events-table operators ---------------------------------------------------
+
+
+def _q_events_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F4 composite on the events stream table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fb = (
+        FilterBuilder()
+        .event_types(["purchase", "click"])
+        .value_range("user_id", 100, None)
+        .min_amount(10.0, {"purchase": "value"})
+    )
+    return fb.apply(ev).select("event_id", "event_type", "user_id", F.round("value", 6).alias("value"))
+
+
+_SQL_EVENTS_FILTER = """
+SELECT event_id, event_type, user_id, round(value, 6) AS value
+FROM events
+WHERE event_type IN ('purchase', 'click') AND user_id >= 100
+  AND (CASE WHEN event_type = 'purchase' THEN coalesce(value >= 10.0, FALSE) ELSE TRUE END)
+"""
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 per-type rollup + market share + distinct users."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return AG.rollup_with_share(ev, "event_type", "value", user_col="user_id").orderBy("event_type")
+
+
+_SQL_EVENTS_ROLLUP = """
+WITH agg AS (
+  SELECT event_type, count(*) AS n, round(sum(value), 4) AS volume,
+         round(avg(value), 6) AS avg_value, count(DISTINCT user_id) AS unique_users
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, volume, avg_value, unique_users,
+       round(volume / sum(volume) OVER (), 6) AS market_share
+FROM agg ORDER BY event_type
+"""
+
+
+def _q_events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 events/sec per tumbling hour per type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return AG.rate_per_window(ev, "ts", 3600, by=["event_type"]).orderBy("win_start", "event_type")
+
+
+_SQL_EVENTS_RATE = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS win_start,
+       event_type, count(*) AS n, round(count(*) / 3600.0, 6) AS rate_per_s
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 typed accessor over the dynamic JSON props column."""
+    from bitquery_kafka_streams_rust_spark.operators.extract import json_accessor
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = json_accessor("props", "k", "key").cast("long")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("k_mod")
+    )
+
+
+_SQL_EVENTS_JSON = """
+WITH x AS (
+  SELECT event_id, CAST(coalesce(props->>'$.k', props->>'$.key') AS BIGINT) AS k FROM events
+)
+SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k
+FROM x WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 histogram summary: exact percentiles per event_type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return AG.percentile_summary(ev, "value", by=["event_type"]).orderBy("event_type")
+
+
+_SQL_EVENTS_PERCENTILES = """
+SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg, max(value) AS max,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_events_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 batch analog: ≤1 event per user per 10-min window (earliest wins)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = DD.dedup_within_window(ev, "user_id", "ts", 600, order_by=["ts", "event_id"])
+    return out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+_SQL_EVENTS_DEDUP_WINDOW = """
+WITH d AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, CAST(floor(epoch(ts) / 600) AS BIGINT)
+      ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type, count(*) AS n FROM d WHERE rn = 1 GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- TPC-H-ish relational operators -------------------------------------------
+
+
+def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg with 8 aggregates (§2.6)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 at scale: broadcast dims (customer/nation/region) onto orders,
+    rollup revenue per region+status."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+_SQL_JOIN_ENRICH = """
+SELECT r_name, o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, o_orderstatus ORDER BY r_name, o_orderstatus
+"""
+
+
+def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 at scale: allowlist as broadcast LEFT SEMI + blocklist LEFT ANTI."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    big = part.where(F.col("p_size") >= 40).select(F.col("p_partkey").alias("l_partkey"))
+    fb = FilterBuilder()
+    semi = fb.semi_join(li, big, "l_partkey").groupBy().agg(
+        F.count("*").alias("n"), F.lit("semi").alias("kind")
+    )
+    anti = fb.anti_join(li, big, "l_partkey").groupBy().agg(
+        F.count("*").alias("n"), F.lit("anti").alias("kind")
+    )
+    return semi.unionByName(anti).select("kind", "n").orderBy("kind")
+
+
+_SQL_SEMI_ANTI = """
+SELECT 'anti' AS kind, count(*) AS n FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size >= 40)
+UNION ALL
+SELECT 'semi' AS kind, count(*) AS n FROM lineitem
+WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size >= 40)
+ORDER BY kind
+"""
+
+
+# -- documents / text-analysis ops --------------------------------------------
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring + language ID + token counts (training-data ops)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return (
+        docs.select(
+            "doc_id",
+            TX.detect_lang(t).alias("lang_pred"),
+            TX.whitespace_token_count(t).alias("n_words"),
+            TX.bpe_ish_token_count(t).alias("n_pieces"),
+            TX.quality_score(t).alias("quality"),
+        )
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum("n_pieces").alias("sum_pieces"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+_SQL_DOC_QUALITY = r"""
+WITH scored AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))      AS en,
+         length(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS de,
+         length(regexp_extract_all(lower(text), '\b(le|la|les|est|une)\b'))     AS fr,
+         length(regexp_extract_all(lower(text), '\b(el|los|es|una|que)\b'))     AS es,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END               AS n_words,
+         length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))    AS n_pieces,
+         length(text)                                                           AS n,
+         length(regexp_extract_all(text, '[^\w\s]'))                            AS n_punct
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+              WHEN en = greatest(en, de, fr, es) THEN 'en'
+              WHEN de = greatest(en, de, fr, es) THEN 'de'
+              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+              ELSE 'es' END AS lang_pred,
+         n_words, n_pieces,
+         round(0.4 * least(n / 500.0, 1.0)
+             + 0.3 * greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN round(n_punct / n, 6) ELSE 0.0 END) * 4)
+             + 0.3 * least((CASE WHEN n_words > 0 THEN round(en / n_words, 6) ELSE 0.0 END) * 5, 1.0),
+               6) AS quality
+  FROM scored
+)
+SELECT lang_pred, count(*) AS n_docs, sum(n_words) AS sum_words,
+       sum(n_pieces) AS sum_pieces, round(avg(quality), 6) AS avg_quality
+FROM feat GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def _q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup via hash-groupBy (training-data op)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(TX.fingerprint_md5(F.col("text")).alias("fp"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .groupBy("n_copies")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("n_copies")
+    )
+
+
+_SQL_DOC_DEDUP_EXACT = """
+WITH g AS (SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep FROM documents GROUP BY 1)
+SELECT n_copies, count(*) AS n_groups FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+# -- embeddings / similarity ---------------------------------------------------
+
+
+def _q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (ANN baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(emb, queries, k=5).orderBy("q_id", "rank")
+
+
+_SQL_EMB_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 5),
+c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+scored AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         round(list_dot_product(q.q_vec, c.embedding) /
+               (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.embedding, c.embedding))),
+               6) AS cos_sim
+  FROM c0 c CROSS JOIN q WHERE q.q_id <> c.vec_id
+)
+SELECT q_id, c_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY q_id, rank
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_pipeline": flagship,
+        "seq_filter": _q_seq_filter,
+        "seq_dedup": _q_seq_dedup,
+        "seq_token_stats": _q_seq_token_stats,
+        "seq_topk": _q_seq_topk,
+        "seq_sliding_window": _q_seq_sliding,
+        "seq_salted_agg": _q_seq_salted,
+        "seq_shard_join": _q_seq_shard_join,
+        "seq_decode_roundtrip": _q_seq_decode,
+        "events_filter": _q_events_filter,
+        "events_rollup_share": _q_events_rollup,
+        "events_rate": _q_events_rate,
+        "events_json_accessor": _q_events_json,
+        "events_percentiles": _q_events_percentiles,
+        "events_dedup_window": _q_events_dedup_window,
+        "q1_pricing_summary": _q_q1_pricing,
+        "join_enrich_broadcast": _q_join_enrich,
+        "semi_anti_membership": _q_semi_anti,
+        "doc_quality_langid": _q_doc_quality,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "emb_cosine_topk": _q_emb_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_pipeline": _FLAGSHIP_SQL,
+        "seq_filter": _SQL_SEQ_FILTER,
+        "seq_dedup": _SQL_SEQ_DEDUP,
+        "seq_token_stats": _SQL_SEQ_TOKEN_STATS,
+        "seq_topk": _SQL_SEQ_TOPK,
+        "seq_sliding_window": _SQL_SEQ_SLIDING,
+        "seq_salted_agg": _SQL_SEQ_SALTED,
+        "seq_shard_join": _SQL_SEQ_SHARD_JOIN,
+        "seq_decode_roundtrip": _SQL_SEQ_DECODE,
+        "events_filter": _SQL_EVENTS_FILTER,
+        "events_rollup_share": _SQL_EVENTS_ROLLUP,
+        "events_rate": _SQL_EVENTS_RATE,
+        "events_json_accessor": _SQL_EVENTS_JSON,
+        "events_percentiles": _SQL_EVENTS_PERCENTILES,
+        "events_dedup_window": _SQL_EVENTS_DEDUP_WINDOW,
+        "q1_pricing_summary": _SQL_Q1,
+        "join_enrich_broadcast": _SQL_JOIN_ENRICH,
+        "semi_anti_membership": _SQL_SEMI_ANTI,
+        "doc_quality_langid": _SQL_DOC_QUALITY,
+        "doc_dedup_exact": _SQL_DOC_DEDUP_EXACT,
+        "emb_cosine_topk": _SQL_EMB_TOPK,
+    }

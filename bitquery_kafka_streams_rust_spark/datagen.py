@@ -1,0 +1,148 @@
+"""Deterministic synthetic sequences — the engine's primary input table.
+
+The north rule's input is an Iceberg table of pre-tokenized training
+sequences ``(doc_id string, tokens array<int32>, n_tok int32,
+source string)`` + event-time ``ts``.  The sandbox testdata has no such
+table, so we derive one *deterministically* from the driver-generated
+``documents`` parquet using pure integer arithmetic — the identical
+formula is expressible in DuckDB SQL (see ``__spark_entry__.py
+SEQUENCES_CTE``), which makes every sequence-pipeline query
+oracle-checkable end to end.
+
+Generator properties (mirrors FIXTURES.md §1):
+- ~1% exact duplicates: doc ids ending in 99 alias the previous id and
+  reproduce its token array bit-for-bit (dedup tests; reference dedup
+  at ``src/consumer.rs:235-248`` / ``src/core/utils/deduplicator.rs:50-75``).
+- ``n_tok`` in [0, 2048) with occasional 0-length edge cases.
+- token values = mixed-congruential hash of (canon_id, position) mod
+  VOCAB_SIZE — seed-free, reproducible per row at any scale.
+- ``source`` is derived skewed (~60% one hot key + 4 cold keys),
+  mirroring the reference's 6 target program IDs
+  (``src/processors/dex_processor.rs:38-51``) and FIXTURES.md §1's
+  skew requirement (the driver documents table's own source column is
+  uniform, so we don't use it).
+- ``ts`` mostly monotone in doc_id with ~5% rows late by 1-10 minutes
+  (watermark/late-data tests; reference window 300 s ``src/config.rs:270``).
+
+No randomness, no driver-side loops: the whole derivation is one
+codegen'd Catalyst projection, so it scales to 10^12 rows as a view
+over any (doc_id, source) spine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import VOCAB_SIZE
+
+K1 = 2654435761  # Knuth multiplicative hash constants
+K2 = 2246822519
+MAX_TOK = 2048
+EPOCH = "2024-01-01 00:00:00"
+
+
+def canon_id(doc_id):
+    """Duplicate-aliasing: ids ≡ 99 (mod 100) replay the previous doc."""
+    return F.when(doc_id % 100 == 99, doc_id - 1).otherwise(doc_id)
+
+
+def sequences_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequences table derived from ``{sf_dir}/documents.parquet``.
+
+    Output schema == schemas.SEQUENCES. All columns are deterministic
+    functions of (doc_id, source); tokens of a duplicated doc are
+    bit-identical to the original (token-array equality invariant).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # bound reference, NOT F.col("doc_id"): the output column is also named
+    # doc_id and Spark's lateral-column-alias resolution would shadow the input
+    d = docs["doc_id"]
+    c = canon_id(d)
+    source = (
+        F.when(c % 10 < 6, "pumpfun")
+        .when(c % 10 == 6, "raydium")
+        .when(c % 10 == 7, "orca")
+        .when(c % 10 == 8, "meteora")
+        .otherwise("phoenix")
+    )
+    n_tok = (c * F.lit(40503) % F.lit(MAX_TOK)).cast("int")
+    # ts: monotone seconds after EPOCH; every 20th row late by (1 + id%10) min
+    late = F.when(d % 20 == 0, (F.lit(1) + d % 10) * 60).otherwise(F.lit(0))
+    ts = F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=(d % 86400) - late)
+    tokens = F.when(
+        n_tok == 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 1),
+            lambda i: ((c * F.lit(K1) + i.cast("long") * F.lit(K2)) % F.lit(VOCAB_SIZE)).cast("int"),
+        )
+    )
+    return docs.select(
+        F.concat(F.lit("doc"), c.cast("string")).alias("doc_id"),
+        tokens.alias("tokens"),
+        n_tok.alias("n_tok"),
+        source.alias("source"),
+        ts.alias("ts"),
+    )
+
+
+def shards_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard stream for the stream-stream correlation join (J2).
+
+    Each doc splits into 4 shards carrying a deterministic slice of its
+    tokens; docs ≡ 7 (mod 10) are withheld (unmatched-side test),
+    duplicate-alias rows emit no shards (one shard set per doc_id), and
+    shard ts is offset by shard_id minutes (join-window test).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = docs["doc_id"]  # bound ref; see sequences_view
+    n_tok = (d * F.lit(40503) % F.lit(MAX_TOK)).cast("int")
+    ts = F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=d % 86400)
+    tokens = F.when(n_tok == 0, F.array().cast("array<int>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 1),
+            lambda i: ((d * F.lit(K1) + i.cast("long") * F.lit(K2)) % F.lit(VOCAB_SIZE)).cast("int"),
+        )
+    )
+    base = docs.where((d % 100 != 99) & (d % 10 != 7)).select(
+        F.concat(F.lit("doc"), d.cast("string")).alias("doc_id"),
+        tokens.alias("tokens"),
+        n_tok.alias("n_tok"),
+        ts.alias("ts"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("shard_id"),
+    )
+    s = F.col("shard_id")
+    quarter = (F.col("n_tok") / 4).cast("int")
+    return base.select(
+        "doc_id",
+        s.cast("int").alias("shard_id"),
+        F.slice("tokens", (s * quarter + 1).cast("int"), F.greatest(quarter, F.lit(1))).alias(
+            "tokens_part"
+        ),
+        (F.col("ts") + F.make_interval(mins=s)).alias("ts"),
+    )
+
+
+def write_sequence_batches(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_batches: int = 8
+) -> list[str]:
+    """Materialize the sequences view as N parquet files in `out_dir`.
+
+    Stands in for the micro-batch appends of the Iceberg/Kafka source:
+    the file-streaming source picks the files up with
+    ``maxFilesPerTrigger=1`` so each file is one micro-batch.  Batch
+    assignment is deterministic (hash of doc_id), so any two runs see
+    identical batch contents — required for restart-identical output.
+    """
+    seq = sequences_view(spark, sf_dir).withColumn(
+        "_b", F.pmod(F.xxhash64("doc_id"), F.lit(n_batches))
+    )
+    paths = []
+    for b in range(n_batches):
+        p = f"{out_dir}/batch_{b:04d}.parquet"
+        seq.where(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        paths.append(p)
+    return paths

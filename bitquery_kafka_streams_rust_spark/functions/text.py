@@ -1,0 +1,104 @@
+"""Text analysis for training-data pipelines — language ID, quality
+scoring, token counting, fingerprinting.
+
+No reference analog (the reference processes binary blockchain payloads)
+— these are the first-class training-data ops the engine adds.  All the
+hot-path scoring is JVM-side regexp/length arithmetic (codegen'd); the
+only Python is the BPE-ish regex pre-tokenizer which is also expressible
+as a built-in ``regexp_count``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (deterministic heuristic).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "es": ["el", "los", "es", "una", "que"],
+}
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def lang_scores(text: Column) -> Column:
+    """struct of per-language marker-hit counts."""
+    return F.struct(*[_marker_hits(text, ws).alias(lang) for lang, ws in LANG_MARKERS.items()])
+
+
+def detect_lang(text: Column) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) if all 0.
+
+    Deterministic tie-break by fixed priority en > de > fr > es (a
+    plain CASE chain, so the identical rule is one SQL expression in
+    any oracle engine)."""
+    s = lang_scores(text)
+    en, de, fr, es = s["en"], s["de"], s["fr"], s["es"]
+    mx = F.greatest(en, de, fr, es)
+    return (
+        F.when(mx <= 0, "und")
+        .when(en == mx, "en")
+        .when(de == mx, "de")
+        .when(fr == mx, "fr")
+        .otherwise("es")
+    )
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """GPT-2-style pre-tokenizer piece count via regexp: contiguous
+    letters | digits | single non-space symbol (approximates BPE piece
+    boundaries without a vocab)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    return F.when(n > 0, F.round(p / n, 6)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    hits = _marker_hits(text, LANG_MARKERS["en"])
+    words = whitespace_token_count(text)
+    return F.when(words > 0, F.round(hits / words, 6)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + moderate punct +
+    nonzero stopword density.  Deterministic arithmetic only."""
+    n = F.length(text)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    stop_score = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * punct_pen + F.lit(0.3) * stop_score, 6
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-content fingerprint (engine-portable)."""
+    return F.md5(text)
+
+
+def rolling_hash(text: Column, base: int = 257, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over character codes, computed JVM-side
+    with aggregate over the char array — the document-fingerprint op.
+    h = sum(c_i * base^(n-1-i)) mod p, evaluated Horner-style."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: F.length(c) > 0),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )

@@ -1,0 +1,132 @@
+"""Aggregations — the reference's counters/rollups as declarative aggs.
+
+A1 running counters (``src/processors/dex_processor.rs:91-117``),
+A2 threshold alerting (``:156-164``), A4 histogram percentiles
+(``src/observability/metrics.rs:26-34,109-124``), A5 per-key business
+rollups + market share (``:62-107``), A6 rate windows
+(``examples/high_volume_processor.rs:171-189``).
+
+All are single-shuffle hash aggregations with map-side partial
+aggregation (Catalyst plans partial_+final HashAggregate automatically);
+market share adds one tiny second stage over the already-aggregated
+rows.  ``approx_count_distinct`` / ``percentile_approx`` are the sketch
+(HLL / KLL-ish) variants for the 100 TB path; the exact forms are used
+where a DuckDB oracle must match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def conditional_count(cond: Column) -> Column:
+    """count-if — the atomic-counter pattern A1."""
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def global_counters(df: DataFrame, tiers: dict[str, Column]) -> DataFrame:
+    """A1: one row of named conditional counters + total."""
+    aggs = [F.count("*").alias("total")] + [
+        conditional_count(c).alias(name) for name, c in tiers.items()
+    ]
+    return df.agg(*aggs)
+
+
+def threshold_alerts(df: DataFrame, value_col: str, thresholds: dict[str, float]) -> DataFrame:
+    """A2: rows exceeding alert thresholds, tagged by tier (whale >1M,
+    big >100k in the reference)."""
+    tier = None
+    for name, t in sorted(thresholds.items(), key=lambda kv: -kv[1]):
+        branch = F.when(F.col(value_col) > t, name)
+        tier = branch if tier is None else tier.when(F.col(value_col) > t, name)
+    lo = min(thresholds.values())
+    return df.where(F.col(value_col) > lo).withColumn("alert_tier", tier)
+
+
+def percentile_summary(
+    df: DataFrame, value_col: str, by: Sequence[str] = (), approx: bool = False
+) -> DataFrame:
+    """A4: p50/p90/p95/p99 + max/avg/count.  ``approx=True`` uses the
+    mergeable sketch (single-pass at scale); exact form for oracles."""
+    pct = F.percentile_approx if approx else F.percentile
+    qs = [0.5, 0.9, 0.95, 0.99]
+    v = F.col(value_col)
+    aggs = [
+        F.count("*").alias("n"),
+        F.round(F.avg(v), 6).alias("avg"),
+        F.max(v).alias("max"),
+    ] + [F.round(pct(v, q), 6).alias(f"p{int(q * 100)}") for q in qs]
+    g = df.groupBy(*by) if by else df.groupBy()
+    return g.agg(*aggs)
+
+
+def rollup_with_share(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    user_col: str | None = None,
+    approx_users: bool = False,
+) -> DataFrame:
+    """A5: per-key count/volume/avg + market share (share of total
+    volume) + distinct users.  Share = window sum over the aggregated
+    frame — the second pass touches only |keys| rows."""
+    aggs = [
+        F.count("*").alias("n"),
+        F.round(F.sum(value_col), 4).alias("volume"),
+        F.round(F.avg(value_col), 6).alias("avg_value"),
+    ]
+    if user_col:
+        aggs.append(
+            (F.approx_count_distinct(user_col) if approx_users else F.countDistinct(user_col)).alias(
+                "unique_users"
+            )
+        )
+    agg = df.groupBy(key).agg(*aggs)
+    total = F.sum("volume").over(Window_partition_all())
+    return agg.withColumn("market_share", F.round(F.col("volume") / total, 6))
+
+
+def Window_partition_all():
+    from pyspark.sql import Window
+
+    return Window.partitionBy()
+
+
+def rate_per_window(df: DataFrame, ts_col: str, window_s: int, by: Sequence[str] = ()) -> DataFrame:
+    """A6: events/sec per tumbling window (reference: delta/10 s monitor)."""
+    cols = [F.window(F.col(ts_col), f"{window_s} seconds").alias("win"), *[F.col(c) for c in by]]
+    return (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            *by,
+            "n",
+            F.round(F.col("n") / window_s, 6).alias("rate_per_s"),
+        )
+    )
+
+
+def windowed_stats(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str | None = None,
+    by: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """A3/T5: tumbling (or sliding, if ``slide``) window stats — the
+    idiomatic replacement for the reference's every-10th-event print."""
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    aggs = [F.count("*").alias("n")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("total"))
+    return (
+        df.groupBy(win.alias("win"), *[F.col(c) for c in by])
+        .agg(*aggs)
+        .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), *by,
+                *[F.col(a) for a in (["n", "total"] if value_col else ["n"])])
+    )

@@ -1,0 +1,281 @@
+"""Deduplication operators — exact, windowed, and near-duplicate.
+
+Exact/windowed dedup re-expresses the reference's signature caches:
+- X1 unbounded ``HashSet`` dedup (``src/consumer.rs:39,235-248``) →
+  deterministic first-wins distinct (Spark's state store is
+  spill-backed, so the reference's lossy clear-at-capacity is unneeded).
+- X2 time-windowed LRU (``src/core/utils/deduplicator.rs:50-75``) →
+  batch analog: first row per (key, time-window); streaming analog:
+  ``withWatermark + dropDuplicatesWithinWatermark`` (streaming/pipeline.py).
+
+Near-dup family (training-data pipeline ops, no reference analog):
+exact text hash, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+All are shuffle-aware: candidate generation goes through band/bucket
+equi-joins (shuffle on short keys), never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact / windowed dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_first_wins(df: DataFrame, key: str, order_by: list[str]) -> DataFrame:
+    """Keep the first row per key under an explicit deterministic order
+    (the reference relies on arrival order; we pin it — SURVEY §7
+    hard-part 1).  Implemented as min_by-style row_number; one shuffle
+    on the key."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def dedup_within_window(
+    df: DataFrame, key: str, ts_col: str, window_s: int, order_by: list[str] | None = None
+) -> DataFrame:
+    """Batch analog of X2: at most one row per key per tumbling
+    ``window_s`` window, keeping the earliest (``deduplicator.rs:50-75``
+    admits one sighting per time_window)."""
+    order_by = order_by or [ts_col]
+    bucket = (F.unix_timestamp(F.col(ts_col)) / window_s).cast("long")
+    w = Window.partitionBy(F.col(key), bucket).orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection over documents
+# ---------------------------------------------------------------------------
+
+_H_PRIME = 4294967311  # > 2^32, standard MinHash universal-hash modulus
+
+
+def _shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingle hashes as array<long> (distinct)."""
+    n = F.length(text)
+    sh = F.when(n < k, F.array(F.xxhash64(text))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+        )
+    )
+    return F.array_distinct(sh)
+
+
+def minhash_signature(text: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as array<long>[num_hashes].
+
+    h_j(x) = (a_j * x + b_j) mod PRIME with deterministic (a_j, b_j); the
+    signature min-reduces each permutation over the shingle set — all
+    JVM-side higher-order functions, no UDF."""
+    sh = _shingles(text)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                sh,
+                lambda x: (
+                    ((x % _H_PRIME) * (j * 2 + 1) + j * 40503 + 7)
+                    % _H_PRIME
+                ),
+            )
+        ),
+    )
+    return sig
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by signature
+    similarity ≥ threshold.
+
+    Plan shape (scale path): signature projection (narrow) → explode to
+    ``bands`` rows (×16) → shuffle on (band, band_hash) equi-join →
+    per-pair verify (narrow).  No cross join anywhere; the band join's
+    key cardinality grows with data so it parallelizes across the
+    cluster."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast("string")
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    return cand.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over character 5-shingles, JVM-side.
+
+    For each bit b: sign(sum over shingles of ±1 by shingle-hash bit b).
+    Returns the fingerprint as a long."""
+    sh = _shingles(text)
+    bit_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.when(
+            F.aggregate(
+                sh,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.when(F.call_function("shiftright", x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_vals,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.call_function("shiftleft", v, b.cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
+    Hamming 3 shares at least one exact chunk) → equi-join per chunk →
+    verify with bit_count(xor)."""
+    sig = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunks = sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.call_function("shiftright", F.col("sh"), c.cast("int") * 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word n-gram Jaccard similarity for candidate pairs.
+
+    Candidates come from shared-ngram inverted index (explode → self
+    equi-join on the ngram hash), then |A∩B| is the join match count and
+    |A∪B| = |A|+|B|-|A∩B| — set algebra, no per-pair array shipping."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.when(F.size(words) < n, F.array(F.xxhash64(F.col(text_col)))).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(words) - n),
+                        lambda i: F.xxhash64(F.slice(words, i + 1, n).cast("string")),
+                    )
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed.
+
+    Random-hyperplane signature (deterministic planes) buckets vectors;
+    only same-bucket pairs get exact cosine.  At 100 TB the bucket join
+    replaces an O(n^2) cross join with a shuffle on the signature."""
+    from .similarity import cosine, hyperplane_signature
+
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

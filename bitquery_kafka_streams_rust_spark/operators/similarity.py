@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data pipeline ops (no reference analog — the reference's
+nearest structure is its membership semi-joins J1):
+
+- ``cosine`` / ``dot``: JVM-side zip_with/aggregate — codegen'd, no UDF.
+- ``brute_force_topk``: exact top-k neighbors; broadcast the (small)
+  query set against the (huge) corpus, rank per query.  The corpus side
+  streams through the scan once — this is the correctness baseline.
+- ``hyperplane_signature`` + ``lsh_topk``: random-hyperplane LSH buckets
+  (deterministic planes, reproducible at any scale) so candidate
+  generation is an equi-join on the signature instead of a cross join —
+  the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query.
+
+    ``broadcast(queries)`` keeps the corpus scan shuffle-free; the only
+    shuffle is the per-query ranking, keyed by query id (small
+    cardinality → AQE coalesces)."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
+        "q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 12, dim: int | None = None) -> Column:
+    """Deterministic random-hyperplane LSH signature (long).
+
+    plane[j][d] = ((j*1000003 + d*7919) % 2001) - 1000 — a fixed
+    pseudo-random ±1000 lattice reproducible in any engine; bit j is
+    sign(v · plane_j)."""
+    coeff = lambda j, d: (j * F.lit(1000003) + d * F.lit(7919)) % F.lit(2001) - F.lit(1000)
+    proj = lambda j: F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, d: x.cast("double") * coeff(j, d.cast("long")).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda j: F.when(proj(j.cast("long")) > 0, F.call_function("shiftleft", F.lit(1).cast("long"), j.cast("int"))).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine ranks within bucket.  Recall < 1 by construction; at
+    scale add multi-probe (flip one bit) — here single-probe."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), ["bucket"]).where(F.col("q_id") != F.col("c_id")).select(
+        "q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Replaces the reference's hand-rolled runtime knobs (worker pool =
+num_cpus at ``src/config.rs:266``, bounded channels at
+``src/batch_processor.rs:51-56``, memory accounting at
+``src/resource_manager.rs:74-142``) with Spark's own scheduler, AQE and
+unified memory manager.  At cluster scale the same settings apply per
+executor; locally ``local[N]`` stands in for N executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bitquery-streams-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session tuned for this engine.
+
+    - AQE on: runtime coalescing + skew-join mitigation (the reference's
+      backpressure/worker tuning is static; AQE re-plans per stage).
+    - Arrow on: every pandas UDF crosses the JVM/Python boundary in
+      columnar batches (the reference is scalar per-event Rust).
+    - UTC session TZ: required for DuckDB-oracle comparability.
+    - shuffle partitions default = cores (local) — at cluster scale set
+      ~2-3x total executor cores via ``spark_graft.shuffle.partitions``.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master.removeprefix("local[").removesuffix("]")
+        shuffle_partitions = cpus if n in ("*", "") else max(int(n), 1)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,71 @@
+"""Aggregation semantics: counters, alerts, percentiles, share, skew."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark.operators import aggregates as AG
+from bitquery_kafka_streams_rust_spark.operators import skew as SK
+
+
+def test_global_counters(spark):
+    df = spark.createDataFrame([(v,) for v in [50.0, 1500.0, 200000.0, 2e6]], "usd double")
+    row = AG.global_counters(
+        df,
+        {
+            "big": F.col("usd") > 1_000,
+            "whale": F.col("usd") > 1_000_000,
+        },
+    ).collect()[0]
+    assert row["total"] == 4 and row["big"] == 3 and row["whale"] == 1
+
+
+def test_threshold_alerts_tiers(spark):
+    """dex_processor.rs:156-164 — whale >1M, big >100k."""
+    df = spark.createDataFrame([(v,) for v in [5e6, 2e5, 5e4]], "usd double")
+    out = {r["usd"]: r["alert_tier"] for r in AG.threshold_alerts(
+        df, "usd", {"whale": 1_000_000, "big": 100_000}
+    ).collect()}
+    assert out == {5e6: "whale", 2e5: "big"}
+
+
+def test_percentile_summary_exact(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    row = AG.percentile_summary(df, "v").collect()[0]
+    assert row["n"] == 100 and row["max"] == 100.0
+    assert abs(row["p50"] - 50.5) < 1e-6
+
+
+def test_rollup_share_sums_to_one(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 20.0, 2), ("b", 70.0, 3)], "k string, v double, u long"
+    )
+    rows = AG.rollup_with_share(df, "k", "v", user_col="u").collect()
+    assert abs(sum(r["market_share"] for r in rows) - 1.0) < 1e-6
+    shares = {r["k"]: r["market_share"] for r in rows}
+    assert abs(shares["b"] - 0.7) < 1e-6
+
+
+def test_two_level_agg_equals_plain(spark, sf_dir):
+    from bitquery_kafka_streams_rust_spark.datagen import sequences_view
+
+    seq = sequences_view(spark, sf_dir)
+    salted = SK.two_level_agg(
+        seq, "source", "doc_id", {"n": ("count", "*"), "s": ("sum", "n_tok")}
+    )
+    plain = seq.groupBy("source").agg(F.count("*").alias("n"), F.sum("n_tok").alias("s"))
+    a = {(r["source"], r["n"], r["s"]) for r in salted.collect()}
+    b = {(r["source"], r["n"], r["s"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_windowed_stats_tumbling_vs_sliding(spark, sf_dir):
+    from bitquery_kafka_streams_rust_spark.datagen import sequences_view
+
+    seq = sequences_view(spark, sf_dir)
+    tumb = AG.windowed_stats(seq, "ts", "10 minutes", by=["source"], value_col="n_tok")
+    slide = AG.windowed_stats(seq, "ts", "10 minutes", slide="5 minutes", by=["source"], value_col="n_tok")
+    n_t, n_s = tumb.count(), slide.count()
+    assert n_t > 0 and n_s > n_t  # sliding produces ~2x windows
+    # every row is counted once per tumbling window: totals match input
+    assert tumb.agg(F.sum("n")).collect()[0][0] == seq.count()

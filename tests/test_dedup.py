@@ -1,0 +1,104 @@
+"""Dedup semantics ported from deduplicator.rs:88-150 + near-dup family."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark.operators import dedup as DD
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(rows, "sig string, ts timestamp, v int")
+
+
+def test_first_wins(spark):
+    """consumer.rs:235-248 — first sighting survives (pinned by ts order)."""
+    df = ev(
+        spark,
+        [
+            ("a", T0 + timedelta(seconds=5), 2),
+            ("a", T0, 1),
+            ("b", T0, 3),
+        ],
+    )
+    out = {r["sig"]: r["v"] for r in DD.dedup_first_wins(df, "sig", ["ts", "v"]).collect()}
+    assert out == {"a": 1, "b": 3}
+
+
+def test_window_dedup_readmits_after_window(spark):
+    """deduplicator.rs:100-118 — duplicate within window rejected,
+    re-admitted in a later window."""
+    df = ev(
+        spark,
+        [
+            ("a", T0, 1),
+            ("a", T0 + timedelta(seconds=30), 2),   # same 60s window → dropped
+            ("a", T0 + timedelta(seconds=90), 3),   # next window → kept
+            ("b", T0 + timedelta(seconds=30), 4),   # independent key
+        ],
+    )
+    out = DD.dedup_within_window(df, "sig", "ts", 60, order_by=["ts", "v"])
+    vals = sorted(r["v"] for r in out.collect())
+    assert vals == [1, 3, 4]
+
+
+def docs_df(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark engines and catalysts " * 5
+    return spark.createDataFrame(
+        [("d1", base), ("d2", base), ("d3", near), ("d4", other)],
+        "doc_id string, text string",
+    )
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = docs_df(spark)
+    sigs = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in df.select("doc_id", DD.minhash_signature(F.col("text")).alias("sig")).collect()
+    }
+    assert sigs["d1"] == sigs["d2"]
+    assert sigs["d1"] != sigs["d4"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in DD.minhash_lsh_pairs(docs_df(spark), threshold=0.5).collect()
+    }
+    assert ("d1", "d2") in pairs and pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in pairs or ("d2", "d3") in pairs  # near-dup caught
+    assert all("d4" not in p for p in pairs)
+
+
+def test_simhash_hamming(spark):
+    out = DD.simhash_near_dups(docs_df(spark), max_hamming=10).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs[("d1", "d2")] == 0
+    assert ("d1", "d4") not in pairs
+
+
+def test_ngram_jaccard_exact(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs_df(spark), threshold=0.3).collect()
+    }
+    assert pairs[("d1", "d2")] == 1.0
+    assert 0.3 <= pairs[("d1", "d3")] < 1.0
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in DD.embedding_near_dups(df, threshold=0.99).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

@@ -1,0 +1,52 @@
+"""ANN: brute-force cosine top-k baseline + LSH-bucketed variant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark.operators import similarity as SIM
+
+
+def test_cosine_identities(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r["c"] for r in df.select(F.round(SIM.cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert vals == [1.0, 0.0, 1.0]
+
+
+def test_brute_force_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    out = SIM.brute_force_topk(emb, q, k=4)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q_id, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4]
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["c_id"] != q_id for r in rs)
+
+
+def test_lsh_topk_subset_quality(spark, sf_dir):
+    """LSH top-1 must be a genuinely similar vector: its cosine within
+    a margin of the exact top-1 (single-probe recall is approximate)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = {r["q_id"]: r["cos_sim"] for r in SIM.brute_force_topk(emb, q, k=1).collect()}
+    approx = {r["q_id"]: r["cos_sim"] for r in SIM.lsh_topk(emb, q, k=1, n_planes=6).collect()}
+    for q_id, cs in approx.items():
+        assert cs <= exact[q_id] + 1e-9
+        assert cs >= exact[q_id] - 0.25  # bucket recall margin
+
+
+def test_hyperplane_signature_deterministic(spark):
+    df = spark.createDataFrame([([0.5, -0.25, 0.1],)], "v array<float>")
+    a = df.select(SIM.hyperplane_signature(F.col("v"), 8).alias("s")).collect()[0]["s"]
+    b = df.select(SIM.hyperplane_signature(F.col("v"), 8).alias("s")).collect()[0]["s"]
+    assert a == b and 0 <= a < 256

@@ -1,0 +1,45 @@
+"""Text analysis functions: langid, counts, quality, fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark.functions import text as TX
+
+
+def one(spark, s, col):
+    return spark.createDataFrame([(s,)], "text string").select(col.alias("v")).collect()[0]["v"]
+
+
+def test_detect_lang(spark):
+    assert one(spark, "the cat and the dog is to go", TX.detect_lang(F.col("text"))) == "en"
+    assert one(spark, "der hund und die katze ist nicht", TX.detect_lang(F.col("text"))) == "de"
+    assert one(spark, "le chat est une la les", TX.detect_lang(F.col("text"))) == "fr"
+    assert one(spark, "xyzzy plugh 12345", TX.detect_lang(F.col("text"))) == "und"
+
+
+def test_token_counts(spark):
+    assert one(spark, "a b  c", TX.whitespace_token_count(F.col("text"))) == 3
+    assert one(spark, "", TX.whitespace_token_count(F.col("text"))) == 0
+    assert one(spark, "hello, world 42", TX.bpe_ish_token_count(F.col("text"))) == 4
+
+
+def test_quality_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.select(TX.quality_score(F.col("text")).alias("q"))
+    row = q.agg(F.min("q").alias("lo"), F.max("q").alias("hi")).collect()[0]
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_rolling_hash_matches_python(spark):
+    s = "hello spark"
+    expect = 0
+    for ch in s:
+        expect = (expect * 257 + ord(ch)) % 1_000_000_007
+    assert one(spark, s, TX.rolling_hash(F.col("text"))) == expect
+
+
+def test_fingerprint_md5_dedup_key(spark):
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], "text string")
+    n = df.select(TX.fingerprint_md5(F.col("text")).alias("fp")).distinct().count()
+    assert n == 2

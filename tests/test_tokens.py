@@ -1,0 +1,97 @@
+"""Token-array kernel tests: checksum portability, validation, codec
+round-trip incl. poison pills (compression.rs:202-394 analog)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bitquery_kafka_streams_rust_spark.functions import tokens as TK
+
+
+def py_checksum(toks):
+    return sum((i + 1) * t for i, t in enumerate(toks)) % 2**31
+
+
+@pytest.fixture(scope="module")
+def tok_df(spark):
+    rows = [
+        ("a", [1, 2, 3]),
+        ("b", []),
+        ("c", [50256, 0, 7]),
+        ("d", list(range(100))),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def test_checksum_matches_python(spark, tok_df):
+    out = {r["doc_id"]: r["ck"] for r in tok_df.select("doc_id", TK.token_checksum("tokens").alias("ck")).collect()}
+    assert out == {
+        "a": py_checksum([1, 2, 3]),
+        "b": 0,
+        "c": py_checksum([50256, 0, 7]),
+        "d": py_checksum(list(range(100))),
+    }
+
+
+def test_validation_gate(spark):
+    rows = [
+        ("ok", [1, 2, 3], 3),
+        ("wrong_len", [1, 2], 3),
+        ("neg", [-1, 2, 3], 3),
+        ("oob", [99999, 2, 3], 3),
+        ("empty_ok", [], 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int")
+    ok = {r["doc_id"] for r in df.where(TK.is_valid_sequence("tokens", "n_tok")).collect()}
+    assert ok == {"ok", "empty_ok"}
+
+
+def test_ngrams(spark, tok_df):
+    out = {r["doc_id"]: r["g"] for r in tok_df.select("doc_id", TK.ngrams("tokens", 2).alias("g")).collect()}
+    assert out["a"] == [[1, 2], [2, 3]]
+    assert out["b"] == []
+    assert len(out["d"]) == 99
+
+
+def test_codec_roundtrip(spark, tok_df):
+    enc = tok_df.select("doc_id", "tokens", TK.encode_tokens("tokens").alias("p"))
+    dec = enc.select("doc_id", "tokens", TK.decode_tokens("p").alias("back"))
+    bad = dec.where(
+        ~(F.col("tokens") == F.col("back"))
+        | F.col("back").isNull()
+    ).count()
+    assert bad == 0
+
+
+def test_codec_poison_pills(spark):
+    """Malformed payloads → NULL (D5, consumer.rs:152-158); valid zlib
+    and raw payloads both decode (sniffer, compression.rs:101-169)."""
+    raw = (7).to_bytes(4, "little") + (42).to_bytes(4, "little")
+    rows = [
+        ("raw", bytearray(raw)),
+        ("zlib", bytearray(zlib.compress(raw))),
+        ("truncated", bytearray(b"\x01\x02\x03")),  # not multiple of 4
+        ("garbage_zlib", bytearray(b"\x78\x9c\x00\xff\xff")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("p", T.BinaryType()),
+    ]))
+    out = {r["k"]: r["t"] for r in df.select("k", TK.decode_tokens("p").alias("t")).collect()}
+    assert out["raw"] == [7, 42]
+    assert out["zlib"] == [7, 42]
+    assert out["truncated"] is None
+    assert out["garbage_zlib"] is None
+    assert out["null"] is None
+
+
+def test_token_stats(spark, tok_df):
+    st = {r["doc_id"]: r["s"] for r in tok_df.select("doc_id", TK.token_stats("tokens").alias("s")).collect()}
+    assert st["a"]["n"] == 3 and st["a"]["min"] == 1 and st["a"]["max"] == 3
+    assert abs(st["a"]["mean"] - 2.0) < 1e-9
+    assert st["b"]["n"] == 0 and st["b"]["mean"] is None
