@@ -67,9 +67,15 @@ def sequences_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("phoenix")
     )
     n_tok = (c * F.lit(40503) % F.lit(MAX_TOK)).cast("int")
-    # ts: monotone seconds after EPOCH; every 20th row late by (1 + id%10) min
-    late = F.when(d % 20 == 0, (F.lit(1) + d % 10) * 60).otherwise(F.lit(0))
-    ts = F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=(d % 86400) - late)
+    # ts: monotone seconds after EPOCH; every 20th row late by 1-4 min.
+    # Lateness is capped BELOW the 300 s watermark delay so an
+    # arrival-ordered stream never silently drops fixture rows (the
+    # dedicated late-drop test crafts its own beyond-watermark rows).
+    # Derived from the CANON id so a duplicate row is bit-identical to its
+    # original — the dedup winner is then content-invariant (restart-identical
+    # output regardless of which copy the state store admits first).
+    late = F.when(c % 20 == 0, (F.lit(1) + c % 4) * 60).otherwise(F.lit(0))
+    ts = F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=(c % 86400) - late)
     tokens = F.when(
         n_tok == 0, F.array().cast("array<int>")
     ).otherwise(
@@ -132,17 +138,53 @@ def write_sequence_batches(
     Stands in for the micro-batch appends of the Iceberg/Kafka source:
     the file-streaming source picks the files up with
     ``maxFilesPerTrigger=1`` so each file is one micro-batch.  Batch
-    assignment is deterministic (hash of doc_id), so any two runs see
-    identical batch contents — required for restart-identical output.
+    assignment follows ARRIVAL order (the pre-lateness clock, like a
+    Kafka partition's append order) so event time is mostly monotone
+    across micro-batches — late rows stay within the watermark delay.
+    Assignment is deterministic, so any two runs see identical batch
+    contents — required for restart-identical output.
     """
-    seq = sequences_view(spark, sf_dir).withColumn(
-        "_b", F.pmod(F.xxhash64("doc_id"), F.lit(n_batches))
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import Window
+
+    # arrival clock = event ts + injected lateness = canon id % 86400
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    c = canon_id(docs["doc_id"])
+    arrivals = docs.select(
+        F.concat(F.lit("doc"), c.cast("string")).alias("doc_id"),
+        (c % 86400).alias("_arrival"),
+        docs["doc_id"].alias("_raw"),
     )
+    w = Window.orderBy("_arrival", "_raw")
+    n_rows = arrivals.count()
+    per = -(-n_rows // n_batches)  # ceil
+    batched = arrivals.withColumn(
+        "_b", ((F.row_number().over(w) - 1) / per).cast("int")
+    ).select("doc_id", "_raw", "_b")
+    seq = sequences_view(spark, sf_dir)
+    # re-attach by position: duplicates share doc_id, so join on doc_id
+    # would fan out; instead recompute _raw on the seq side
+    seq = seq.join(
+        batched.groupBy("doc_id").agg(F.min("_b").alias("_b")), "doc_id"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    base = time.time() - n_batches * 10
     paths = []
     for b in range(n_batches):
-        p = f"{out_dir}/batch_{b:04d}.parquet"
+        stage = f"{out_dir}/.stage_{b}"
         seq.where(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
             "overwrite"
-        ).parquet(p)
+        ).parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        p = f"{out_dir}/batch_{b:04d}.parquet"
+        shutil.move(part, p)
+        shutil.rmtree(stage)
+        # strictly increasing mtimes → file source admits oldest-first,
+        # so micro-batch order is reproducible across runs/restarts
+        os.utime(p, (base + b * 10, base + b * 10))
         paths.append(p)
     return paths

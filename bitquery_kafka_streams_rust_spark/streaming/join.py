@@ -1,0 +1,43 @@
+"""Watermarked stream-stream join — shard correlation (J2).
+
+The reference "correlates" the same transaction appearing on 3 topics
+only implicitly, by dedup-first-wins (``src/config.rs:161-165`` +
+``src/consumer.rs:235-241``).  The honest generalization (north rule) is
+a stateful stream-stream inner join: sequences ⋈ shards on doc_id with
+both sides watermarked and the shard's event time range-bounded against
+the sequence's, so the join state is evictable and the result is
+deterministic for a given input + watermark."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_correlation_join(
+    sequences: DataFrame,
+    shards: DataFrame,
+    watermark_s: int = 300,
+    range_s: int = 300,
+) -> DataFrame:
+    """Inner join: each sequence row picks up its shard rows arriving
+    within ±``range_s`` of the sequence event time.
+
+    Both inputs must carry (doc_id, ts).  The time-range predicate is
+    what lets Spark bound the join state: side A keeps rows until
+    watermark(B) passes ts_A + range, and vice versa."""
+    s = sequences.withWatermark("ts", f"{watermark_s} seconds").alias("s")
+    h = shards.withWatermark("ts", f"{watermark_s} seconds").alias("h")
+    cond = (
+        (F.col("s.doc_id") == F.col("h.doc_id"))
+        & (F.col("h.ts") >= F.col("s.ts") - F.expr(f"interval {range_s} seconds"))
+        & (F.col("h.ts") <= F.col("s.ts") + F.expr(f"interval {range_s} seconds"))
+    )
+    return s.join(h, cond, "inner").select(
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.source").alias("source"),
+        F.col("s.ts").alias("seq_ts"),
+        F.col("h.shard_id").alias("shard_id"),
+        F.size("h.tokens_part").alias("part_len"),
+        F.col("h.ts").alias("shard_ts"),
+    )

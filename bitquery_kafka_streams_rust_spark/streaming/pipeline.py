@@ -1,0 +1,143 @@
+"""The streaming spine — the reference's consumer pipeline, declaratively.
+
+Reference dataflow (EP2, ``src/consumer.rs:106-161``):
+``recv → decompress/decode → extract → dedup(signature) → filter →
+commit``.  Here the identical semantics are one declarative plan:
+
+``readStream → validate (codegen'd) → withWatermark(ts) →
+dropDuplicatesWithinWatermark(doc_id) → gate (source/n_tok) →
+foreachBatch exactly-once sink``
+
+with the windowed rollup (T5) as a second query over the same stream.
+
+Semantic mapping:
+- watermark 300 s = the reference's ``dedup_window`` (``src/config.rs:270``);
+  ``dropDuplicatesWithinWatermark`` matches ``MessageDeduplicator``
+  (``src/core/utils/deduplicator.rs:50-75``) exactly (X2), with
+  state auto-evicted by the watermark instead of LRU.
+- the poison-pill path (D5) is the ``is_valid_sequence`` filter; drops
+  are observable via the listener's per-query metrics (S6).
+- filter-after-dedup order preserved (``consumer.rs:232-252`` dedups in
+  the parse stage, filters after — order affects survivors; SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import EngineConfig
+from ..functions import tokens as TK
+from ..operators.filters import sequence_gate
+from .sink import ExactlyOnceParquetSink
+from .source import read_sequence_stream
+
+
+def build_event_stream(
+    spark: SparkSession, input_dir: str, cfg: EngineConfig
+) -> DataFrame:
+    """validate → watermark → dedup-within-watermark → gate.
+
+    Emits the engine's canonical event rows: (doc_id, n_tok, source,
+    ts, cksum) — cksum carries the token-array-equality invariant
+    without shipping the arrays to the sink."""
+    p = cfg.processing
+    stream = read_sequence_stream(spark, input_dir, p.max_files_per_trigger)
+    valid = stream.where(TK.is_valid_sequence("tokens", "n_tok"))
+    deduped = (
+        valid.withWatermark("ts", f"{p.watermark_delay_s} seconds")
+        .dropDuplicatesWithinWatermark(["doc_id"])
+    )
+    gated = deduped.where(
+        sequence_gate(cfg.filters.source_allowlist, cfg.filters.min_n_tok, cfg.filters.max_n_tok)
+    )
+    return gated.select(
+        "doc_id",
+        "n_tok",
+        "source",
+        "ts",
+        TK.token_checksum("tokens").alias("cksum"),
+    )
+
+
+def build_window_rollup(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """T5 tumbling rollup per source over the deduped event stream
+    (A1/A3 analog).  Append mode: a window emits once, when the
+    watermark passes its end — deterministic across restarts."""
+    w = f"{cfg.processing.window_s} seconds"
+    return (
+        events.groupBy(F.window("ts", w).alias("win"), "source")
+        .agg(
+            F.count("*").alias("n_seq"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.sum("cksum").alias("sum_cksum"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "source",
+            "n_seq",
+            "sum_tok",
+            "sum_cksum",
+        )
+    )
+
+
+@dataclass
+class RunningPipeline:
+    events_query: StreamingQuery
+    rollup_query: StreamingQuery | None
+
+    def process_all(self) -> None:
+        self.events_query.processAllAvailable()
+        if self.rollup_query:
+            self.rollup_query.processAllAvailable()
+
+    def stop(self) -> None:
+        for q in (self.events_query, self.rollup_query):
+            if q is not None:
+                q.stop()
+
+
+def start_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    cfg: EngineConfig,
+    with_rollup: bool = True,
+    available_now: bool = True,
+) -> RunningPipeline:
+    """Start the exactly-once pipeline: event rows to the idempotent
+    sink (+ lineage), windowed rollup to its own sink.  Both are
+    checkpoint-resumable (T9): restart with the same dirs continues
+    from the WAL."""
+    assert cfg.checkpoint_dir and cfg.output_dir, "checkpoint_dir/output_dir required"
+    events = build_event_stream(spark, input_dir, cfg)
+    trigger = (
+        {"availableNow": True}
+        if available_now
+        else {"processingTime": f"{cfg.processing.batch_timeout_ms} milliseconds"}
+    )
+    events_q = (
+        events.writeStream.foreachBatch(ExactlyOnceParquetSink(f"{cfg.output_dir}/events"))
+        .outputMode("append")
+        .option("checkpointLocation", f"{cfg.checkpoint_dir}/events")
+        .queryName("sequence_events")
+        .trigger(**trigger)
+        .start()
+    )
+    rollup_q = None
+    if with_rollup:
+        rollup = build_window_rollup(build_event_stream(spark, input_dir, cfg), cfg)
+        rollup_q = (
+            rollup.writeStream.foreachBatch(
+                ExactlyOnceParquetSink(f"{cfg.output_dir}/rollup", lineage=False)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{cfg.checkpoint_dir}/rollup")
+            .queryName("sequence_rollup")
+            .trigger(**trigger)
+            .start()
+        )
+    return RunningPipeline(events_q, rollup_q)

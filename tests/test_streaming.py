@@ -1,0 +1,162 @@
+"""Streaming spine tests: end-to-end pipeline, exactly-once semantics,
+restart-identical output (north rule), lineage manifests."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark import datagen
+from bitquery_kafka_streams_rust_spark.config import EngineConfig, FilterConfig, ProcessingConfig
+from bitquery_kafka_streams_rust_spark.streaming import pipeline as P
+from bitquery_kafka_streams_rust_spark.streaming import sink as S
+
+SF = "/root/testdata/sf0.001"
+N_BATCHES = 4
+
+
+@pytest.fixture(scope="module")
+def batch_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("seq_batches"))
+    datagen.write_sequence_batches(spark, SF, d, n_batches=N_BATCHES)
+    return d
+
+
+def cfg_for(tmp, tag):
+    return EngineConfig(
+        processing=ProcessingConfig(),
+        filters=FilterConfig(source_allowlist=("pumpfun", "raydium", "orca"), min_n_tok=16),
+        checkpoint_dir=f"{tmp}/ckpt_{tag}",
+        output_dir=f"{tmp}/out_{tag}",
+    ).validate()
+
+
+def rows_set(spark, out_dir):
+    df = S.read_output(spark, out_dir)
+    return {
+        (r["doc_id"], r["n_tok"], r["source"], r["ts"], r["cksum"])
+        for r in df.select("doc_id", "n_tok", "source", "ts", "cksum").collect()
+    }
+
+
+def expected_rows(spark):
+    """Batch oracle for the pipeline output: valid → dedup → gate.
+    Duplicate rows are bit-identical by construction, so the streaming
+    winner matches the batch winner regardless of admission order."""
+    from bitquery_kafka_streams_rust_spark.functions import tokens as TK
+    from bitquery_kafka_streams_rust_spark.operators.dedup import dedup_first_wins
+    from bitquery_kafka_streams_rust_spark.operators.filters import sequence_gate
+
+    seq = datagen.sequences_view(spark, SF)
+    valid = seq.where(TK.is_valid_sequence("tokens", "n_tok"))
+    ded = dedup_first_wins(valid, "doc_id", ["ts", "doc_id"])
+    gated = ded.where(sequence_gate(("pumpfun", "raydium", "orca"), 16))
+    return {
+        (r["doc_id"], r["n_tok"], r["source"], r["ts"], r["ck"])
+        for r in gated.select(
+            "doc_id", "n_tok", "source", "ts", TK.token_checksum("tokens").alias("ck")
+        ).collect()
+    }
+
+
+def test_pipeline_end_to_end_matches_batch(spark, batch_dir, tmp_path):
+    cfg = cfg_for(tmp_path, "e2e")
+    rp = P.start_pipeline(spark, batch_dir, cfg, with_rollup=False)
+    rp.process_all()
+    rp.stop()
+    got = rows_set(spark, f"{cfg.output_dir}/events")
+    assert got == expected_rows(spark)
+
+
+def test_lineage_manifests(spark, batch_dir, tmp_path):
+    cfg = cfg_for(tmp_path, "lin")
+    rp = P.start_pipeline(spark, batch_dir, cfg, with_rollup=False)
+    rp.process_all()
+    rp.stop()
+    manifests = S.read_lineage(f"{cfg.output_dir}/events")
+    # one manifest per input file; availableNow may add a final empty
+    # watermark-flush epoch, which is legitimate lineage too
+    assert len([m for m in manifests if m["rows"] > 0]) == N_BATCHES
+    total = sum(m["rows"] for m in manifests)
+    assert total == S.read_output(spark, f"{cfg.output_dir}/events").count()
+    assert all("partitions" in m for m in manifests)
+
+
+def test_exactly_once_sink_idempotent(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    sink = S.ExactlyOnceParquetSink(out)
+    df = datagen.sequences_view(spark, SF).limit(50).select("doc_id", "n_tok", "source", "ts")
+    sink(df, 7)
+    n1 = S.read_output(spark, out).count()
+    sink(df, 7)  # replayed epoch (restart between write and WAL commit)
+    n2 = S.read_output(spark, out).count()
+    assert n1 == n2 == 50
+    assert len(S.read_lineage(out)) == 1
+
+
+def test_restart_identical_output(spark, tmp_path):
+    """North rule: kill mid-stream, resume from checkpoint → emitted row
+    sets AND per-window rollup identical to an uninterrupted run."""
+    half_a = str(tmp_path / "in_half")
+    full = str(tmp_path / "in_full")
+    paths = datagen.write_sequence_batches(spark, SF, full, n_batches=N_BATCHES)
+    os.makedirs(half_a)
+    # stage 1: only the first two batch files visible
+    for p in paths[:2]:
+        shutil.copy2(p, os.path.join(half_a, os.path.basename(p)))
+
+    cfg_r = cfg_for(tmp_path, "restart")
+    rp = P.start_pipeline(spark, half_a, cfg_r, with_rollup=True)
+    rp.process_all()
+    rp.stop()  # ── kill ──
+    for p in paths[2:]:
+        shutil.copy2(p, os.path.join(half_a, os.path.basename(p)))
+    rp = P.start_pipeline(spark, half_a, cfg_r, with_rollup=True)  # same ckpt
+    rp.process_all()
+    rp.stop()
+
+    cfg_u = cfg_for(tmp_path, "uninterrupted")
+    rp = P.start_pipeline(spark, full, cfg_u, with_rollup=True)
+    rp.process_all()
+    rp.stop()
+
+    assert rows_set(spark, f"{cfg_r.output_dir}/events") == rows_set(
+        spark, f"{cfg_u.output_dir}/events"
+    )
+
+    def rollup_set(out_dir):
+        df = S.read_output(spark, f"{out_dir}/rollup")
+        return {
+            (r["win_start"], r["source"], r["n_seq"], r["sum_tok"], r["sum_cksum"])
+            for r in df.collect()
+        }
+
+    assert rollup_set(cfg_r.output_dir) == rollup_set(cfg_u.output_dir)
+
+
+def test_emitted_windows_match_batch_rollup(spark, batch_dir, tmp_path):
+    """Append-mode windows that HAVE emitted must equal the batch
+    computation for those windows (late-data semantics aside, emitted
+    results are never wrong)."""
+    cfg = cfg_for(tmp_path, "roll")
+    rp = P.start_pipeline(spark, batch_dir, cfg, with_rollup=True)
+    rp.process_all()
+    rp.stop()
+    got = {
+        (r["win_start"], r["source"]): (r["n_seq"], r["sum_tok"])
+        for r in S.read_output(spark, f"{cfg.output_dir}/rollup").collect()
+    }
+    if not got:
+        pytest.skip("watermark never closed a window on this fixture")
+    from bitquery_kafka_streams_rust_spark.operators.aggregates import windowed_stats
+
+    events = S.read_output(spark, f"{cfg.output_dir}/events")
+    batch = {
+        (r["win_start"], r["source"]): (r["n"], r["total"])
+        for r in windowed_stats(events, "ts", "600 seconds", by=["source"], value_col="n_tok").collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v, f"window {k}: streamed {v} != batch {batch[k]}"
