@@ -1,0 +1,273 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.json): sustained sequences/sec end-to-end
+under exactly-once on the tokenized-sequence stream, reported at two
+parallelism levels (local[N] and local[4N] standing in for N vs 4N
+executors — no real cluster in this sandbox) with scaling efficiency
+= (throughput_4N / throughput_N) / 4.  Also times the headline batch
+queries from ``__spark_entry__`` at $SPARK_GRAFT_SF_DIR.
+
+Architecture: the parent generates the streaming input ONCE, then runs
+both parallelism levels in one subprocess, alternating local[N] contexts;
+the batch query suite runs in the parent at local[CPUS].  Writes
+BENCH/BASELINE.md with the scaling table.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_REPLICAS (default 48 — ~720k sequences / ~740 M
+     tokens at sf0.1, sized so compute dominates per-epoch fixed costs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "144"))
+N_BATCHES = 8
+PARTS_PER_BATCH = 16  # scan parallelism within one logical batch/epoch
+
+HEADLINE = [
+    "flagship_pipeline",
+    "seq_filter",
+    "seq_dedup",
+    "seq_token_stats",
+    "seq_shard_join",
+    "q1_pricing_summary",
+    "join_enrich_broadcast",
+    "doc_quality_langid",
+    "emb_cosine_topk",
+]
+
+
+def _stream_scaling(input_dir: str, levels: list[int]) -> list[dict]:
+    """Measure the exactly-once pipeline at each parallelism level.
+
+    All measurements run in ONE process, ALTERNATING levels (the
+    SparkContext is stopped and recreated with a different local[N]
+    master between runs): the JVM stays JIT-warm for every measured run
+    and adjacent measurements see the same sandbox-VM noise regime, so
+    the N-vs-4N comparison is apples to apples.  Wall time covers
+    processAllAvailable only — sustained processing, the metric's
+    definition.  Best (min) of the rounds per level."""
+    import shutil
+
+    from bitquery_kafka_streams_rust_spark.config import (
+        EngineConfig,
+        FilterConfig,
+        ProcessingConfig,
+    )
+    from bitquery_kafka_streams_rust_spark.session import get_spark
+    from bitquery_kafka_streams_rust_spark.streaming import pipeline as P
+    from bitquery_kafka_streams_rust_spark.streaming import sink as S
+
+    # scratch on tmpfs: checkpoints/output are part of the engine, but
+    # the sandbox's /tmp disk is erratically slow and we're measuring
+    # the engine, not this VM's disk (cluster executors have local SSDs)
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="bench_stream_", dir=scratch_root)
+
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # warmup round (discarded) + measured rounds, alternating levels
+    schedule = [(levels[-1], True)] + [
+        (c, False) for _ in range(rounds) for c in levels
+    ]
+    walls: dict[int, list[float]] = {c: [] for c in levels}
+    cpu_cal: dict[int, float] = {}
+    n_input = n_out = None
+    run_id = 0
+    for cores, is_warm in schedule:
+        spark = get_spark(
+            app_name=f"bench-{cores}-{run_id}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
+        if n_input is None:
+            n_input = spark.read.parquet(input_dir).count()
+        cfg = EngineConfig(
+            # one trigger admits all part files of whole logical batches:
+            # arrival order is only monotone ACROSS logical batches, so a
+            # smaller admission would let the watermark race ahead inside
+            # a batch and drop its own rows as late. 4 batches/epoch →
+            # 2 fat epochs: measured time is work, not bookkeeping.
+            processing=ProcessingConfig(
+                max_files_per_trigger=PARTS_PER_BATCH * 4, shuffle_partitions=cores
+            ),
+            filters=FilterConfig(source_allowlist=("pumpfun", "raydium", "orca"), min_n_tok=16),
+            checkpoint_dir=f"{tmp}/ckpt_{run_id}",
+            output_dir=f"{tmp}/out_{run_id}",
+        ).validate()
+        rp = P.start_pipeline(spark, input_dir, cfg, with_rollup=False)
+        t0 = time.time()
+        rp.process_all()
+        wall = time.time() - t0
+        rp.stop()
+        if not is_warm:
+            walls[cores].append(wall)
+            # CPU-scaling calibration in the SAME context: pure codegen
+            # compute with no I/O — measures this sandbox's achievable
+            # parallel ceiling (a shared-memory VM, not a real cluster)
+            from pyspark.sql import functions as F
+
+            cal = spark.range(0, 2_000_000_000, 1, cores * 4).agg(
+                F.sum(F.xxhash64(F.col("id")) % 1000 + F.xxhash64(F.col("id") + 1) % 1000)
+            )
+            t0 = time.time()
+            cal.collect()
+            cpu_cal[cores] = min(cpu_cal.get(cores, 1e9), time.time() - t0)
+        n_out = S.read_output(spark, f"{cfg.output_dir}/events").count()
+        spark.stop()
+        shutil.rmtree(f"{tmp}/ckpt_{run_id}", ignore_errors=True)
+        shutil.rmtree(f"{tmp}/out_{run_id}", ignore_errors=True)
+        run_id += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return [
+        {
+            "cores": c,
+            "input_rows": n_input,
+            "output_rows": n_out,
+            "wall_s": round(min(walls[c]), 3),
+            "all_walls_s": [round(w, 3) for w in walls[c]],
+            "seq_per_s": round(n_input / min(walls[c]), 1),
+            "cpu_calibration_s": round(cpu_cal[c], 3),
+        }
+        for c in levels
+    ]
+
+
+def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--stream-worker":
+        levels = [int(x) for x in sys.argv[3].split(",")]
+        print("WORKER_RESULT " + json.dumps(_stream_scaling(sys.argv[2], levels)))
+        return
+
+    import __spark_entry__ as E
+    from bitquery_kafka_streams_rust_spark import datagen
+    from bitquery_kafka_streams_rust_spark.session import get_spark
+
+    # 1. generate streaming input once (excluded from measured time);
+    # tmpfs so both parallelism levels read identical, noise-free input
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    in_dir = tempfile.mkdtemp(prefix="bench_input_", dir=scratch_root)
+    spark = get_spark(app_name="bench-parent", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    t0 = time.time()
+    n_rows = datagen.write_spine_batches(
+        spark, SF_DIR, in_dir, REPLICAS, N_BATCHES, parts_per_batch=PARTS_PER_BATCH
+    )
+    sys.stderr.write(f"[bench] datagen {n_rows} rows in {time.time()-t0:.1f}s\n")
+
+    # 2. headline batch queries in the parent
+    q_times: dict[str, float] = {}
+    qs = E.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        q_times[name] = round(time.time() - t0, 3)
+    sys.stderr.write(f"[bench] headline suite {sum(q_times.values()):.1f}s\n")
+    spark.stop()
+
+    # 3. streaming pipeline at N and 4N cores, alternating in one
+    # subprocess (fresh JVM, JIT-warm across runs, shared noise regime)
+    levels = [max(CPUS // 4, 1), CPUS]
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--stream-worker",
+            in_dir,
+            ",".join(str(c) for c in levels),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+    if not line:
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+        raise RuntimeError("stream scaling worker failed")
+    stream_res = json.loads(line[-1].removeprefix("WORKER_RESULT "))
+    sys.stderr.write(f"[bench] stream scaling: {stream_res}\n")
+
+    t_n, t_4n = stream_res[0], stream_res[1]
+    ratio = levels[1] / levels[0]
+    efficiency = round((t_4n["seq_per_s"] / t_n["seq_per_s"]) / ratio, 3)
+    # sandbox ceiling: how well PURE CPU-bound Spark compute scales on
+    # this shared-memory VM (a real N→4N executor scale-up adds memory
+    # bandwidth, disks and NICs with the cores; this box does not)
+    ceiling = round((t_n["cpu_calibration_s"] / t_4n["cpu_calibration_s"]) / ratio, 3)
+
+    result = {
+        "metric": "headline suite wall time (batch queries) + exactly-once streaming throughput",
+        "value": round(sum(q_times.values()), 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "stream": {
+            "input_rows": n_rows,
+            "n_cores": {"cores": levels[0], **{k: t_n[k] for k in ("wall_s", "seq_per_s")}},
+            "4n_cores": {"cores": levels[1], **{k: t_4n[k] for k in ("wall_s", "seq_per_s")}},
+            "scaling_efficiency": efficiency,
+            "sandbox_cpu_ceiling_efficiency": ceiling,
+            "efficiency_vs_ceiling": round(efficiency / ceiling, 3) if ceiling else None,
+            "exactly_once": True,
+        },
+    }
+
+    _write_baseline_md(result)
+    import shutil
+
+    shutil.rmtree(in_dir, ignore_errors=True)
+    print(json.dumps(result))
+
+
+def _write_baseline_md(r: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    s = r["stream"]
+    lines = [
+        "# BENCH/BASELINE — measured numbers\n",
+        f"Input: replicated deterministic sequence spine over `{SF_DIR}` "
+        f"({s['input_rows']} sequences, exactly-once file-stream pipeline:\n"
+        "validate → watermark 300 s → dropDuplicatesWithinWatermark(doc_id) →\n"
+        "source/n_tok gate → idempotent sink + lineage manifests).\n",
+        "## Throughput scaling (N vs 4N parallelism, same input)\n",
+        "No real cluster exists in this sandbox; per BASELINE.md the two-cluster-size\n"
+        "criterion is evidenced at two local parallelism levels, measured in one\nJIT-warm JVM with ALTERNATING contexts (adjacent runs share the sandbox\nnoise regime; best of the rounds per level):\n",
+        "| level | cores | wall (s) | sequences/sec |",
+        "|---|---|---|---|",
+        f"| N | {s['n_cores']['cores']} | {s['n_cores']['wall_s']} | {s['n_cores']['seq_per_s']} |",
+        f"| 4N | {s['4n_cores']['cores']} | {s['4n_cores']['wall_s']} | {s['4n_cores']['seq_per_s']} |",
+        "",
+        f"**Scaling efficiency = (throughput_4N / throughput_N) / 4 = {s['scaling_efficiency']}**\n",
+        f"Sandbox calibration: PURE CPU-bound Spark compute (range+xxhash, no I/O)\n"
+        f"scales at **{s['sandbox_cpu_ceiling_efficiency']}** efficiency on this single"
+        f" shared-memory VM — cores here share one memory bus, page cache and disk,\n"
+        f"unlike a real N→4N executor scale-up which adds bandwidth/disks/NICs per\n"
+        f"node. Pipeline efficiency relative to that achievable ceiling:"
+        f" **{s['efficiency_vs_ceiling']}**.\n",
+        "## Headline batch queries (noop sink, local[{}])\n".format(CPUS),
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for k, v in r["queries"].items():
+        lines.append(f"| {k} | {v} |")
+    lines += [
+        "",
+        f"Total headline suite: {r['value']} s at sf={r['sf']}.\n",
+        "Reference baseline: the reference publishes no throughput numbers\n"
+        "(BASELINE.md) — its only quantitative anchors are capacity constants;\n"
+        "this table is the measured baseline for the new engine.\n",
+    ]
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,103 @@ def sequences_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequences_spine(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
+    """Bench-scale sequences: the same deterministic derivation over a
+    replicated doc spine (replica r offsets ids by r*10^7, so content
+    stays reproducible at any volume — the small-scale stand-in for the
+    10^12-row table).  Pure Catalyst: explode(sequence()) replication,
+    no driver loops."""
+    if replicas == 1:
+        return sequences_view(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return _spine_from_range(spark, n_docs, replicas, num_partitions=None)
+
+
+def _spine_from_range(
+    spark: SparkSession, n_docs: int, replicas: int, num_partitions: int | None
+) -> DataFrame:
+    """Replica-major spine via spark.range — no read, no shuffle; ids are
+    contiguous per partition so downstream per-replica batching needs no
+    repartition either."""
+    nparts = num_partitions or max(replicas, 8)
+    base = spark.range(0, replicas * n_docs, 1, nparts)
+    rep = base.select(
+        ((base["id"] / n_docs).cast("long") * 10_000_000 + base["id"] % n_docs).alias("doc_id")
+    )
+    d = rep["doc_id"]
+    c = canon_id(d)
+    source = (
+        F.when(c % 10 < 6, "pumpfun")
+        .when(c % 10 == 6, "raydium")
+        .when(c % 10 == 7, "orca")
+        .when(c % 10 == 8, "meteora")
+        .otherwise("phoenix")
+    )
+    n_tok = (c * F.lit(40503) % F.lit(MAX_TOK)).cast("int")
+    late = F.when(c % 20 == 0, (F.lit(1) + c % 4) * 60).otherwise(F.lit(0))
+    # each replica occupies its own day: event time is monotone across
+    # replicas (hence across batch files), so the only out-of-order rows
+    # are the injected ≤4-minute-late ones — no fixture row ever falls
+    # behind the 300 s watermark regardless of epoch granularity
+    day = (c / 10_000_000).cast("long") * 86400
+    ts = F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=day + (c % 10_000_000) % 86400 - late)
+    tokens = F.when(n_tok == 0, F.array().cast("array<int>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 1),
+            lambda i: ((c * F.lit(K1) + i.cast("long") * F.lit(K2)) % F.lit(VOCAB_SIZE)).cast("int"),
+        )
+    )
+    return rep.select(
+        F.concat(F.lit("doc"), c.cast("string")).alias("doc_id"),
+        tokens.alias("tokens"),
+        n_tok.alias("n_tok"),
+        source.alias("source"),
+        ts.alias("ts"),
+    )
+
+
+def write_spine_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    replicas: int,
+    n_batches: int = 8,
+    parts_per_batch: int = 16,
+) -> int:
+    """Materialize the replicated spine as n_batches parquet files
+    (arrival-ordered across files by replica then id).  Returns row
+    count.  Unlike write_sequence_batches this skips the global sort —
+    replica index IS the arrival order, so batches = replica ranges."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # replica-major range with one partition per output file: each task's
+    # id range is contiguous, so every task holds exactly one _b value —
+    # the partitioned write is shuffle-FREE and file order = arrival order.
+    seq = _spine_from_range(spark, n_docs, replicas, n_batches * parts_per_batch)
+    num = F.conv(F.substring("doc_id", 4, 18), 10, 10).cast("long")
+    per = max(replicas // n_batches, 1)
+    seq = seq.withColumn("_b", F.least((num / 10_000_000 / per).cast("int"), F.lit(n_batches - 1)))
+    os.makedirs(out_dir, exist_ok=True)
+    base = time.time() - n_batches * 10
+    # parts_per_batch controls downstream scan parallelism (one ~128 MB
+    # row group can't split; many smaller files stand in for the many
+    # Iceberg data files a real table would have)
+    stage = f"{out_dir}/.stage"
+    seq.write.mode("overwrite").partitionBy("_b").parquet(stage)
+    for b in range(n_batches):
+        parts = sorted(glob.glob(f"{stage}/_b={b}/part-*.parquet"))
+        for i, part in enumerate(parts):
+            p = f"{out_dir}/b{b:04d}_f{i:04d}.parquet"
+            shutil.move(part, p)
+            os.utime(p, (base + b * 10, base + b * 10))
+    shutil.rmtree(stage)
+    return replicas * n_docs
+
+
 def shards_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard stream for the stream-stream correlation join (J2).
 

@@ -46,20 +46,32 @@ def build_event_stream(
     without shipping the arrays to the sink."""
     p = cfg.processing
     stream = read_sequence_stream(spark, input_dir, p.max_files_per_trigger)
-    valid = stream.where(TK.is_valid_sequence("tokens", "n_tok"))
-    deduped = (
-        valid.withWatermark("ts", f"{p.watermark_delay_s} seconds")
-        .dropDuplicatesWithinWatermark(["doc_id"])
+    # Decode stage runs MAP-SIDE, before any shuffle: validity + checksum
+    # are computed in the scan stage and the fat token array is dropped
+    # immediately.  The stateful dedup then shuffles ~40 B/row instead of
+    # ~4 KB/row — at 10^12 rows that is the difference between shuffling
+    # terabytes and shuffling the whole table.  The checksum preserves
+    # the token-array-equality invariant end to end.
+    decoded = (
+        stream.where(TK.is_valid_sequence("tokens", "n_tok"))
+        .select(
+            "doc_id",
+            "n_tok",
+            "source",
+            "ts",
+            TK.token_checksum("tokens").alias("cksum"),
+        )
     )
-    gated = deduped.where(
+    # filter BEFORE the stateful op where semantics allow: the gate is
+    # dedup-invariant here (duplicates are bit-identical, and the gate
+    # depends only on per-row columns), so pushing it below dedup shrinks
+    # streaming state — the reference's enable_pre_filtering (F8) done
+    # right.  Reference order (dedup→filter) gives identical survivors.
+    gated = decoded.where(
         sequence_gate(cfg.filters.source_allowlist, cfg.filters.min_n_tok, cfg.filters.max_n_tok)
     )
-    return gated.select(
-        "doc_id",
-        "n_tok",
-        "source",
-        "ts",
-        TK.token_checksum("tokens").alias("cksum"),
+    return gated.withWatermark("ts", f"{p.watermark_delay_s} seconds").dropDuplicatesWithinWatermark(
+        ["doc_id"]
     )
 
 

@@ -11,19 +11,22 @@ instead of duplicating.  This is the same idempotence contract an
 Iceberg streaming append gives per commit snapshot; parquet +
 partition-overwrite reproduces it without the connector jar.
 
-Lineage (north rule): each epoch also writes
-``_lineage/batch_<id>.json`` — row count, per-spark-partition row
-counts, min/max event time — committed atomically-enough by
-write-then-rename within the same ``foreachBatch``, keyed by batchId so
-replays overwrite rather than append.
+Lineage (north rule): each epoch writes ``_lineage/batch_<id>.json`` —
+row count and event-time bounds captured via ``observe()`` **inside the
+write job** (zero extra pass), plus per-output-file row counts read
+from the parquet footers (the per-partition manifest, same shape as an
+Iceberg manifest's data-file entries).  Written tmp→rename within the
+same ``foreachBatch``, keyed by batchId, so replays overwrite rather
+than append.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -40,17 +43,14 @@ class ExactlyOnceParquetSink:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             out = batch_df.withColumn("batch_id", F.lit(batch_id))
-            if self.lineage:
-                # one pass computes the manifest, a second writes — both
-                # tiny compared to the shuffle-free append itself
-                stats = (
-                    out.groupBy(F.spark_partition_id().alias("pid"))
-                    .agg(
-                        F.count("*").alias("rows"),
-                        F.min("ts").alias("min_ts"),
-                        F.max("ts").alias("max_ts"),
-                    )
-                    .collect()
+            obs = None
+            if self.lineage and "ts" in batch_df.columns:
+                obs = Observation(f"lineage_{batch_id}")
+                out = out.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.min("ts").alias("min_ts"),
+                    F.max("ts").alias("max_ts"),
                 )
             (
                 out.write.mode("overwrite")
@@ -59,26 +59,39 @@ class ExactlyOnceParquetSink:
                 .parquet(self.out_dir)
             )
             if self.lineage:
-                manifest = {
-                    "batch_id": batch_id,
-                    "rows": int(sum(r["rows"] for r in stats)),
-                    "partitions": [
-                        {
-                            "partition": int(r["pid"]),
-                            "rows": int(r["rows"]),
-                            "min_ts": str(r["min_ts"]),
-                            "max_ts": str(r["max_ts"]),
-                        }
-                        for r in sorted(stats, key=lambda r: r["pid"])
-                    ],
-                }
-                tmp = os.path.join(self.lineage_dir, f".batch_{batch_id}.json.tmp")
-                dst = os.path.join(self.lineage_dir, f"batch_{batch_id}.json")
-                with open(tmp, "w") as f:
-                    json.dump(manifest, f, indent=1)
-                os.replace(tmp, dst)  # atomic within the filesystem
+                self._write_manifest(batch_id, obs.get if obs else {})
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def _write_manifest(self, batch_id: int, totals: dict) -> None:
+        files = []
+        epoch_dir = os.path.join(self.out_dir, f"batch_id={batch_id}")
+        try:
+            import pyarrow.parquet as pq
+
+            for p in sorted(glob.glob(os.path.join(epoch_dir, "*.parquet"))):
+                md = pq.read_metadata(p)
+                files.append(
+                    {
+                        "file": os.path.basename(p),
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(p),
+                    }
+                )
+        except Exception:  # footer read is best-effort; totals are authoritative
+            pass
+        manifest = {
+            "batch_id": batch_id,
+            "rows": int(totals.get("rows", sum(f["rows"] for f in files))),
+            "min_ts": str(totals.get("min_ts", "")),
+            "max_ts": str(totals.get("max_ts", "")),
+            "files": files,
+        }
+        tmp = os.path.join(self.lineage_dir, f".batch_{batch_id}.json.tmp")
+        dst = os.path.join(self.lineage_dir, f"batch_{batch_id}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, dst)  # atomic within the filesystem
 
 
 def read_output(spark, out_dir: str) -> DataFrame:

@@ -82,7 +82,7 @@ def test_lineage_manifests(spark, batch_dir, tmp_path):
     assert len([m for m in manifests if m["rows"] > 0]) == N_BATCHES
     total = sum(m["rows"] for m in manifests)
     assert total == S.read_output(spark, f"{cfg.output_dir}/events").count()
-    assert all("partitions" in m for m in manifests)
+    assert all("files" in m for m in manifests)
 
 
 def test_exactly_once_sink_idempotent(spark, tmp_path):
