@@ -28,6 +28,42 @@ from bitquery_kafka_streams_rust_spark.operators.filters import FilterBuilder, s
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ensure_package(spark: SparkSession) -> None:
+    """Ship the engine package to Python workers (mapInPandas / pandas
+    UDFs deserialize module-referenced functions worker-side).  The
+    driver may run from any cwd with its own session, so rely on
+    ``addPyFile`` — the runtime twin of ``spark-submit --py-files``."""
+    key = id(spark)
+    if key in _PKG_SHIPPED:
+        return
+    import os
+    import shutil
+    import tempfile
+
+    import bitquery_kafka_streams_rust_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "bq_streams_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                            os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    _PKG_SHIPPED.add(key)
+
+
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
 # ---------------------------------------------------------------------------
 # DuckDB CTE mirroring datagen.sequences_view / shards_view exactly
 # ---------------------------------------------------------------------------
@@ -145,6 +181,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_package(spark)
     return flagship(spark, SF_SMOKE)
 
 
@@ -659,29 +696,302 @@ SELECT q_id, c_id, cos_sim, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 2: sessions, as-of, set ops, cube/pivot, fingerprints, near-dup,
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def _q_seq_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 session windows (2-min gap) per source — F.session_window."""
+    seq = _seq(spark, sf_dir)
+    return (
+        seq.groupBy(F.session_window("ts", "2 minutes").alias("win"), "source")
+        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("sum_tok"))
+        .select(F.col("win.start").alias("sess_start"), "source", "n", "sum_tok")
+    )
+
+
+_SQL_SEQ_SESSION = (
+    _SEQ
+    + """
+, ordered AS (
+  SELECT source, ts, n_tok,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY source ORDER BY ts)) >= 120
+              OR lag(ts) OVER (PARTITION BY source ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+  FROM seq
+), islands AS (
+  SELECT source, ts, n_tok,
+         sum(brk) OVER (PARTITION BY source ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM ordered
+)
+SELECT min(ts) AS sess_start, source, count(*) AS n, sum(n_tok) AS sum_tok
+FROM islands GROUP BY source, sess
+"""
+)
+
+
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks the user's latest click at-or-
+    before it (union-and-carry composition; no native ASOF in Spark)."""
+    from bitquery_kafka_streams_rust_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buys = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(buys, clicks, on="user_id", right_cols=["click_event_id"])
+    return out.select("event_id", "user_id", F.col("ts_right").alias("click_ts"))
+
+
+_SQL_EVENTS_ASOF = """
+WITH buys AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT b.event_id AS event_id, b.user_id AS user_id, c.ts AS click_ts
+FROM buys b ASOF JOIN clicks c ON b.user_id = c.user_id AND c.ts <= b.ts
+"""
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min gap) per user →
+    histogram of sessions-per-user."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.unix_timestamp(F.col("ts"))
+    lag = F.lag(epoch).over(w)
+    brk = F.when(lag.isNull() | (epoch - lag > 1800), 1).otherwise(F.lit(0))
+    sess = ev.withColumn("brk", brk).withColumn(
+        "sess", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_user = sess.groupBy("user_id").agg(F.max("sess").alias("n_sessions"))
+    return per_user.groupBy("n_sessions").agg(F.count("*").alias("n_users")).orderBy("n_sessions")
+
+
+_SQL_EVENTS_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+), i AS (
+  SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+), pu AS (SELECT user_id, max(sess) AS n_sessions FROM i GROUP BY user_id)
+SELECT n_sessions, count(*) AS n_users FROM pu GROUP BY n_sessions ORDER BY n_sessions
+"""
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 set operations: distinct clickers vs purchasers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    u = clicks.union(buys).distinct().count()
+    i = clicks.intersect(buys).count()
+    e = clicks.exceptAll(buys.intersect(clicks)).count()
+    return spark.createDataFrame(
+        [("union", u), ("intersect", i), ("except", e)], "kind string, n long"
+    ).orderBy("kind")
+
+
+_SQL_SET_OPS = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'except' AS kind, count(*) AS n FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+UNION ALL
+SELECT 'intersect', count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+UNION ALL
+SELECT 'union', count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)
+ORDER BY kind
+"""
+
+
+def _q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 grouping sets: CUBE over returnflag × linestatus."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (conditional-agg equivalence)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS "F"
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: polynomial rolling hash (JVM-side
+    aggregate over chars), md5, hex prefix of the raw payload."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.rolling_hash(t).alias("rhash"),
+        TX.fingerprint_md5(t).alias("md5"),
+        F.substring(F.lower(F.hex(F.encode(t, "utf-8"))), 1, 16).alias("hex16"),
+    )
+
+
+_SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, x) -> (acc * 257 + x) % 1000000007) AS rhash,
+       md5(text) AS md5,
+       substring(lower(hex(encode(text))), 1, 16) AS hex16
+FROM documents
+"""
+
+
+def _q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (string grams for the oracle;
+    the scale path hashes grams — operators/dedup.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DD.ngram_jaccard_pairs(docs, threshold=0.3, hash_grams=False)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+_SQL_DOC_JACCARD = r"""
+WITH g AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+     CASE WHEN len(string_split_regex(lower(text), '\s+')) < 3
+          THEN [lower(text)]
+          ELSE list_transform(range(0, len(string_split_regex(lower(text), '\s+')) - 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(text), '\s+'),
+                                               i + 1, i + 3), ' ')) END)) AS gr
+  FROM documents
+), sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gr = b.gr AND a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+"""
+
+
+def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + metadata → mapInPandas
+    feature extraction (stubbed decode, real Arrow batch path)."""
+    from bitquery_kafka_streams_rust_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.attach_payload(docs)
+    return MM.extract_features(media).select(
+        "doc_id", "byte_len", "width", "height", "n_frames", "ok"
+    )
+
+
+_SQL_MM_FEATURES = """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames,
+       TRUE AS ok
+FROM documents
+"""
+
+
+def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1→N frame sampling via mapInPandas (UDTF shape)."""
+    from bitquery_kafka_streams_rust_spark import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return MM.frame_sample(MM.attach_payload(docs), every_n=10)
+
+
+_SQL_MM_FRAMES = """
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, doc_id * 1000 + f AS frame_key
+FROM (SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS nf FROM documents),
+     LATERAL unnest(range(0, nf, 10)) AS t(f)
+"""
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64-based — no SQL oracle;
+    driver records a rows-only check; semantics pytest-verified)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.minhash_lsh_pairs(docs, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check; pytest-verified)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.simhash_near_dups(docs, max_hamming=6).orderBy("id_a", "id_b")
+
+
+def _q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (rows-only; recall pytest-bounded)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, q, k=5, n_planes=6).orderBy("q_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "flagship_pipeline": flagship,
-        "seq_filter": _q_seq_filter,
-        "seq_dedup": _q_seq_dedup,
-        "seq_token_stats": _q_seq_token_stats,
-        "seq_topk": _q_seq_topk,
-        "seq_sliding_window": _q_seq_sliding,
-        "seq_salted_agg": _q_seq_salted,
-        "seq_shard_join": _q_seq_shard_join,
-        "seq_decode_roundtrip": _q_seq_decode,
-        "events_filter": _q_events_filter,
-        "events_rollup_share": _q_events_rollup,
-        "events_rate": _q_events_rate,
-        "events_json_accessor": _q_events_json,
-        "events_percentiles": _q_events_percentiles,
-        "events_dedup_window": _q_events_dedup_window,
-        "q1_pricing_summary": _q_q1_pricing,
-        "join_enrich_broadcast": _q_join_enrich,
-        "semi_anti_membership": _q_semi_anti,
-        "doc_quality_langid": _q_doc_quality,
-        "doc_dedup_exact": _q_doc_dedup_exact,
-        "emb_cosine_topk": _q_emb_topk,
+        "flagship_pipeline": _shipped(flagship),
+        "seq_filter": _shipped(_q_seq_filter),
+        "seq_dedup": _shipped(_q_seq_dedup),
+        "seq_token_stats": _shipped(_q_seq_token_stats),
+        "seq_topk": _shipped(_q_seq_topk),
+        "seq_sliding_window": _shipped(_q_seq_sliding),
+        "seq_salted_agg": _shipped(_q_seq_salted),
+        "seq_shard_join": _shipped(_q_seq_shard_join),
+        "seq_decode_roundtrip": _shipped(_q_seq_decode),
+        "events_filter": _shipped(_q_events_filter),
+        "events_rollup_share": _shipped(_q_events_rollup),
+        "events_rate": _shipped(_q_events_rate),
+        "events_json_accessor": _shipped(_q_events_json),
+        "events_percentiles": _shipped(_q_events_percentiles),
+        "events_dedup_window": _shipped(_q_events_dedup_window),
+        "q1_pricing_summary": _shipped(_q_q1_pricing),
+        "join_enrich_broadcast": _shipped(_q_join_enrich),
+        "semi_anti_membership": _shipped(_q_semi_anti),
+        "doc_quality_langid": _shipped(_q_doc_quality),
+        "doc_dedup_exact": _shipped(_q_doc_dedup_exact),
+        "emb_cosine_topk": _shipped(_q_emb_topk),
+        "seq_session_window": _shipped(_q_seq_session),
+        "events_asof_join": _shipped(_q_events_asof),
+        "events_sessionize": _shipped(_q_events_sessionize),
+        "set_ops_users": _shipped(_q_set_ops),
+        "cube_returnflag_status": _shipped(_q_cube_rollup),
+        "pivot_linestatus": _shipped(_q_pivot),
+        "doc_fingerprint": _shipped(_q_doc_fingerprint),
+        "doc_ngram_jaccard": _shipped(_q_doc_jaccard),
+        "mm_feature_extract": _shipped(_q_mm_features),
+        "mm_frame_sample": _shipped(_q_mm_frames),
+        "minhash_lsh_pairs": _shipped(_q_minhash_pairs),
+        "simhash_pairs": _shipped(_q_simhash_pairs),
+        "emb_lsh_ann": _shipped(_q_emb_lsh_ann),
     }
 
 
@@ -708,4 +1018,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_langid": _SQL_DOC_QUALITY,
         "doc_dedup_exact": _SQL_DOC_DEDUP_EXACT,
         "emb_cosine_topk": _SQL_EMB_TOPK,
+        "seq_session_window": _SQL_SEQ_SESSION,
+        "events_asof_join": _SQL_EVENTS_ASOF,
+        "events_sessionize": _SQL_EVENTS_SESSIONIZE,
+        "set_ops_users": _SQL_SET_OPS,
+        "cube_returnflag_status": _SQL_CUBE,
+        "pivot_linestatus": _SQL_PIVOT,
+        "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        "doc_ngram_jaccard": _SQL_DOC_JACCARD,
+        "mm_feature_extract": _SQL_MM_FEATURES,
+        "mm_frame_sample": _SQL_MM_FRAMES,
+        # minhash_lsh_pairs / simhash_pairs / emb_lsh_ann intentionally
+        # omitted: xxhash64/LSH aren't expressible in the oracle engine;
+        # driver records rows-only, pytest pins semantics
     }

@@ -1,0 +1,61 @@
+"""As-of join — each left row picks the latest right row at-or-before it.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do); the scalable
+composition is the union-and-carry trick: interleave both sides on the
+time axis, then ``last(value, ignorenulls=True)`` over a window ordered
+by (ts, side) carries the most recent right-side value forward to each
+left row.  One shuffle on the key — same cost as a regular join, no
+range explosion, no per-group pandas.
+
+(At 100 TB this beats ``pd.merge_asof``-per-group because the carry is
+whole-stage-codegen'd and skew-salt-able like any other window.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner as-of: left rows with the latest right row where
+    ``right.ts <= left.ts`` on the same key.  Left rows with no prior
+    right row are dropped (matching SQL ASOF JOIN)."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(right_ts, *right_cols).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(left.select(F.struct(*lcols).alias("s")).schema["s"].dataType).alias("_l"),
+        F.struct(right_ts, *right_cols).alias("_r"),
+    )
+    # right rows sort before left rows at equal ts (<=-semantics)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r).withColumn("_carried", F.last("_r", ignorenulls=True).over(w))
+    out = carried.where((F.col("_is_left") == 1) & F.col("_carried").isNotNull())
+    sel = [F.col(f"_l.{c}").alias(c) for c in lcols] + [
+        F.col(f"_carried.{right_ts}").alias(f"{right_ts}{suffix}")
+    ] + [F.col(f"_carried.{c}").alias(f"{c}{suffix}") for c in right_cols]
+    return out.select(*sel)

@@ -68,23 +68,24 @@ def _shingles(text: Column, k: int = 5) -> Column:
 def minhash_signature(text: Column, num_hashes: int = 64) -> Column:
     """MinHash signature as array<long>[num_hashes].
 
-    h_j(x) = (a_j * x + b_j) mod PRIME with deterministic (a_j, b_j); the
-    signature min-reduces each permutation over the shingle set — all
-    JVM-side higher-order functions, no UDF."""
+    h_j(x) = (a_j * x + b_j) mod PRIME with deterministic (a_j, b_j).
+    Computed as ONE aggregate pass over the shingle set with a
+    num_hashes-wide min accumulator (a 64-pass formulation builds an
+    expression tree too large for codegen and runs ~50x slower)."""
     sh = _shingles(text)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                sh,
-                lambda x: (
-                    ((x % _H_PRIME) * (j * 2 + 1) + j * 40503 + 7)
-                    % _H_PRIME
-                ),
-            )
+    js = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.transform(js, lambda j: F.lit(_H_PRIME).cast("long"))
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            js,
+            lambda a, j: F.least(
+                a, ((x % _H_PRIME) * (j * 2 + 1) + j * 40503 + 7) % _H_PRIME
+            ),
         ),
     )
-    return sig
 
 
 def minhash_lsh_pairs(
@@ -146,25 +147,31 @@ def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash over character 5-shingles, JVM-side.
 
     For each bit b: sign(sum over shingles of ±1 by shingle-hash bit b).
-    Returns the fingerprint as a long."""
+    ONE aggregate pass with a bits-wide counter accumulator (not one
+    aggregate per bit — that expression tree defeats codegen), then the
+    counters fold into the fingerprint long."""
     sh = _shingles(text)
-    bit_vals = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.when(
-            F.aggregate(
-                sh,
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + F.when(F.call_function("shiftright", x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    bs = F.sequence(F.lit(0), F.lit(bits - 1))
+    init = F.transform(bs, lambda b: F.lit(0).cast("long"))
+    counters = F.aggregate(
+        sh,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            bs,
+            lambda a, b: a
+            + F.when(
+                F.call_function("shiftright", x, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
     )
     return F.aggregate(
         F.zip_with(
-            bit_vals,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.call_function("shiftleft", v, b.cast("int")),
+            counters,
+            bs,
+            lambda v, b: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b.cast("int"))
+            ).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
@@ -211,21 +218,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Exact word n-gram Jaccard similarity for candidate pairs.
 
     Candidates come from shared-ngram inverted index (explode → self
     equi-join on the ngram hash), then |A∩B| is the join match count and
-    |A∪B| = |A|+|B|-|A∩B| — set algebra, no per-pair array shipping."""
+    |A∪B| = |A|+|B|-|A∩B| — set algebra, no per-pair array shipping.
+    ``hash_grams=True`` (the scale path) joins on xxhash64 of the gram —
+    8 bytes instead of strings; False keeps raw gram strings (portable
+    to SQL oracles)."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
+    mk = (
+        (lambda c: F.xxhash64(c))
+        if hash_grams
+        else (lambda c: c.cast("string"))
+    )
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(
-                F.when(F.size(words) < n, F.array(F.xxhash64(F.col(text_col)))).otherwise(
+                F.when(F.size(words) < n, F.array(mk(F.col(text_col)))).otherwise(
                     F.transform(
                         F.sequence(F.lit(0), F.size(words) - n),
-                        lambda i: F.xxhash64(F.slice(words, i + 1, n).cast("string")),
+                        lambda i: mk(F.array_join(F.slice(words, i + 1, n), " ")),
                     )
                 )
             )

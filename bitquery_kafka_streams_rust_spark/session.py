@@ -31,6 +31,18 @@ def get_spark(
     - shuffle partitions default = cores (local) — at cluster scale set
       ~2-3x total executor cores via ``spark_graft.shuffle.partitions``.
     """
+    # Python WORKER processes (pandas UDF / mapInPandas) import this
+    # package by module reference; the driver's sys.path does not reach
+    # them, so pin the repo root into PYTHONPATH before the JVM (and its
+    # python daemons) launch.  Cluster equivalent: spark-submit
+    # --py-files engine.zip.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + py_path if py_path else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"

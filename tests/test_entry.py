@@ -22,5 +22,6 @@ def test_contract_keys_align():
     assert set(o) <= set(q)
     assert len(q) >= 20
     missing_oracle = set(q) - set(o)
-    # every batch-expressible op has an oracle; streaming-only ops may not
-    assert not missing_oracle or all(k.startswith("stream_") for k in missing_oracle)
+    # every SQL-expressible op has an oracle; the hash/LSH family is
+    # rows-only by design (xxhash64 doesn't exist in the oracle engine)
+    assert missing_oracle == {"minhash_lsh_pairs", "simhash_pairs", "emb_lsh_ann"}

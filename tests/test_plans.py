@@ -1,0 +1,67 @@
+"""Plan-shape assertions — the Catalyst-optimization evidence (SURVEY §4).
+
+These pin the physical plans we rely on at scale: filter pushdown to the
+parquet scan, column pruning (fat token arrays NOT read when unused),
+broadcast joins for small dims, and map-side projection before the
+stateful dedup shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark import plans
+from bitquery_kafka_streams_rust_spark.datagen import sequences_view
+from bitquery_kafka_streams_rust_spark.operators.filters import FilterBuilder
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = FilterBuilder().value_range("l_quantity", 10.0, None).apply(li).select("l_orderkey")
+    pushed = plans.pushed_filters(q)
+    assert any("l_quantity" in f for f in pushed), pushed
+
+
+def test_column_pruning_skips_unused(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity")
+    schemas = plans.read_schemas(q)
+    assert schemas and all("l_extendedprice" not in s for s in schemas), schemas
+
+
+def test_counting_does_not_read_tokens(spark, sf_dir):
+    """The fat tokens array must not be materialized for a count over
+    scalar columns — critical at 10^12 rows (SURVEY §4 column pruning)."""
+    seq = sequences_view(spark, sf_dir)
+    q = seq.groupBy("source").agg(F.sum("n_tok").alias("s"))
+    # tokens are derived, not stored, so check the scan reads ONLY doc_id
+    schemas = plans.read_schemas(q)
+    assert schemas and all(s == "struct<doc_id:bigint>" for s in schemas), schemas
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    assert plans.has_broadcast_join(q)
+
+
+def test_two_level_agg_has_two_exchanges_max(spark, sf_dir):
+    from bitquery_kafka_streams_rust_spark.operators.skew import two_level_agg
+
+    seq = sequences_view(spark, sf_dir)
+    q = two_level_agg(seq, "source", "doc_id", {"n": ("count", "*")})
+    assert plans.count_exchanges(q) <= 2
+
+
+def test_decode_stays_jvm_side(spark, sf_dir):
+    """Token checksum/validation must run as Catalyst expressions —
+    no Python evaluation node in the plan (higher-order lambdas aren't
+    whole-stage-codegen'd, but they are still JVM-interpreted, which
+    beats any Python round trip)."""
+    from bitquery_kafka_streams_rust_spark.functions import tokens as TK
+
+    seq = sequences_view(spark, sf_dir)
+    q = seq.select(TK.token_checksum("tokens").alias("ck"))
+    plan = plans.formatted_plan(q)
+    assert "EvalPython" not in plan
+    assert "Batched: true" in plan  # vectorized parquet scan
