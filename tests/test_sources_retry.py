@@ -1,0 +1,138 @@
+"""Source option building, topic routing, token-stream decode, retry sink,
+and the CLI job entry."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bitquery_kafka_streams_rust_spark import sources as SRC
+from bitquery_kafka_streams_rust_spark.streaming.retry import RetryExhausted, RetryingSink
+
+
+def test_kafka_options_mirror_reference_tuning():
+    opts = SRC.kafka_options("b1:9092", ["t1", "t2"], username="u", password="p")
+    assert opts["subscribe"] == "t1,t2"
+    assert opts["kafka.max.partition.fetch.bytes"] == "1048576"  # client.rs:243
+    assert opts["kafka.fetch.max.wait.ms"] == "500"              # client.rs:245
+    assert opts["kafka.sasl.mechanism"] == "SCRAM-SHA-512"       # client.rs:236
+    assert "maxOffsetsPerTrigger" in opts                        # T3 backpressure
+
+
+def _raw(spark, rows):
+    schema = T.StructType([
+        T.StructField("topic", T.StringType()),
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_topic_router_drops_unknown(spark):
+    df = _raw(spark, [
+        ("tx_topic", b"k1", b"", datetime(2024, 1, 1)),
+        ("mystery", b"k2", b"", datetime(2024, 1, 1)),
+    ])
+    out = SRC.route_topics(df, {"tx_topic": "transactions"})
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["source"] == "transactions"
+
+
+def test_decoded_token_stream_poison_pills(spark):
+    import numpy as np
+
+    good = np.asarray([5, 6, 7], dtype="<i4").tobytes()
+    df = _raw(spark, [
+        ("seq", b"doc1", bytearray(good), datetime(2024, 1, 1)),
+        ("seq", b"doc2", bytearray(b"\x01\x02\x03"), datetime(2024, 1, 1)),  # bad len
+    ])
+    out = SRC.decoded_token_stream(df).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == "doc1" and out[0]["tokens"] == [5, 6, 7] and out[0]["n_tok"] == 3
+
+
+def test_retry_sink_succeeds_after_k(spark):
+    """retry.rs:138-264 semantics: success after k transient failures;
+    delay grows by the multiplier and caps."""
+    calls, delays = [], []
+    def flaky(df, bid):
+        calls.append(bid)
+        if len(calls) < 3:
+            raise IOError("transient")
+    sink = RetryingSink(flaky, max_retries=5, initial_delay_s=1.0, max_delay_s=4.0,
+                        multiplier=2.0, sleep=delays.append)
+    sink(None, 7)
+    assert calls == [7, 7, 7]
+    assert delays == [1.0, 2.0]
+    assert sink.attempts == [3]
+
+
+def test_retry_sink_exhaustion():
+    def always_fail(df, bid):
+        raise IOError("down")
+    sink = RetryingSink(always_fail, max_retries=2, sleep=lambda s: None)
+    with pytest.raises(RetryExhausted):
+        sink(None, 1)
+
+
+def test_retry_preserves_exactly_once(spark, tmp_path):
+    """Retried epoch over the idempotent sink must not duplicate rows."""
+    from bitquery_kafka_streams_rust_spark.streaming.sink import (
+        ExactlyOnceParquetSink,
+        read_output,
+    )
+
+    inner = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    state = {"fails": 1}
+
+    def flaky(df, bid):
+        inner(df, bid)           # writes, THEN fails → partial epoch on disk
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise IOError("post-write crash")
+
+    sink = RetryingSink(flaky, max_retries=2, sleep=lambda s: None)
+    df = spark.range(10).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"),
+        F.current_timestamp().alias("ts"),
+    )
+    sink(df, 0)
+    assert read_output(spark, str(tmp_path / "out")).count() == 10
+
+
+def test_job_cli_end_to_end(spark, tmp_path):
+    """jobs/run_pipeline.py argument parse + config build + availableNow run."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_pipeline as J
+
+    from bitquery_kafka_streams_rust_spark import datagen
+
+    in_dir = str(tmp_path / "in")
+    datagen.write_sequence_batches(spark, "/root/testdata/sf0.001", in_dir, n_batches=2)
+    rc = J.main([
+        "--input", in_dir,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--output", str(tmp_path / "out"),
+        "--sources", "pumpfun",
+        "--min-n-tok", "16",
+        "--metrics", str(tmp_path / "metrics.jsonl"),
+    ])
+    assert rc == 0
+    from bitquery_kafka_streams_rust_spark.streaming.sink import read_output
+
+    out = read_output(spark, str(tmp_path / "out" / "events"))
+    assert out.count() > 0
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_kafka_stream_unavailable_raises_cleanly(spark):
+    with pytest.raises(RuntimeError, match="kafka source unavailable"):
+        SRC.kafka_stream(spark, SRC.kafka_options("b:9092", ["t"]))
