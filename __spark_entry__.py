@@ -717,7 +717,7 @@ _SQL_SEQ_SESSION = (
     + """
 , ordered AS (
   SELECT source, ts, n_tok,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY source ORDER BY ts)) >= 120
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY source ORDER BY ts)) > 120
               OR lag(ts) OVER (PARTITION BY source ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
   FROM seq
 ), islands AS (

@@ -94,8 +94,16 @@ class ExactlyOnceParquetSink:
         os.replace(tmp, dst)  # atomic within the filesystem
 
 
-def read_output(spark, out_dir: str) -> DataFrame:
-    """Read everything the sink has committed (all epochs)."""
+def read_output(spark, out_dir: str, schema: str | None = None) -> DataFrame:
+    """Read everything the sink has committed (all epochs).  When no
+    epoch has produced rows yet, returns an empty frame of ``schema``
+    (required then — there are no files to infer from)."""
+    if not glob.glob(os.path.join(out_dir, "batch_id=*")):
+        if schema is None:
+            raise FileNotFoundError(
+                f"no committed epochs under {out_dir}; pass schema= for an empty frame"
+            )
+        return spark.createDataFrame([], schema)
     return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
 
 

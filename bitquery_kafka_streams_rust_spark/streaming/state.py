@@ -49,7 +49,8 @@ def _track(
 
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
-        ts = pdf["ts"].astype("int64") / 1e9  # epoch seconds, vectorized
+        # epoch seconds, unit-independent (arrives as datetime64[us]/ndarray)
+        ts = (pd.to_datetime(pd.Series(pdf["ts"])) - pd.Timestamp("1970-01-01")) / pd.Timedelta(seconds=1)
         n_seen += len(pdf)
         sum_tok += int(pdf["n_tok"].sum())
         if len(ts):
