@@ -120,8 +120,15 @@ def decode_tokens(payload: pd.Series) -> pd.Series:
         if b is None:
             return None
         try:
-            if len(b) >= 2 and b[0] == 0x78:  # zlib magic sniff
-                b = zlib.decompress(bytes(b))
+            if len(b) >= 2 and b[0] == 0x78 and b[1] in (0x01, 0x5E, 0x9C, 0xDA):
+                # zlib magic sniff; a RAW payload can start with these
+                # bytes too (first token ≡ 120 mod 256), so failure falls
+                # back to raw — the reference's decompress_safe fallback
+                # (compression.rs:54-94)
+                try:
+                    b = zlib.decompress(bytes(b))
+                except zlib.error:
+                    pass
             if len(b) % 4 != 0:
                 return None
             return np.frombuffer(b, dtype="<i4")

@@ -41,10 +41,15 @@ def test_codec_roundtrip_pure(tokens):
     raw = np.asarray(tokens, dtype="<i4").tobytes()
     z = zlib.compress(raw, 1)
     payload = z if len(z) < len(raw) else raw
-    # decode logic mirrored from functions.tokens.decode_tokens
+    # decode logic mirrored from functions.tokens.decode_tokens —
+    # including the fall-back-to-raw when the magic is a false positive
+    # (first token ≡ 120 mod 256 makes raw bytes start with 0x78)
     b = payload
-    if len(b) >= 2 and b[0] == 0x78:
-        b = zlib.decompress(bytes(b))
+    if len(b) >= 2 and b[0] == 0x78 and b[1] in (0x01, 0x5E, 0x9C, 0xDA):
+        try:
+            b = zlib.decompress(bytes(b))
+        except zlib.error:
+            pass
     assert len(b) % 4 == 0
     back = list(np.frombuffer(b, dtype="<i4"))
     assert back == tokens
