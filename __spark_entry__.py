@@ -133,7 +133,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     window rollup per source.  The streaming twin of this plan lives in
     ``streaming/pipeline.py``; this is the batch/oracle form."""
     seq = _seq(spark, sf_dir)
-    valid = seq.where(TK.is_valid_sequence("tokens", "n_tok"))
+    # checksum + validity map-side, then DROP the token array before the
+    # dedup shuffle — same plan shape as the streaming pipeline (~40B/row
+    # through the exchange instead of ~4KB)
+    valid = seq.where(TK.is_valid_sequence("tokens", "n_tok")).select(
+        "doc_id", "n_tok", "source", "ts", TK.token_checksum("tokens").alias("cksum")
+    )
     deduped = DD.dedup_first_wins(valid, "doc_id", ["ts", "doc_id"])
     gated = deduped.where(
         sequence_gate(source_allowlist=("pumpfun", "raydium", "orca"), min_n_tok=16)
@@ -143,7 +148,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_seq"),
             F.sum("n_tok").alias("sum_tok"),
-            F.sum(TK.token_checksum("tokens")).alias("sum_cksum"),
+            F.sum("cksum").alias("sum_cksum"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -216,10 +221,13 @@ WHERE source IN ('pumpfun', 'meteora') AND n_tok BETWEEN 100 AND 1500
 
 
 def _q_seq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1/X2 dedup, first-wins by (ts, doc_id) (consumer.rs:235-248)."""
-    seq = _seq(spark, sf_dir)
-    out = DD.dedup_first_wins(seq, "doc_id", ["ts", "doc_id"])
-    return out.select("doc_id", "n_tok", "source", "ts", TK.token_checksum("tokens").alias("cksum"))
+    """X1/X2 dedup, first-wins by (ts, doc_id) (consumer.rs:235-248).
+    Checksum computed BEFORE the shuffle so the window exchanges 40B
+    rows, not token arrays."""
+    seq = _seq(spark, sf_dir).select(
+        "doc_id", "n_tok", "source", "ts", TK.token_checksum("tokens").alias("cksum")
+    )
+    return DD.dedup_first_wins(seq, "doc_id", ["ts", "doc_id"])
 
 
 _SQL_SEQ_DEDUP = (
@@ -334,7 +342,10 @@ def _q_seq_shard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 shard-correlation join (batch form): sequences ⋈ shards on
     doc_id within ±5 min — the oracle twin of the watermarked
     stream-stream join in streaming/join.py."""
-    seq = DD.dedup_first_wins(_seq(spark, sf_dir), "doc_id", ["ts", "doc_id"])
+    # only scalar columns enter the dedup/join (tokens pruned at the scan)
+    seq = DD.dedup_first_wins(
+        _seq(spark, sf_dir).select("doc_id", "source", "ts"), "doc_id", ["ts", "doc_id"]
+    )
     sh = datagen.shards_view(spark, sf_dir)
     j = seq.alias("s").join(
         sh.alias("h"),

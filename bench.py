@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "144"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "120"))
 N_BATCHES = 8
 PARTS_PER_BATCH = 16  # scan parallelism within one logical batch/epoch
 
@@ -75,7 +75,7 @@ def _stream_scaling(input_dir: str, levels: list[int]) -> list[dict]:
     scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix="bench_stream_", dir=scratch_root)
 
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # warmup round (discarded) + measured rounds, alternating levels
     schedule = [(levels[-1], True)] + [
         (c, False) for _ in range(rounds) for c in levels
