@@ -947,6 +947,37 @@ FROM (SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS nf FROM documents),
 """
 
 
+def _q_seq_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 vectorized custom predicate: Arrow-batched numpy entropy over
+    the token arrays gates low-information sequences; per-source counts."""
+    seq = _seq(spark, sf_dir)
+    gated = FilterBuilder().custom(TK.token_entropy("tokens") >= 5.0).apply(seq)
+    return gated.groupBy("source").agg(F.count("*").alias("n_docs")).orderBy("source")
+
+
+_SQL_SEQ_ENTROPY = (
+    _SEQ
+    + """
+, seq_d AS (
+  -- duplicate-aliased rows are bit-identical: compute entropy once per
+  -- doc_id, count each physical row via multiplicity (Spark gates rows)
+  SELECT doc_id, any_value(source) AS source, any_value(n_tok) AS n_tok,
+         any_value(tokens) AS tokens, count(*) AS copies
+  FROM seq GROUP BY doc_id
+), tok AS (
+  SELECT doc_id, source, n_tok, copies, unnest(tokens) AS t FROM seq_d WHERE n_tok > 0
+), cnt AS (
+  SELECT doc_id, source, n_tok, copies, t, count(*) AS c FROM tok GROUP BY 1, 2, 3, 4, 5
+), ent AS (
+  SELECT doc_id, source, copies, -sum((c * 1.0 / n_tok) * ln(c * 1.0 / n_tok)) AS h
+  FROM cnt GROUP BY doc_id, source, copies, n_tok
+)
+SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs
+FROM ent WHERE h >= 5.0 GROUP BY source ORDER BY source
+"""
+)
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (xxhash64-based — no SQL oracle;
     driver records a rows-only check; semantics pytest-verified)."""
@@ -998,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_linestatus": _shipped(_q_pivot),
         "doc_fingerprint": _shipped(_q_doc_fingerprint),
         "doc_ngram_jaccard": _shipped(_q_doc_jaccard),
+        "seq_entropy_filter": _shipped(_q_seq_entropy),
         "mm_feature_extract": _shipped(_q_mm_features),
         "mm_frame_sample": _shipped(_q_mm_frames),
         "minhash_lsh_pairs": _shipped(_q_minhash_pairs),
@@ -1037,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_linestatus": _SQL_PIVOT,
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_ngram_jaccard": _SQL_DOC_JACCARD,
+        "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "mm_feature_extract": _SQL_MM_FEATURES,
         "mm_frame_sample": _SQL_MM_FRAMES,
         # minhash_lsh_pairs / simhash_pairs / emb_lsh_ann intentionally

@@ -109,6 +109,24 @@ def encode_tokens(tokens: pd.Series) -> pd.Series:
     return tokens.map(enc)
 
 
+@F.pandas_udf(T.DoubleType())
+def token_entropy(tokens: pd.Series) -> pd.Series:
+    """Shannon entropy (nats) of each row's token distribution —
+    Arrow-vectorized numpy kernel (the F6 vectorized-predicate escape
+    hatch for scoring logic the built-ins can't express).  Used as a
+    quality gate: near-zero entropy ⇒ degenerate/repetitive sequence."""
+
+    def ent(arr) -> float:
+        if arr is None or len(arr) == 0:
+            return 0.0
+        a = np.asarray(arr)
+        counts = np.bincount(a)
+        p = counts[counts > 0] / len(a)
+        return float(-(p * np.log(p)).sum())
+
+    return tokens.map(ent)
+
+
 @F.pandas_udf(T.ArrayType(T.IntegerType()))
 def decode_tokens(payload: pd.Series) -> pd.Series:
     """bytes → array<int>; NULL on any decode failure (poison pill D5).

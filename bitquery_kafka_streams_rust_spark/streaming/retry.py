@@ -26,6 +26,56 @@ class RetryExhausted(RuntimeError):
     pass
 
 
+class CircuitOpen(RuntimeError):
+    pass
+
+
+class CircuitBreakerSink:
+    """Closed → Open → HalfOpen state machine around a sink — the
+    reference's circuit breaker (``src/core/utils/circuit_breaker.rs:
+    17-126``): opens after ``failure_threshold`` consecutive failures,
+    fails fast while open, admits one probe call after ``reset_s`` and
+    closes again on success.
+
+    Driver-side (one instance per query), so plain attributes suffice —
+    no atomics needed, unlike the reference."""
+
+    CLOSED, OPEN, HALF_OPEN = "closed", "open", "half_open"
+
+    def __init__(
+        self,
+        sink,
+        failure_threshold: int = 3,
+        reset_s: float = 30.0,
+        clock=time.monotonic,
+    ):
+        self.sink = sink
+        self.failure_threshold = failure_threshold
+        self.reset_s = reset_s
+        self.clock = clock
+        self.state = self.CLOSED
+        self.failures = 0
+        self.opened_at: float | None = None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.state == self.OPEN:
+            if self.clock() - self.opened_at >= self.reset_s:
+                self.state = self.HALF_OPEN  # timed reset → single probe
+            else:
+                raise CircuitOpen(f"circuit open; epoch {batch_id} rejected")
+        try:
+            self.sink(batch_df, batch_id)
+        except Exception:
+            self.failures += 1
+            if self.state == self.HALF_OPEN or self.failures >= self.failure_threshold:
+                self.state = self.OPEN
+                self.opened_at = self.clock()
+            raise
+        else:
+            self.state = self.CLOSED
+            self.failures = 0
+
+
 class RetryingSink:
     def __init__(
         self,
