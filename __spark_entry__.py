@@ -46,7 +46,18 @@ def _ensure_package(spark: SparkSession) -> None:
     import bitquery_kafka_streams_rust_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-    zip_base = os.path.join(tempfile.gettempdir(), "bq_streams_spark_pkg")
+    # content-addressed zip name: a stale cache from an older source tree
+    # would strand workers on old modules
+    import hashlib
+
+    h = hashlib.sha1()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for name in sorted(files):
+            if name.endswith(".py"):
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    zip_base = os.path.join(tempfile.gettempdir(), f"bq_streams_spark_pkg_{h.hexdigest()[:12]}")
     zip_path = zip_base + ".zip"
     if not os.path.exists(zip_path):
         shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
@@ -978,6 +989,52 @@ FROM ent WHERE h >= 5.0 GROUP BY source ORDER BY source
 )
 
 
+def _q_seq_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split docs into ≤512-token windows; the
+    chunk slices are pure Catalyst (explode + slice), oracle-checked via
+    per-chunk token sums."""
+    from bitquery_kafka_streams_rust_spark.operators.packing import chunk_sequences
+
+    seq = _seq(spark, sf_dir)
+    ch = chunk_sequences(seq, max_len=512, overlap=0)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_len",
+        TK.token_sum("chunk_tokens").alias("chunk_sum"),
+    )
+
+
+_SQL_SEQ_CHUNKING = (
+    _SEQ
+    + """
+, ch AS (
+  SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+         list_slice(tokens, k * 512 + 1, k * 512 + 512) AS chunk
+  FROM seq, LATERAL unnest(range(0, CAST(ceil(n_tok / 512.0) AS BIGINT))) AS t(k)
+  WHERE n_tok > 0
+)
+SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS chunk_len,
+       CAST(coalesce(list_sum(chunk), 0) AS BIGINT) AS chunk_sum
+FROM ch
+"""
+)
+
+
+def _q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 2048-token bins per source
+    (NP-hard globally; deterministic group-local greedy — no SQL
+    oracle, reference implementation pinned in pytest)."""
+    from bitquery_kafka_streams_rust_spark.operators.packing import pack_sequences
+
+    seq = _seq(spark, sf_dir)
+    bins = pack_sequences(seq, context_len=2048)
+    return bins.select(
+        "source", "bin_idx", F.size("doc_ids").alias("n_docs"), "total_tok",
+        F.round("fill_ratio", 6).alias("fill_ratio")
+    ).orderBy("source", "bin_idx")
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (xxhash64-based — no SQL oracle;
     driver records a rows-only check; semantics pytest-verified)."""
@@ -1030,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _shipped(_q_doc_fingerprint),
         "doc_ngram_jaccard": _shipped(_q_doc_jaccard),
         "seq_entropy_filter": _shipped(_q_seq_entropy),
+        "seq_chunking": _shipped(_q_seq_chunking),
+        "seq_packing": _shipped(_q_seq_packing),
         "mm_feature_extract": _shipped(_q_mm_features),
         "mm_frame_sample": _shipped(_q_mm_frames),
         "minhash_lsh_pairs": _shipped(_q_minhash_pairs),
@@ -1070,6 +1129,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_ngram_jaccard": _SQL_DOC_JACCARD,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
+        "seq_chunking": _SQL_SEQ_CHUNKING,
+        # seq_packing: greedy bin packing isn't SQL-expressible (rows-only;
+        # reference algorithm pinned in tests/test_packing.py)
         "mm_feature_extract": _SQL_MM_FEATURES,
         "mm_frame_sample": _SQL_MM_FRAMES,
         # minhash_lsh_pairs / simhash_pairs / emb_lsh_ann intentionally

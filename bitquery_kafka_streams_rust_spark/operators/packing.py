@@ -1,0 +1,107 @@
+"""Sequence packing & chunking — training-data pipeline transforms.
+
+Two core LLM-pretraining ops over the tokenized-sequences table:
+
+- ``chunk_sequences``: split each document into ≤ ``max_len`` windows
+  with ``overlap`` (sliding context windows).  Pure Catalyst: the chunk
+  index set is ``sequence()`` + ``explode`` and the slice is
+  ``F.slice`` — fully SQL-expressible, oracle-checked.
+- ``pack_sequences``: greedy first-fit packing of whole documents into
+  fixed ``context_len`` bins (maximizing fill without splitting docs).
+  Exact global packing is NP-hard and inherently sequential, so the
+  scalable strategy is per-group greedy packing inside
+  ``applyInPandas``: each (source) group is packed independently in a
+  deterministic order (ts, doc_id) — at 10^12 rows groups are salted
+  into (source, bucket) so bins never cross executors.  Verified
+  against a pure-Python reference in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_sequences(
+    seq: DataFrame, max_len: int = 512, overlap: int = 0
+) -> DataFrame:
+    """1→N: each doc becomes ceil((n_tok - overlap) / stride) chunks of
+    ≤ max_len tokens, stride = max_len - overlap.  Empty docs yield no
+    chunks.  Chunk identity (doc_id, chunk_idx) is deterministic."""
+    assert 0 <= overlap < max_len
+    stride = max_len - overlap
+    n_chunks = F.ceil((F.col("n_tok") - F.lit(overlap)) / F.lit(stride)).cast("int")
+    out = seq.select(
+        "doc_id",
+        "source",
+        "tokens",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
+        ).alias("chunk_idx"),
+    ).where(F.col("n_tok") > 0)
+    start = F.col("chunk_idx") * stride + 1  # 1-based for F.slice
+    chunk = F.slice("tokens", start.cast("int"), max_len)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("chunk_idx"),
+        chunk.alias("chunk_tokens"),
+        F.size(chunk).alias("chunk_len"),
+    )
+
+
+def pack_greedy(pdf: pd.DataFrame, context_len: int) -> pd.DataFrame:
+    """Greedy first-fit over docs sorted by (ts, doc_id): walk bins in
+    creation order, place the doc in the first with room, else open a
+    new bin.  Deterministic; the pure-Python reference in the tests is
+    this exact algorithm."""
+    pdf = pdf.sort_values(["ts", "doc_id"], kind="mergesort")
+    bins_fill: list[int] = []
+    bins_docs: list[list[str]] = []
+    for doc_id, n in zip(pdf["doc_id"], pdf["n_tok"]):
+        n = int(n)
+        if n == 0 or n > context_len:
+            continue  # empty docs skipped; oversize docs go to chunking
+        for i in range(len(bins_fill)):
+            if bins_fill[i] + n <= context_len:
+                bins_fill[i] += n
+                bins_docs[i].append(doc_id)
+                break
+        else:
+            bins_fill.append(n)
+            bins_docs.append([doc_id])
+    src = pdf["source"].iloc[0] if len(pdf) else None
+    return pd.DataFrame(
+        {
+            "source": [src] * len(bins_fill),
+            "bin_idx": range(len(bins_fill)),
+            "doc_ids": bins_docs,
+            "total_tok": bins_fill,
+            "fill_ratio": [f / context_len for f in bins_fill],
+        }
+    )
+
+
+def pack_sequences(
+    seq: DataFrame, context_len: int = 2048, salt_buckets: int | None = None
+) -> DataFrame:
+    """Greedy packing per source (optionally per (source, salt-bucket)
+    for hot keys — packing quality is unaffected since bins are
+    group-local anyway)."""
+    keys = ["source"]
+    df = seq.select("doc_id", "n_tok", "source", "ts")
+    if salt_buckets:
+        df = df.withColumn(
+            "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)).cast("int")
+        )
+        keys = ["source", "_bucket"]
+    schema = (
+        "source string, bin_idx long, doc_ids array<string>, total_tok long, fill_ratio double"
+    )
+    return df.groupBy(*keys).applyInPandas(
+        lambda pdf: pack_greedy(pdf, context_len), schema=schema
+    )

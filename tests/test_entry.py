@@ -24,4 +24,4 @@ def test_contract_keys_align():
     missing_oracle = set(q) - set(o)
     # every SQL-expressible op has an oracle; the hash/LSH family is
     # rows-only by design (xxhash64 doesn't exist in the oracle engine)
-    assert missing_oracle == {"minhash_lsh_pairs", "simhash_pairs", "emb_lsh_ann"}
+    assert missing_oracle == {"minhash_lsh_pairs", "simhash_pairs", "emb_lsh_ann", "seq_packing"}

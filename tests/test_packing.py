@@ -1,0 +1,101 @@
+"""Sequence chunking & packing."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark.datagen import sequences_view
+from bitquery_kafka_streams_rust_spark.operators.packing import (
+    chunk_sequences,
+    pack_greedy,
+    pack_sequences,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def test_chunking_covers_all_tokens(spark, sf_dir):
+    seq = sequences_view(spark, sf_dir)
+    chunks = chunk_sequences(seq, max_len=512, overlap=0)
+    per_doc = chunks.groupBy("doc_id").agg(F.sum("chunk_len").alias("s"))
+    joined = seq.join(per_doc, "doc_id")
+    # no-overlap chunks partition the tokens exactly (per physical row:
+    # duplicates fan out, so compare per doc via any_value)
+    bad = joined.where(F.col("s") != F.col("n_tok") * 2).where(
+        F.col("s") != F.col("n_tok")
+    )
+    assert bad.count() == 0
+    assert chunks.where(F.col("chunk_len") > 512).count() == 0
+    # chunk content equals the corresponding token slice
+    row = (
+        chunks.where((F.col("chunk_idx") == 1) & (F.col("chunk_len") == 512))
+        .join(seq.select("doc_id", "tokens").dropDuplicates(["doc_id"]), "doc_id")
+        .limit(1)
+        .collect()
+    )
+    if row:
+        r = row[0]
+        assert r["chunk_tokens"] == r["tokens"][512:1024]
+
+
+def test_chunking_overlap(spark):
+    df = spark.createDataFrame(
+        [("d1", list(range(10)), 10, "s", T0)],
+        "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp",
+    )
+    out = chunk_sequences(df, max_len=4, overlap=2).orderBy("chunk_idx").collect()
+    assert [r["chunk_tokens"] for r in out] == [
+        [0, 1, 2, 3],
+        [2, 3, 4, 5],
+        [4, 5, 6, 7],
+        [6, 7, 8, 9],
+    ]
+
+
+def test_pack_greedy_reference():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d", "e"],
+            "n_tok": [60, 50, 40, 30, 200],
+            "source": ["s"] * 5,
+            "ts": [T0] * 5,
+        }
+    )
+    out = pack_greedy(pdf, context_len=100)
+    # a(60)→bin0; b(50)→bin1; c(40)→bin0 (100); d(30)→bin1 (80); e>100 skipped
+    assert out["total_tok"].tolist() == [100, 80]
+    assert out["doc_ids"].tolist() == [["a", "c"], ["b", "d"]]
+
+
+def test_pack_sequences_distributed(spark, sf_dir):
+    seq = sequences_view(spark, sf_dir)
+    bins = pack_sequences(seq, context_len=2048)
+    rows = bins.collect()
+    assert all(r["total_tok"] <= 2048 for r in rows)
+    # conservation: every packable doc appears exactly once per source
+    packed = bins.select("source", F.explode("doc_ids").alias("doc_id"))
+    eligible = seq.where((F.col("n_tok") > 0) & (F.col("n_tok") <= 2048))
+    assert packed.count() == eligible.count()
+    # fill quality: greedy on zipf-ish lengths should average >80% full
+    # for all but the last bin of each source
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    non_last = bins.withColumn("max_idx", F.max("bin_idx").over(w)).where(
+        F.col("bin_idx") < F.col("max_idx")
+    )
+    avg_fill = non_last.agg(F.avg("fill_ratio")).collect()[0][0]
+    assert avg_fill is None or avg_fill > 0.8
+
+
+def test_pack_salted_matches_unsalted_conservation(spark, sf_dir):
+    seq = sequences_view(spark, sf_dir)
+    salted = pack_sequences(seq, context_len=2048, salt_buckets=4)
+    plain = pack_sequences(seq, context_len=2048)
+    a = salted.select(F.explode("doc_ids")).count()
+    b = plain.select(F.explode("doc_ids")).count()
+    assert a == b  # same docs packed, just into group-local bins

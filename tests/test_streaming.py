@@ -160,3 +160,45 @@ def test_emitted_windows_match_batch_rollup(spark, batch_dir, tmp_path):
     }
     for k, v in got.items():
         assert batch[k] == v, f"window {k}: streamed {v} != batch {batch[k]}"
+
+
+def test_streaming_running_counters_update_mode(spark, batch_dir, tmp_path):
+    """A1 running counters (dex_processor.rs:91-117) as a streaming
+    groupBy in update mode: the latest state per source equals the
+    batch aggregation over everything ingested."""
+    from bitquery_kafka_streams_rust_spark.schemas import SEQUENCES
+
+    stream = (
+        spark.readStream.schema(SEQUENCES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_dir)
+    )
+    counters = stream.groupBy("source").agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("n_tok") > 1000, 1).otherwise(0)).alias("large"),
+    )
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("counters_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["source"]: (r["total"], r["large"])
+        for r in spark.sql("SELECT * FROM counters_out").collect()
+    }
+    seq = datagen.sequences_view(spark, SF)
+    expect = {
+        r["source"]: (r["total"], r["large"])
+        for r in seq.groupBy("source")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("n_tok") > 1000, 1).otherwise(0)).alias("large"),
+        )
+        .collect()
+    }
+    assert got == expect
