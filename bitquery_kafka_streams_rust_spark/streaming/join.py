@@ -25,7 +25,17 @@ def shard_correlation_join(
 
     Both inputs must carry (doc_id, ts).  The time-range predicate is
     what lets Spark bound the join state: side A keeps rows until
-    watermark(B) passes ts_A + range, and vice versa."""
+    watermark(B) passes ts_A + range, and vice versa.
+
+    Contract: deliveries must be watermark-compliant (a micro-batch may
+    not consist of rows older than the current watermark).  Rows later
+    than the declared bound are dropped deterministically; restart from
+    checkpoint is output-identical for compliant streams
+    (tests/test_state_join.py::test_stream_stream_join_restart_identical).
+    Non-compliant late files can differ between a restarted and an
+    uninterrupted run ONLY because the uninterrupted one may tolerate
+    them via watermark lag — the reference has no analogous guarantee at
+    all (processing-time only, SURVEY T4)."""
     s = sequences.withWatermark("ts", f"{watermark_s} seconds").alias("s")
     h = shards.withWatermark("ts", f"{watermark_s} seconds").alias("h")
     cond = (

@@ -100,3 +100,77 @@ def test_join_drops_out_of_range_shards(spark):
     )
     out = shard_correlation_join(seq, sh, 300, 300).collect()
     assert [(r["doc_id"], r["shard_id"]) for r in out] == [("d1", 0)]
+
+
+def test_stream_stream_join_restart_identical(spark, tmp_path):
+    """Join state must survive checkpoint restart: kill between shard
+    batches, resume, compare to an uninterrupted run."""
+    import os
+    import shutil
+
+    from bitquery_kafka_streams_rust_spark.streaming.sink import (
+        ExactlyOnceParquetSink,
+        read_output,
+    )
+
+    seq_dir = str(tmp_path / "seq")
+    sh_full, sh_half = str(tmp_path / "sh_full"), str(tmp_path / "sh_half")
+    _write_single_parquet(spark, datagen.sequences_view(spark, SF), seq_dir)
+    # Split shard deliveries by TIME, not shard_id: the watermark contract
+    # requires later files to carry later event times.  (A kill at an
+    # epoch boundary advances the watermark and evicts join state — a
+    # subsequently delivered file full of older-than-watermark rows is
+    # dropped per the declared bound, which an uninterrupted run may
+    # accidentally tolerate via watermark lag.  Restart-identity is
+    # guaranteed for watermark-compliant streams.)
+    sh = datagen.shards_view(spark, SF)
+    cut = sh.selectExpr("percentile(unix_timestamp(ts), 0.5) AS c").collect()[0]["c"]
+    _write_single_parquet(spark, sh.where(F.unix_timestamp("ts") <= cut), f"{sh_full}/a.d")
+    _write_single_parquet(spark, sh.where(F.unix_timestamp("ts") > cut), f"{sh_full}/b.d")
+    # flatten nested dirs to files with ordered mtimes
+    import glob
+    import time
+
+    os.makedirs(sh_half)
+    flat = []
+    base = time.time() - 100
+    for i, d in enumerate(["a.d", "b.d"]):
+        part = glob.glob(f"{sh_full}/{d}/part-*.parquet")[0]
+        p = f"{sh_full}/f{i}.parquet"
+        shutil.move(part, p)
+        shutil.rmtree(f"{sh_full}/{d}")
+        os.utime(p, (base + i * 10, base + i * 10))
+        flat.append(p)
+    shutil.copy2(flat[0], sh_half)
+
+    def run(sh_dir, ck, out):
+        s = spark.readStream.schema(SEQUENCES).parquet(seq_dir)
+        h = (
+            spark.readStream.schema(SHARDS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sh_dir)
+        )
+        q = (
+            shard_correlation_join(s, h, 300, 300)
+            .writeStream.foreachBatch(ExactlyOnceParquetSink(out, lineage=False))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r["doc_id"], r["shard_id"], r["part_len"])
+            for r in read_output(
+                spark, out, schema="doc_id string, shard_id int, part_len int, batch_id long"
+            ).select("doc_id", "shard_id", "part_len").collect()
+        }
+
+    out_r = str(tmp_path / "out_r")
+    run(sh_half, str(tmp_path / "ck_r"), out_r)          # shards 0-1 only
+    shutil.copy2(flat[1], sh_half)                        # ── kill / add data ──
+    resumed = run(sh_half, str(tmp_path / "ck_r"), out_r)  # resume
+    uninterrupted = run(sh_full, str(tmp_path / "ck_u"), str(tmp_path / "out_u"))
+    assert resumed == uninterrupted
+    assert len(resumed) > 0
