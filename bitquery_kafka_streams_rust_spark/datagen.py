@@ -21,7 +21,7 @@ Generator properties (mirrors FIXTURES.md §1):
   (``src/processors/dex_processor.rs:38-51``) and FIXTURES.md §1's
   skew requirement (the driver documents table's own source column is
   uniform, so we don't use it).
-- ``ts`` mostly monotone in doc_id with ~5% rows late by 1-10 minutes
+- ``ts`` mostly monotone in doc_id with ~5% rows late by 1-4 minutes
   (watermark/late-data tests; reference window 300 s ``src/config.rs:270``).
 
 No randomness, no driver-side loops: the whole derivation is one

@@ -69,3 +69,17 @@ def test_windowed_stats_tumbling_vs_sliding(spark, sf_dir):
     assert n_t > 0 and n_s > n_t  # sliding produces ~2x windows
     # every row is counted once per tumbling window: totals match input
     assert tumb.agg(F.sum("n")).collect()[0][0] == seq.count()
+
+
+def test_approx_sketches_near_exact(spark, sf_dir):
+    """A4/A5 sketch variants (percentile_approx, approx_count_distinct)
+    stay within tolerance of the exact forms — the mergeable single-pass
+    path for the 100 TB scale."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    approx = AG.percentile_summary(ev, "value", approx=True).collect()[0]
+    exact = AG.percentile_summary(ev, "value").collect()[0]
+    for q in ("p50", "p90", "p95", "p99"):
+        assert abs(approx[q] - exact[q]) / max(abs(exact[q]), 1e-9) < 0.05
+    a = ev.agg(F.approx_count_distinct("user_id")).collect()[0][0]
+    e = ev.select("user_id").distinct().count()
+    assert abs(a - e) / e < 0.05
