@@ -96,7 +96,7 @@ WITH _base AS (
               WHEN c % 10 = 8 THEN 'meteora'
               ELSE 'phoenix' END                      AS source,
          TIMESTAMP '2024-01-01 00:00:00' + to_seconds((c % 86400)
-             - (CASE WHEN c % 20 = 0 THEN (1 + c % 4) * 60 ELSE 0 END)) AS ts
+             - (CASE WHEN c % 20 = 0 THEN (1 + (c // 20) % 4) * 60 ELSE 0 END)) AS ts
   FROM _base
 )
 """

@@ -14,7 +14,7 @@ BENCH/BASELINE.md with the scaling table.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_REPLICAS (default 48 — ~720k sequences / ~740 M
+     SPARK_GRAFT_BENCH_REPLICAS (default 120 — ~600k sequences / ~610 M
      tokens at sf0.1, sized so compute dominates per-epoch fixed costs).
 """
 

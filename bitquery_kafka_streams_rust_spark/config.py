@@ -26,14 +26,16 @@ class ProcessingConfig:
 
     batch_timeout_ms: int = 500          # → trigger processingTime
     max_files_per_trigger: int = 1       # → source admission (T1/T3)
-    dedup_window_s: int = 300            # → watermark + dropDuplicatesWithinWatermark (X2)
-    watermark_delay_s: int = 300         # late-data tolerance (T4)
+    # The watermark delay IS the dedup window in Spark's model (X2+T4):
+    # dropDuplicatesWithinWatermark holds key state for exactly this long,
+    # which matches the reference's dedup_window (src/config.rs:270).
+    watermark_delay_s: int = 300
     window_s: int = 600                  # tumbling stats window (A3/T5)
     shuffle_partitions: int = 32
     salt_buckets: int = 8                # skew salting (T2)
 
     def validate(self) -> "ProcessingConfig":
-        for name in ("batch_timeout_ms", "max_files_per_trigger", "dedup_window_s",
+        for name in ("batch_timeout_ms", "max_files_per_trigger",
                      "watermark_delay_s", "window_s", "shuffle_partitions", "salt_buckets"):
             if getattr(self, name) <= 0:
                 raise ConfigError(f"{name} must be > 0")

@@ -74,7 +74,7 @@ def sequences_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Derived from the CANON id so a duplicate row is bit-identical to its
     # original — the dedup winner is then content-invariant (restart-identical
     # output regardless of which copy the state store admits first).
-    late = F.when(c % 20 == 0, (F.lit(1) + c % 4) * 60).otherwise(F.lit(0))
+    late = F.when(c % 20 == 0, (F.lit(1) + (c / 20).cast("long") % 4) * 60).otherwise(F.lit(0))
     ts = F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=(c % 86400) - late)
     tokens = F.when(
         n_tok == 0, F.array().cast("array<int>")
@@ -126,7 +126,7 @@ def _spine_from_range(
         .otherwise("phoenix")
     )
     n_tok = (c * F.lit(40503) % F.lit(MAX_TOK)).cast("int")
-    late = F.when(c % 20 == 0, (F.lit(1) + c % 4) * 60).otherwise(F.lit(0))
+    late = F.when(c % 20 == 0, (F.lit(1) + (c / 20).cast("long") % 4) * 60).otherwise(F.lit(0))
     # each replica occupies its own day: event time is monotone across
     # replicas (hence across batch files), so the only out-of-order rows
     # are the injected ≤4-minute-late ones — no fixture row ever falls

@@ -47,8 +47,13 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master.removeprefix("local[").removesuffix("]")
-        shuffle_partitions = cpus if n in ("*", "") else max(int(n), 1)
+        if master.startswith("local[") and master.endswith("]"):
+            n = master.removeprefix("local[").removesuffix("]")
+            shuffle_partitions = cpus if n == "*" else max(int(n), 1)
+        else:
+            # cluster masters (yarn, spark://, k8s://) or bare "local":
+            # size via env; override per-job with shuffle_partitions=
+            shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
 
     builder = (
         SparkSession.builder.master(master)

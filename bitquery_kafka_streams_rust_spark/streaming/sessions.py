@@ -42,9 +42,7 @@ def _session_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_s: flo
     else:
         starts, lasts, counts, sums = [], [], [], []
 
-    new_rows = 0
     for pdf in pdfs:
-        new_rows += len(pdf)
         ts_series = pd.to_datetime(pd.Series(pdf["ts"]))
         ts_epoch = (ts_series - pd.Timestamp("1970-01-01")) / pd.Timedelta(seconds=1)
         for ts, n_tok in zip(ts_epoch, pdf["n_tok"].astype("int64")):
@@ -84,8 +82,6 @@ def _session_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_s: flo
     closed = []
     keep = ([], [], [], [])
     for i in range(len(starts)):
-        if new_rows == 0 and not starts:
-            break
         if lasts[i] + gap_s <= wm:
             closed.append(
                 (

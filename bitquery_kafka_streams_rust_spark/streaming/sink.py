@@ -38,30 +38,28 @@ class ExactlyOnceParquetSink:
         os.makedirs(self.lineage_dir, exist_ok=True)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            out = batch_df.withColumn("batch_id", F.lit(batch_id))
-            obs = None
-            if self.lineage and "ts" in batch_df.columns:
-                obs = Observation(f"lineage_{batch_id}")
-                out = out.observe(
-                    obs,
-                    F.count(F.lit(1)).alias("rows"),
-                    F.min("ts").alias("min_ts"),
-                    F.max("ts").alias("max_ts"),
-                )
-            (
-                out.write.mode("overwrite")
-                .partitionBy("batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(self.out_dir)
+        # the writer-level partitionOverwriteMode option governs this
+        # write; do NOT touch the session conf (two concurrent
+        # foreachBatch sinks racing a set/restore would leave the
+        # session permanently altered for unrelated writes)
+        out = batch_df.withColumn("batch_id", F.lit(batch_id))
+        obs = None
+        if self.lineage and "ts" in batch_df.columns:
+            obs = Observation(f"lineage_{batch_id}")
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
             )
-            if self.lineage:
-                self._write_manifest(batch_id, obs.get if obs else {})
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        (
+            out.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.out_dir)
+        )
+        if self.lineage:
+            self._write_manifest(batch_id, obs.get if obs else {})
 
     def _write_manifest(self, batch_id: int, totals: dict) -> None:
         files = []

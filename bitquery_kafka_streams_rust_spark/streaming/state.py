@@ -68,7 +68,7 @@ def _track(
             "n_seen": [n_seen],
             "sum_tok": [sum_tok],
             "n_sessions": [n_sessions],
-            "last_ts": [pd.Timestamp(last_epoch, unit="s") if last_epoch else pd.NaT],
+            "last_ts": [pd.Timestamp(last_epoch, unit="s") if last_epoch is not None else pd.NaT],
         }
     )
 

@@ -61,7 +61,6 @@ def build_config(a: argparse.Namespace) -> EngineConfig:
             batch_timeout_ms=a.trigger_ms,
             max_files_per_trigger=a.max_files_per_trigger,
             watermark_delay_s=a.watermark_s,
-            dedup_window_s=a.watermark_s,
             window_s=a.window_s,
         ),
         filters=FilterConfig(
