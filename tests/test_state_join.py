@@ -174,3 +174,51 @@ def test_stream_stream_join_restart_identical(spark, tmp_path):
     uninterrupted = run(sh_full, str(tmp_path / "ck_u"), str(tmp_path / "out_u"))
     assert resumed == uninterrupted
     assert len(resumed) > 0
+
+
+def test_ttl_dedup_compat_first_wins_and_readmission(spark, tmp_path):
+    """Processing-time TTL dedup (deduplicator.rs:50-75 semantics) on the
+    applyInPandasWithState path: duplicates within TTL suppressed, key
+    re-admitted after expiry."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from bitquery_kafka_streams_rust_spark.streaming.ttl_dedup import (
+        ttl_dedup_stream_compat,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def write_batch(i):
+        st = f"{in_dir}/.st"
+        spark.createDataFrame(
+            [(f"k{j}", i) for j in range(3)], "k string, batch int"
+        ).coalesce(1).write.mode("overwrite").parquet(st)
+        shutil.move(glob.glob(f"{st}/part-*.parquet")[0], f"{in_dir}/b{i}.parquet")
+        shutil.rmtree(st)
+
+    def run(tag):
+        stream = spark.readStream.schema("k string, batch int").parquet(in_dir)
+        q = (
+            ttl_dedup_stream_compat(stream, key="k", ttl_s=2)
+            .writeStream.format("memory")
+            .queryName(f"ttlc_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(f"SELECT * FROM ttlc_{tag}").count()
+
+    write_batch(0)
+    assert run("a") == 3      # first sighting
+    write_batch(1)
+    assert run("b") == 0      # within TTL → suppressed
+    _time.sleep(3)
+    write_batch(2)
+    assert run("c") == 3      # TTL expired → re-admitted
