@@ -186,8 +186,8 @@ _FLAGSHIP_SQL = (
 SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000) AS win_start,
        source,
        count(*)   AS n_seq,
-       sum(n_tok) AS sum_tok,
-       sum(cksum) AS sum_cksum
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(sum(cksum) AS BIGINT) AS sum_cksum
 FROM deduped
 WHERE source IN ('pumpfun', 'raydium', 'orca') AND n_tok >= 16
 GROUP BY 1, 2 ORDER BY 1, 2
@@ -271,10 +271,10 @@ def _q_seq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SEQ_TOKEN_STATS = (
     _SEQ
     + """
-SELECT source, count(*) AS n_docs, sum(n_tok) AS sum_tok,
-       sum(list_sum(tokens)) AS sum_vals,
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(sum(list_sum(tokens)) AS BIGINT) AS sum_vals,
        min(list_min(tokens)) AS min_val, max(list_max(tokens)) AS max_val,
-       sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS n_empty
+       CAST(sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
 FROM seq GROUP BY source ORDER BY source
 """
 )
@@ -312,6 +312,7 @@ def _q_seq_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "source")
         .agg(F.count("*").alias("n"), F.sum("n_tok").alias("sum_tok"))
         .select(F.col("win.start").alias("win_start"), "source", "n", "sum_tok")
+        .orderBy("win_start", "source")
     )
 
 
@@ -319,11 +320,11 @@ _SQL_SEQ_SLIDING = (
     _SEQ
     + """
 SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300 * 1000000) AS win_start,
-       source, count(*) AS n, sum(n_tok) AS sum_tok
+       source, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS sum_tok
 FROM seq, (SELECT unnest([0, 1]) AS k)
 WHERE epoch(ts) >= (CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300
   AND epoch(ts) <  (CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300 + 600
-GROUP BY 1, 2
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 )
 
@@ -343,7 +344,7 @@ def _q_seq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SEQ_SALTED = (
     _SEQ
     + """
-SELECT source, count(*) AS n, sum(n_tok) AS sum_tok, max(n_tok) AS max_tok
+SELECT source, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS sum_tok, max(n_tok) AS max_tok
 FROM seq GROUP BY source ORDER BY source
 """
 )
@@ -383,7 +384,7 @@ _SQL_SEQ_SHARD_JOIN = (
                  FROM seq) WHERE rn = 1
 )
 SELECT s.doc_id AS doc_id, s.source AS source,
-       count(*) AS n_shards, sum(len(h.tokens_part)) AS sum_part
+       count(*) AS n_shards, CAST(sum(len(h.tokens_part)) AS BIGINT) AS sum_part
 FROM sdedup s JOIN shards h
   ON s.doc_id = h.doc_id
  AND h.ts >= s.ts - INTERVAL 5 MINUTE AND h.ts <= s.ts + INTERVAL 5 MINUTE
@@ -490,7 +491,7 @@ _SQL_EVENTS_JSON = """
 WITH x AS (
   SELECT event_id, CAST(coalesce(props->>'$.k', props->>'$.key') AS BIGINT) AS k FROM events
 )
-SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k
+SELECT k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
 FROM x WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
@@ -667,8 +668,8 @@ WITH scored AS (
                6) AS quality
   FROM scored
 )
-SELECT lang_pred, count(*) AS n_docs, sum(n_words) AS sum_words,
-       sum(n_pieces) AS sum_pieces, round(avg(quality), 6) AS avg_quality
+SELECT lang_pred, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(n_pieces) AS BIGINT) AS sum_pieces, round(avg(quality), 6) AS avg_quality
 FROM feat GROUP BY lang_pred ORDER BY lang_pred
 """
 
@@ -731,6 +732,7 @@ def _q_seq_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy(F.session_window("ts", "2 minutes").alias("win"), "source")
         .agg(F.count("*").alias("n"), F.sum("n_tok").alias("sum_tok"))
         .select(F.col("win.start").alias("sess_start"), "source", "n", "sum_tok")
+        .orderBy("sess_start", "source")
     )
 
 
@@ -748,8 +750,8 @@ _SQL_SEQ_SESSION = (
                         ROWS UNBOUNDED PRECEDING) AS sess
   FROM ordered
 )
-SELECT min(ts) AS sess_start, source, count(*) AS n, sum(n_tok) AS sum_tok
-FROM islands GROUP BY source, sess
+SELECT min(ts) AS sess_start, source, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS sum_tok
+FROM islands GROUP BY source, sess ORDER BY sess_start, source
 """
 )
 
@@ -802,22 +804,28 @@ WITH o AS (
 ), i AS (
   SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
   FROM o
-), pu AS (SELECT user_id, max(sess) AS n_sessions FROM i GROUP BY user_id)
+), pu AS (SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions FROM i GROUP BY user_id)
 SELECT n_sessions, count(*) AS n_users FROM pu GROUP BY n_sessions ORDER BY n_sessions
 """
 
 
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 set operations: distinct clickers vs purchasers."""
+    """§2.9 set operations: distinct clickers vs purchasers — ONE
+    declarative plan (union of three single-row aggregates), no
+    driver-side ``.count()`` actions."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
     buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
-    u = clicks.union(buys).distinct().count()
-    i = clicks.intersect(buys).count()
-    e = clicks.exceptAll(buys.intersect(clicks)).count()
-    return spark.createDataFrame(
-        [("union", u), ("intersect", i), ("except", e)], "kind string, n long"
-    ).orderBy("kind")
+
+    def _n(df: DataFrame, kind: str) -> DataFrame:
+        return df.agg(F.lit(kind).alias("kind"), F.count("*").alias("n"))
+
+    return (
+        _n(clicks.union(buys).distinct(), "union")
+        .unionByName(_n(clicks.intersect(buys), "intersect"))
+        .unionByName(_n(clicks.exceptAll(buys.intersect(clicks)), "except"))
+        .orderBy("kind")
+    )
 
 
 _SQL_SET_OPS = """
@@ -958,6 +966,46 @@ FROM (SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS nf FROM documents),
 """
 
 
+def _q_token_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 first-transfer extraction over the nested TokenBlockMessage
+    fixture (parse_token_message_content, consumer.rs:306-346): hex
+    fields, "unknown" defaults, string-precision amount."""
+    from bitquery_kafka_streams_rust_spark.operators.extract import extract_token_transfer
+
+    blocks = datagen.token_blocks_view(spark, sf_dir)
+    return extract_token_transfer(blocks).select(
+        "block_id", "slot", "signature", "from_account", "to_account",
+        "mint", "amount", "decimals",
+    )
+
+
+# mirrors datagen.token_blocks_view arithmetic + the reference's
+# first-tx-with-transfers / first-transfer selection (k = 0)
+_SQL_TOKEN_TRANSFER = """
+WITH t AS (
+  SELECT doc_id AS c, doc_id % 4 AS n_tx FROM documents
+), sel AS (
+  SELECT c,
+         CASE WHEN n_tx > 0 AND (c + 0) % 3 <> 0 THEN 0
+              WHEN n_tx > 1 AND (c + 1) % 3 <> 0 THEN 1
+              WHEN n_tx > 2 AND (c + 2) % 3 <> 0 THEN 2
+              ELSE NULL END AS j
+  FROM t
+)
+SELECT c AS block_id, c * 10 AS slot,
+       lower(hex(encode('g' || c || '_' || j))) AS signature,
+       CASE WHEN (c + j) % 5 = 0 THEN 'unknown'
+            ELSE lower(hex(encode('s' || c))) END AS from_account,
+       CASE WHEN (c + j) % 7 = 0 THEN 'unknown'
+            ELSE lower(hex(encode('r' || c))) END AS to_account,
+       CASE WHEN (c + j) % 4 = 0 THEN 'unknown'
+            ELSE lower(hex(encode('m' || (c % 100)))) END AS mint,
+       CAST(c * 1000 + j * 10 AS VARCHAR) AS amount,
+       CAST(CASE WHEN (c + j) % 4 = 0 THEN 0 ELSE c % 10 END AS INTEGER) AS decimals
+FROM sel WHERE j IS NOT NULL
+"""
+
+
 def _q_seq_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 vectorized custom predicate: Arrow-batched numpy entropy over
     the token arrays gates low-information sequences; per-source counts."""
@@ -1086,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_linestatus": _shipped(_q_pivot),
         "doc_fingerprint": _shipped(_q_doc_fingerprint),
         "doc_ngram_jaccard": _shipped(_q_doc_jaccard),
+        "token_transfer_extract": _shipped(_q_token_transfer),
         "seq_entropy_filter": _shipped(_q_seq_entropy),
         "seq_chunking": _shipped(_q_seq_chunking),
         "seq_packing": _shipped(_q_seq_packing),
@@ -1128,6 +1177,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_linestatus": _SQL_PIVOT,
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_ngram_jaccard": _SQL_DOC_JACCARD,
+        "token_transfer_extract": _SQL_TOKEN_TRANSFER,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         # seq_packing: greedy bin packing isn't SQL-expressible (rows-only;

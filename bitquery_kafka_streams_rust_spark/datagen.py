@@ -285,3 +285,70 @@ def write_sequence_batches(
         os.utime(p, (base + b * 10, base + b * 10))
         paths.append(p)
     return paths
+
+
+def token_blocks_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested TokenBlockMessage table (schemas.TOKEN_BLOCKS) derived
+    deterministically from ``documents`` — the P2 extraction input
+    (``parse_token_message_content``, src/consumer.rs:306-346).
+
+    Per block c = doc_id:
+      n_tx = c % 4 transactions; tx j carries (c + j) % 3 transfers;
+      transfer k: amount = c*1000 + j*10 + k, sender NULL iff
+      (c+j+k) % 5 = 0, receiver NULL iff (c+j+k) % 7 = 0, currency NULL
+      iff (c+j+k) % 4 = 0 — exercising every unwrap_or("unknown")
+      branch.  Identical arithmetic in the ``_TOKEN_TRANSFER`` oracle
+      CTE (__spark_entry__.py), so P2 is oracle-checkable end to end.
+      One codegen'd projection; no Python, no shuffle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    c = docs["doc_id"]
+    n_tx = (c % 4).cast("int")
+
+    def _addr(prefix, k):
+        return F.encode(F.concat(F.lit(prefix), (c + k).cast("string")), "utf-8")
+
+    def _transfer(j, k):
+        gate = c + j.cast("long") + k.cast("long")
+        return F.struct(
+            (c * 1000 + j.cast("long") * 10 + k.cast("long")).alias("amount"),
+            F.when(gate % 5 == 0, F.lit(None)).otherwise(
+                F.struct(_addr("s", k.cast("long")).alias("address"))
+            ).alias("sender"),
+            F.when(gate % 7 == 0, F.lit(None)).otherwise(
+                F.struct(_addr("r", k.cast("long")).alias("address"))
+            ).alias("receiver"),
+            F.when(gate % 4 == 0, F.lit(None)).otherwise(
+                F.struct(
+                    F.encode(
+                        F.concat(F.lit("m"), ((c + k.cast("long")) % 100).cast("string")),
+                        "utf-8",
+                    ).alias("mint_address"),
+                    ((c + k.cast("long")) % 10).cast("int").alias("decimals"),
+                )
+            ).alias("currency"),
+        )
+
+    def _tx(j):
+        n_tr = ((c + j.cast("long")) % 3).cast("int")
+        transfers = F.when(n_tr == 0, F.array()).otherwise(
+            F.transform(F.sequence(F.lit(0), n_tr - 1), lambda k: _transfer(j, k))
+        )
+        return F.struct(
+            j.cast("int").alias("idx"),
+            F.encode(
+                F.concat(F.lit("g"), c.cast("string"), F.lit("_"), j.cast("string")),
+                "utf-8",
+            ).alias("signature"),
+            transfers.alias("transfers"),
+        )
+
+    txs = F.when(n_tx == 0, F.array()).otherwise(
+        F.transform(F.sequence(F.lit(0), n_tx - 1), _tx)
+    )
+    return docs.select(
+        c.alias("block_id"),
+        (c * 10).alias("slot"),
+        (F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=c % 86400)).alias("ts"),
+        txs.alias("transactions"),
+    )

@@ -57,6 +57,45 @@ def extract_transaction(blocks: DataFrame) -> DataFrame:
     )
 
 
+def extract_token_transfer(blocks: DataFrame) -> DataFrame:
+    """P2 (``parse_token_message_content``, ``src/consumer.rs:306-346``):
+    first transfer of the first tx WITH transfers → token_transfer event
+    row.  Byte fields (signature, addresses, mint) hex-encoded lowercase
+    like the reference's ``hex::encode``; missing optional sub-structs
+    default to "unknown" / decimals 0 (``:315-327``); amount rendered as
+    a string for precision (``:338``)."""
+    tx = _first(F.col("transactions"), lambda t: F.size(t["transfers"]) > 0)
+    tr = F.try_element_at(F.col("tx.transfers"), F.lit(1))
+
+    def _hex(col: Column) -> Column:
+        return F.lower(F.hex(col))
+
+    return (
+        blocks.select("block_id", "slot", "ts", tx.alias("tx"))
+        .where(F.col("tx").isNotNull())
+        .select(
+            "block_id",
+            "slot",
+            "ts",
+            F.lit("token_transfer").alias("event_type"),
+            _hex(F.col("tx.signature")).alias("signature"),
+            tr.alias("t"),
+        )
+        .select(
+            "block_id",
+            "slot",
+            "ts",
+            "event_type",
+            "signature",
+            _coalesce_unknown(_hex(F.col("t.sender.address"))).alias("from_account"),
+            _coalesce_unknown(_hex(F.col("t.receiver.address"))).alias("to_account"),
+            _coalesce_unknown(_hex(F.col("t.currency.mint_address"))).alias("mint"),
+            F.col("t.amount").cast("string").alias("amount"),
+            F.coalesce(F.col("t.currency.decimals"), F.lit(0)).alias("decimals"),
+        )
+    )
+
+
 def extract_dex_trade(blocks: DataFrame) -> DataFrame:
     """P3 (``parse_dex_message_content``, ``src/consumer.rs:348-413``):
     first trade of the first tx that has trades → dex_trade event row

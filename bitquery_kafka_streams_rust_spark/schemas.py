@@ -93,3 +93,51 @@ BLOCKS = T.StructType(
         T.StructField("transactions", T.ArrayType(_TX), False),
     ]
 )
+
+
+# TokenBlockMessage analog (schemas/token_block_message.proto shape;
+# ``parse_token_message_content``, src/consumer.rs:306-346): binary
+# addresses/signatures (the reference hex-encodes byte fields) and
+# OPTIONAL sender/receiver/currency sub-structs (unwrap_or("unknown")).
+_TRANSFER = T.StructType(
+    [
+        T.StructField("amount", T.LongType(), False),
+        T.StructField(
+            "sender",
+            T.StructType([T.StructField("address", T.BinaryType(), False)]),
+            True,
+        ),
+        T.StructField(
+            "receiver",
+            T.StructType([T.StructField("address", T.BinaryType(), False)]),
+            True,
+        ),
+        T.StructField(
+            "currency",
+            T.StructType(
+                [
+                    T.StructField("mint_address", T.BinaryType(), False),
+                    T.StructField("decimals", T.IntegerType(), False),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_TOKEN_TX = T.StructType(
+    [
+        T.StructField("idx", T.IntegerType(), False),
+        T.StructField("signature", T.BinaryType(), False),
+        T.StructField("transfers", T.ArrayType(_TRANSFER), False),
+    ]
+)
+
+TOKEN_BLOCKS = T.StructType(
+    [
+        T.StructField("block_id", T.LongType(), False),
+        T.StructField("slot", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("transactions", T.ArrayType(_TOKEN_TX), False),
+    ]
+)

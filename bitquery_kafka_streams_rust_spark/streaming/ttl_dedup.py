@@ -62,37 +62,47 @@ class TtlDedupProcessor(StatefulProcessor):
 def ttl_dedup_stream_compat(
     events: DataFrame, key: str = "doc_id", ttl_s: int = 300
 ) -> DataFrame:
-    """Same semantics on the older applyInPandasWithState API with
-    ``ProcessingTimeTimeout`` (works on any state store provider and
-    without the protobuf package — the sandbox-tested implementation):
-    a key's state expires ttl_s after its batch, re-admitting the key."""
+    """Same semantics on the older applyInPandasWithState API (works on
+    any state store provider and without the protobuf package — the
+    sandbox-tested implementation).
+
+    Expiry is LAZY: the state stores the admission processing-time (ms)
+    and the check ``now - admitted > ttl`` happens on the key's next
+    arrival — exactly the reference lookup (``deduplicator.rs:50-75``
+    compares the cached insert timestamp on probe; eviction is cache
+    hygiene, not semantics).  No ``ProcessingTimeTimeout`` timers: a
+    registered timer forces extra empty micro-batches after the input
+    drains, which under ``trigger(availableNow=True)`` kept the query
+    re-scheduling batches indefinitely (the round-1 pytest hang).  The
+    cost of lazy expiry is that a never-revisited key lingers in the
+    store; the production path (``ttl_dedup_stream``, native state TTL
+    on RocksDB) evicts those — this compat path trades that for
+    termination + portability."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     fields = {f.name: f.dataType.simpleString() for f in events.schema.fields}
     out_schema = ", ".join(f"{n} {t}" for n, t in fields.items())
+    ttl_ms = ttl_s * 1000
 
     def fn(key_tuple, pdfs, state):
-        if state.hasTimedOut:
-            state.remove()  # TTL expiry → re-admission (deduplicator.rs:50-75)
-            return
         first = None
         for pdf in pdfs:
             if first is None and len(pdf):
                 first = pdf.iloc[:1]
         if first is None:
             return
-        fresh = not state.exists
-        state.update((True,))
-        state.setTimeoutDuration(ttl_s * 1000)
-        if fresh:
+        now_ms = state.getCurrentProcessingTimeMs()
+        admitted = state.get[0] if state.exists else None
+        if admitted is None or now_ms - admitted > ttl_ms:
+            state.update((now_ms,))  # (re-)admit; TTL restarts from now
             yield first[list(fields)]
 
     return events.groupBy(key).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType="seen boolean",
+        stateStructType="admitted_ms long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

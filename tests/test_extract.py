@@ -94,3 +94,57 @@ def test_value_tiers(spark):
         [(15000.0,), (7000.0,), (2000.0,), (10.0,)], "usd double"
     ).withColumn("tier", EX.value_tier())
     assert [r["tier"] for r in df.collect()] == ["huge", "large", "big", "normal"]
+
+
+# -- P2 token-transfer extraction (consumer.rs:306-346) -----------------------
+
+
+def transfer(amount=1000, sender=b"\x01\x02", receiver=b"\x03\x04", mint=b"\x05", decimals=9):
+    return {
+        "amount": amount,
+        "sender": {"address": sender} if sender is not None else None,
+        "receiver": {"address": receiver} if receiver is not None else None,
+        "currency": {"mint_address": mint, "decimals": decimals} if mint is not None else None,
+    }
+
+
+def token_tx(idx, transfers=()):
+    return {"idx": idx, "signature": f"sig{idx}".encode(), "transfers": list(transfers)}
+
+
+@pytest.fixture(scope="module")
+def token_blocks(spark):
+    from bitquery_kafka_streams_rust_spark.schemas import TOKEN_BLOCKS
+
+    rows = [
+        # first tx has no transfers → the SECOND tx selected; first transfer of it
+        {"block_id": 1, "slot": 10, "ts": T0,
+         "transactions": [token_tx(0), token_tx(1, [transfer(amount=7), transfer(amount=8)])]},
+        # no tx with transfers ⇒ no output row (consumer.rs:345)
+        {"block_id": 2, "slot": 11, "ts": T0, "transactions": [token_tx(0)]},
+        # missing optional sender/receiver/currency ⇒ "unknown" + decimals 0
+        {"block_id": 3, "slot": 12, "ts": T0,
+         "transactions": [token_tx(0, [transfer(sender=None, receiver=None, mint=None)])]},
+    ]
+    return spark.createDataFrame(rows, TOKEN_BLOCKS)
+
+
+def test_token_transfer_first_of_first(token_blocks):
+    out = {r["block_id"]: r for r in EX.extract_token_transfer(token_blocks).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["signature"] == "sig1".encode().hex()  # first tx WITH transfers
+    assert out[1]["amount"] == "7"                       # first transfer, string precision
+    assert out[1]["from_account"] == "0102"
+    assert out[1]["to_account"] == "0304"
+    assert out[1]["mint"] == "05"
+    assert out[1]["decimals"] == 9
+    assert out[1]["event_type"] == "token_transfer"
+
+
+def test_token_transfer_unknown_defaults(token_blocks):
+    out = {r["block_id"]: r for r in EX.extract_token_transfer(token_blocks).collect()}
+    r3 = out[3]
+    assert r3["from_account"] == "unknown"
+    assert r3["to_account"] == "unknown"
+    assert r3["mint"] == "unknown"
+    assert r3["decimals"] == 0

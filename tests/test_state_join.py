@@ -200,12 +200,16 @@ def test_ttl_dedup_compat_first_wins_and_readmission(spark, tmp_path):
         shutil.move(glob.glob(f"{st}/part-*.parquet")[0], f"{in_dir}/b{i}.parquet")
         shutil.rmtree(st)
 
-    def run(tag):
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # parquet sink: the memory sink cannot resume a checkpoint, and
+        # this test restarts the query per batch on one checkpoint
         stream = spark.readStream.schema("k string, batch int").parquet(in_dir)
         q = (
             ttl_dedup_stream_compat(stream, key="k", ttl_s=2)
-            .writeStream.format("memory")
-            .queryName(f"ttlc_{tag}")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
             .outputMode("append")
             .option("checkpointLocation", str(tmp_path / "ck"))
             .trigger(availableNow=True)
@@ -213,12 +217,12 @@ def test_ttl_dedup_compat_first_wins_and_readmission(spark, tmp_path):
         )
         q.processAllAvailable()
         q.stop()
-        return spark.sql(f"SELECT * FROM ttlc_{tag}").count()
+        return spark.read.schema("k string, batch int").parquet(out_dir).count()
 
     write_batch(0)
-    assert run("a") == 3      # first sighting
+    assert run() == 3      # first sighting
     write_batch(1)
-    assert run("b") == 0      # within TTL → suppressed
+    assert run() == 3      # within TTL → suppressed (no new rows)
     _time.sleep(3)
     write_batch(2)
-    assert run("c") == 3      # TTL expired → re-admitted
+    assert run() == 6      # TTL expired → re-admitted

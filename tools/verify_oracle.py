@@ -83,6 +83,16 @@ def main() -> int:
         elif len(s) != len(o):
             status, why = "FAIL", f"rows spark={len(s)} oracle={len(o)}"
         else:
+            # the driver's value hash is dtype-sensitive: a DuckDB HUGEINT
+            # (object/float64) vs a Spark int64 hashes differently even when
+            # values are equal — flag kind mismatches, not just value diffs
+            for c in s.columns:
+                sk, ok_ = s[c].dtype.kind, o[c].dtype.kind
+                if sk != ok_ and not ({sk, ok_} <= {"O", "U"}) and len(s) > 0:
+                    status = "FAIL"
+                    why = f"col {c}: dtype kind spark={s[c].dtype} oracle={o[c].dtype}"
+                    break
+        if status == "OK  ":
             for c in s.columns:
                 sv, ov = s[c].tolist(), o[c].tolist()
                 bad = [
