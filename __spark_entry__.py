@@ -902,9 +902,14 @@ FROM documents
 
 def _q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (string grams for the oracle;
-    the scale path hashes grams — operators/dedup.py)."""
+    the scale path hashes grams — operators/dedup.py).  The DF cap of 50
+    prunes stop-grams before the self-join (quadratic hot-key guard at
+    100 TB); the fixture's max gram DF is 7, so pairs are unchanged,
+    and the oracle mirrors the cap exactly."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = DD.ngram_jaccard_pairs(docs, threshold=0.3, hash_grams=False)
+    out = DD.ngram_jaccard_pairs(
+        docs, threshold=0.3, hash_grams=False, max_gram_doc_freq=50
+    )
     return out.select("id_a", "id_b", "jaccard")
 
 
@@ -918,9 +923,11 @@ WITH g AS (
                                                i + 1, i + 3), ' ')) END)) AS gr
   FROM documents
 ), sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+rare AS (SELECT gr FROM g GROUP BY gr HAVING count(*) <= 50),
+gj AS (SELECT g.* FROM g JOIN rare USING (gr)),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM g a JOIN g b ON a.gr = b.gr AND a.id < b.id GROUP BY 1, 2
+  FROM gj a JOIN gj b ON a.gr = b.gr AND a.id < b.id GROUP BY 1, 2
 )
 SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
@@ -1070,37 +1077,217 @@ FROM ch
 
 
 def _q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing into 2048-token bins per source
-    (NP-hard globally; deterministic group-local greedy — no SQL
-    oracle, reference implementation pinned in pytest)."""
+    """Greedy sequence packing into 2048-token bins per (source,
+    salt-bucket) — bounded pandas groups (the 100 TB default; the hot
+    source never lands in one task).  The salt is a portable polynomial
+    hash of doc_id, and the greedy first-fit itself is replayed by a
+    DuckDB recursive CTE, so the operator is fully oracle-checked."""
+    from bitquery_kafka_streams_rust_spark.functions.text import rolling_hash
     from bitquery_kafka_streams_rust_spark.operators.packing import pack_sequences
 
     seq = _seq(spark, sf_dir)
-    bins = pack_sequences(seq, context_len=2048)
+    bins = pack_sequences(
+        seq, context_len=2048, salt_buckets=8, salt_expr=rolling_hash(F.col("doc_id"))
+    )
     return bins.select(
-        "source", "bin_idx", F.size("doc_ids").alias("n_docs"), "total_tok",
-        F.round("fill_ratio", 6).alias("fill_ratio")
-    ).orderBy("source", "bin_idx")
+        "source",
+        "bucket",
+        "bin_idx",
+        F.size("doc_ids").alias("n_docs"),
+        "total_tok",
+        F.round("fill_ratio", 6).alias("fill_ratio"),
+        F.array_join("doc_ids", ",").alias("doc_list"),
+    ).orderBy("source", "bucket", "bin_idx")
+
+
+# DuckDB replay of greedy first-fit: one recursive step per doc in
+# (ts, doc_id) order per (source, bucket) group, carrying the bin fill
+# vector + per-bin doc lists as list-typed state.
+_SQL_SEQ_PACKING = (
+    _SEQ.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, elig AS (
+  SELECT source,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(doc_id, ''), c -> CAST(ascii(c) AS BIGINT))),
+              (acc, x) -> (acc * 257 + x) % 1000000007) % 8 AS INTEGER) AS bucket,
+         doc_id, CAST(n_tok AS BIGINT) AS n_tok, ts
+  FROM seq WHERE n_tok > 0 AND n_tok <= 2048
+), ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY source, bucket ORDER BY ts, doc_id) AS rn
+  FROM elig
+), grp AS (SELECT source, bucket, max(rn) AS total FROM ordered GROUP BY 1, 2
+), pack AS (
+  SELECT source, bucket, CAST(0 AS BIGINT) AS step,
+         CAST([] AS BIGINT[]) AS fills, CAST([] AS VARCHAR[][]) AS bins
+  FROM grp
+  UNION ALL
+  SELECT p.source, p.bucket, p.step + 1,
+         CASE WHEN list_filter(range(1, len(p.fills) + 1),
+                   i -> p.fills[CAST(i AS INTEGER)] + d.n_tok <= 2048)[1] IS NULL
+              THEN list_append(p.fills, d.n_tok)
+              ELSE list_transform(range(1, len(p.fills) + 1),
+                   i -> CASE WHEN i = list_filter(range(1, len(p.fills) + 1),
+                                  j -> p.fills[CAST(j AS INTEGER)] + d.n_tok <= 2048)[1]
+                             THEN p.fills[CAST(i AS INTEGER)] + d.n_tok
+                             ELSE p.fills[CAST(i AS INTEGER)] END) END,
+         CASE WHEN list_filter(range(1, len(p.fills) + 1),
+                   i -> p.fills[CAST(i AS INTEGER)] + d.n_tok <= 2048)[1] IS NULL
+              THEN list_append(p.bins, [d.doc_id])
+              ELSE list_transform(range(1, len(p.bins) + 1),
+                   i -> CASE WHEN i = list_filter(range(1, len(p.fills) + 1),
+                                  j -> p.fills[CAST(j AS INTEGER)] + d.n_tok <= 2048)[1]
+                             THEN list_append(p.bins[CAST(i AS INTEGER)], d.doc_id)
+                             ELSE p.bins[CAST(i AS INTEGER)] END) END
+  FROM pack p
+  JOIN ordered d ON d.source = p.source AND d.bucket = p.bucket AND d.rn = p.step + 1
+), final AS (
+  SELECT p.* FROM pack p
+  JOIN grp g ON p.source = g.source AND p.bucket = g.bucket AND p.step = g.total
+)
+SELECT source, bucket, CAST(b - 1 AS BIGINT) AS bin_idx,
+       CAST(len(bins[CAST(b AS INTEGER)]) AS INTEGER) AS n_docs,
+       fills[CAST(b AS INTEGER)] AS total_tok,
+       round(fills[CAST(b AS INTEGER)] / 2048.0, 6) AS fill_ratio,
+       array_to_string(bins[CAST(b AS INTEGER)], ',') AS doc_list
+FROM final, LATERAL unnest(range(1, len(fills) + 1)) AS t(b)
+ORDER BY source, bucket, bin_idx
+"""
+)
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (xxhash64-based — no SQL oracle;
-    driver records a rows-only check; semantics pytest-verified)."""
+    """MinHash+LSH near-dup pairs, portable-hash variant (polynomial
+    shingle/band hashes → the identical pipeline runs as the DuckDB
+    oracle; the xxhash64 scale path keeps its own pytest)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return DD.minhash_lsh_pairs(docs, threshold=0.4).orderBy("id_a", "id_b")
+    return DD.minhash_lsh_pairs(docs, threshold=0.4, portable=True).orderBy("id_a", "id_b")
+
+
+# char-5-shingle polynomial hashes → 64 minhashes (one aggregate pass)
+# → 16 bands × 4 rows → band-hash equi-join → signature-similarity verify;
+# mirrors operators/dedup.py minhash_lsh_pairs(portable=True) term for term
+_SQL_MINHASH = """
+WITH cs AS (
+  SELECT doc_id AS id,
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+         length(text) AS n
+  FROM documents
+), sh AS (
+  SELECT id, list_distinct(
+      CASE WHEN n < 5 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                            (a, x) -> (a * 313 + x) % 2147483647)]
+      ELSE list_transform(range(1, n - 3),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_slice(codes, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER))),
+                (a, x) -> (a * 313 + x) % 2147483647)) END) AS sset
+  FROM cs
+), sig AS (
+  SELECT id, list_transform(range(0, 64),
+      j -> list_min(list_transform(sset,
+           x -> (x * (2654435761 + j * 40503) + j * 7919 + 7) % 4294967311))) AS sg
+  FROM sh
+), banded AS (
+  SELECT id, sg, band,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_slice(sg, CAST(band * 4 + 1 AS INTEGER), CAST(band * 4 + 4 AS INTEGER))),
+             (a, x) -> (a * 1000003 + x) % 2147483647) AS bh
+  FROM sig, LATERAL unnest(range(0, 16)) AS t(band)
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.sg) AS sig_a, any_value(b.sg) AS sig_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+  GROUP BY 1, 2
+), est AS (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN sig_a[CAST(i AS INTEGER)] = sig_b[CAST(i AS INTEGER)]
+                  THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard
+  FROM cand
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b
+"""
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check; pytest-verified)."""
+    """SimHash near-dup pairs, portable 32-bit variant (oracle-checked;
+    the 64-bit xxhash64 scale path keeps its own pytest)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return DD.simhash_near_dups(docs, max_hamming=6).orderBy("id_a", "id_b")
+    return DD.simhash_near_dups(docs, max_hamming=6, portable=True).orderBy("id_a", "id_b")
+
+
+# 32-bit simhash from polynomial shingle hashes (bit b = universal hash
+# parity), 4 × 8-bit chunk blocking, bit_count(xor) verify — the exact
+# plan of simhash_near_dups(portable=True)
+_SQL_SIMHASH = """
+WITH cs AS (
+  SELECT doc_id AS id,
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+         length(text) AS n
+  FROM documents
+), sh AS (
+  SELECT id, list_distinct(
+      CASE WHEN n < 5 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                            (a, x) -> (a * 313 + x) % 2147483647)]
+      ELSE list_transform(range(1, n - 3),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_slice(codes, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER))),
+                (a, x) -> (a * 313 + x) % 2147483647)) END) AS sset
+  FROM cs
+), fp AS (
+  SELECT id, CAST(list_sum(list_transform(range(0, 32), b ->
+      CASE WHEN list_sum(list_transform(sset,
+               x -> CASE WHEN (x * (2654435761 + b * 40503) + b * 7919 + 3) % 2147483647 % 2 = 1
+                    THEN 1 ELSE -1 END)) > 0
+           THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE CAST(0 AS BIGINT) END))
+      AS BIGINT) AS sh32
+  FROM sh
+), chunks AS (
+  SELECT id, sh32, c, (sh32 >> CAST(c * 8 AS INTEGER)) & 255 AS chunk
+  FROM fp, LATERAL unnest(range(0, 4)) AS t(c)
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.sh32, b.sh32)) AS BIGINT) AS hamming
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b
+"""
 
 
 def _q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN (rows-only; recall pytest-bounded)."""
+    """LSH-bucketed approximate NN.  The hyperplane signature is a
+    deterministic ±1000 integer lattice (similarity.py:63-85) — pure
+    portable arithmetic, so the whole approximate index is replayed by
+    the DuckDB oracle (recall vs exact top-k is pytest-bounded)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 5)
     return SIM.lsh_topk(emb, q, k=5, n_planes=6).orderBy("q_id", "rank")
+
+
+_SQL_EMB_LSH = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(0, 6), j ->
+             CASE WHEN list_sum(list_transform(range(0, len(v)),
+                      d -> v[CAST(d + 1 AS INTEGER)] *
+                           CAST((j * 1000003 + d * 7919) % 2001 - 1000 AS DOUBLE))) > 0
+                  THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE CAST(0 AS BIGINT) END))
+         AS BIGINT) AS bucket
+  FROM e
+),
+q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM sig WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         round(list_dot_product(q.q_vec, c.v) /
+               (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cos_sim
+  FROM sig c JOIN q USING (bucket) WHERE q.q_id <> c.vec_id
+)
+SELECT q_id, c_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY q_id, rank
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1180,11 +1367,10 @@ def oracle_sql() -> dict[str, str]:
         "token_transfer_extract": _SQL_TOKEN_TRANSFER,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
-        # seq_packing: greedy bin packing isn't SQL-expressible (rows-only;
-        # reference algorithm pinned in tests/test_packing.py)
+        "seq_packing": _SQL_SEQ_PACKING,
         "mm_feature_extract": _SQL_MM_FEATURES,
         "mm_frame_sample": _SQL_MM_FRAMES,
-        # minhash_lsh_pairs / simhash_pairs / emb_lsh_ann intentionally
-        # omitted: xxhash64/LSH aren't expressible in the oracle engine;
-        # driver records rows-only, pytest pins semantics
+        "minhash_lsh_pairs": _SQL_MINHASH,
+        "simhash_pairs": _SQL_SIMHASH,
+        "emb_lsh_ann": _SQL_EMB_LSH,
     }

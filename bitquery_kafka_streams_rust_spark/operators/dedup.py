@@ -51,39 +51,79 @@ def dedup_within_window(
 # ---------------------------------------------------------------------------
 
 _H_PRIME = 4294967311  # > 2^32, standard MinHash universal-hash modulus
+_P31 = 2147483647  # portable-hash modulus (int64-safe in Spark AND DuckDB)
 
 
-def _shingles(text: Column, k: int = 5) -> Column:
-    """Character k-shingle hashes as array<long> (distinct)."""
-    n = F.length(text)
-    sh = F.when(n < k, F.array(F.xxhash64(text))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.xxhash64(text.substr(i, F.lit(k))),
-        )
+def _char_codes(text: Column) -> Column:
+    """Character code points as array<long> (portable: ascii() agrees
+    across Spark and DuckDB for the fixture's ASCII corpus)."""
+    chars = F.filter(F.split(text, ""), lambda c: F.length(c) > 0)
+    return F.transform(chars, lambda c: F.ascii(c).cast("long"))
+
+
+def _poly_hash(arr: Column, base: int = 313, mod: int = _P31) -> Column:
+    """Horner fold (init 0) — DuckDB twin is
+    list_reduce(list_prepend(0, arr), (a,x) -> (a*base + x) % mod)."""
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda a, x: (a * base + x) % F.lit(mod)
     )
+
+
+def _shingles(text: Column, k: int = 5, portable: bool = False) -> Column:
+    """Character k-shingle hashes as array<long> (distinct).
+
+    ``portable=False`` (the 100 TB default) hashes with xxhash64;
+    ``portable=True`` uses a polynomial hash over char codes so the
+    identical shingle set is computable in the DuckDB oracle."""
+    n = F.length(text)
+    if portable:
+        codes = _char_codes(text)
+        sh = F.when(n < k, F.array(_poly_hash(codes))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: _poly_hash(F.slice(codes, i, F.lit(k))),
+            )
+        )
+    else:
+        sh = F.when(n < k, F.array(F.xxhash64(text))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+            )
+        )
     return F.array_distinct(sh)
 
 
-def minhash_signature(text: Column, num_hashes: int = 64) -> Column:
+def minhash_signature(text: Column, num_hashes: int = 64, portable: bool = False) -> Column:
     """MinHash signature as array<long>[num_hashes].
 
     h_j(x) = (a_j * x + b_j) mod PRIME with deterministic (a_j, b_j).
     Computed as ONE aggregate pass over the shingle set with a
     num_hashes-wide min accumulator (a 64-pass formulation builds an
-    expression tree too large for codegen and runs ~50x slower)."""
-    sh = _shingles(text)
+    expression tree too large for codegen and runs ~50x slower).
+
+    The portable path uses LARGE multipliers (2654435761 + 40503·j):
+    its inputs are 31-bit polynomial hashes, and with small multipliers
+    ``x·a_j`` often doesn't wrap the ~2^32 modulus, leaving the
+    "permutation" order-preserving — every h_j picks the same small
+    shingle and signatures collapse.  2^31 × max(a_j) ≈ 5.7e18 stays
+    int64-safe in both Spark and DuckDB.  The xxhash64 path keeps the
+    small-multiplier family: its x already spans 64 bits (and a large
+    multiplier would overflow there)."""
+    sh = _shingles(text, portable=portable)
     js = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     init = F.transform(js, lambda j: F.lit(_H_PRIME).cast("long"))
+    if portable:
+        perm = lambda x, j: (x * (F.lit(2654435761) + j * 40503) + j * 7919 + 7) % _H_PRIME
+    else:
+        perm = lambda x, j: ((x % _H_PRIME) * (j * 2 + 1) + j * 40503 + 7) % _H_PRIME
     return F.aggregate(
         sh,
         init,
         lambda acc, x: F.zip_with(
             acc,
             js,
-            lambda a, j: F.least(
-                a, ((x % _H_PRIME) * (j * 2 + 1) + j * 40503 + 7) % _H_PRIME
-            ),
+            lambda a, j: F.least(a, perm(x, j)),
         ),
     )
 
@@ -95,6 +135,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     similarity ≥ threshold.
@@ -103,10 +144,17 @@ def minhash_lsh_pairs(
     ``bands`` rows (×16) → shuffle on (band, band_hash) equi-join →
     per-pair verify (narrow).  No cross join anywhere; the band join's
     key cardinality grows with data so it parallelizes across the
-    cluster."""
+    cluster.  ``portable=True`` swaps xxhash64 for polynomial hashes so
+    the whole operator has a DuckDB oracle twin."""
     rows_per_band = num_hashes // bands
+    band_hash = (
+        (lambda sl: _poly_hash(sl, base=1000003))
+        if portable
+        else (lambda sl: F.xxhash64(sl.cast("string")))
+    )
     sig = docs.select(
-        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), num_hashes).alias("sig")
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, portable=portable).alias("sig"),
     )
     banded = sig.select(
         "id",
@@ -114,8 +162,8 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast("string")
+                lambda b: band_hash(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
                 ),
             )
         ).alias("band", "band_hash"),
@@ -143,26 +191,41 @@ def minhash_lsh_pairs(
     return cand.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over character 5-shingles, JVM-side.
+def simhash(text: Column, bits: int = 64, portable: bool = False) -> Column:
+    """SimHash over character 5-shingles, JVM-side.
 
     For each bit b: sign(sum over shingles of ±1 by shingle-hash bit b).
     ONE aggregate pass with a bits-wide counter accumulator (not one
     aggregate per bit — that expression tree defeats codegen), then the
-    counters fold into the fingerprint long."""
-    sh = _shingles(text)
+    counters fold into the fingerprint long.
+
+    ``portable=True`` derives bit b from a per-bit universal hash of the
+    polynomial shingle hash (``((x*(2b+1) + b*7919 + 3) % 2^31-1) % 2``)
+    instead of xxhash64's bit b — identical arithmetic runs in DuckDB,
+    making the operator oracle-checkable (use bits ≤ 32 there so the
+    fingerprint stays non-negative in BIGINT)."""
+    sh = _shingles(text, portable=portable)
     bs = F.sequence(F.lit(0), F.lit(bits - 1))
     init = F.transform(bs, lambda b: F.lit(0).cast("long"))
+    if portable:
+        # large multipliers for the same reason as minhash_signature's
+        # portable family: 31-bit x × small odd a barely wraps the modulus,
+        # making bit parities correlate across b
+        bit_of = (
+            lambda x, b: (x * (F.lit(2654435761) + b * 40503) + b * 7919 + 3)
+            % F.lit(_P31) % 2 == 1
+        )
+    else:
+        bit_of = lambda x, b: (
+            F.call_function("shiftright", x, b.cast("int")).bitwiseAND(F.lit(1)) == 1
+        )
     counters = F.aggregate(
         sh,
         init,
         lambda acc, x: F.zip_with(
             acc,
             bs,
-            lambda a, b: a
-            + F.when(
-                F.call_function("shiftright", x, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
+            lambda a, b: a + F.when(bit_of(x, b), 1).otherwise(-1),
         ),
     )
     return F.aggregate(
@@ -179,26 +242,40 @@ def simhash(text: Column, bits: int = 64) -> Column:
 
 
 def simhash_near_dups(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
-    Hamming 3 shares at least one exact chunk) → equi-join per chunk →
-    verify with bit_count(xor)."""
-    sig = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    Scale path: block on 4 equal-width bit chunks (pigeonhole: any pair
+    within Hamming 3 shares at least one exact chunk) → equi-join per
+    chunk → verify with bit_count(xor).  ``portable=True`` uses the
+    32-bit polynomial-hash simhash (4 × 8-bit chunks) so the identical
+    pairs come out of the DuckDB oracle."""
+    bits = 32 if portable else 64
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits=bits, portable=portable).alias("sh"),
+    )
     chunks = sig.select(
         "id",
         "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.call_function("shiftright", F.col("sh"), c.cast("int") * 16).bitwiseAND(F.lit(0xFFFF)),
+                lambda c: F.call_function(
+                    "shiftright", F.col("sh"), c.cast("int") * chunk_bits
+                ).bitwiseAND(F.lit(mask)),
             )
         ).alias("chunk_idx", "chunk"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("long")
     return (
         a.join(
             b,
@@ -219,6 +296,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hash_grams: bool = True,
+    max_gram_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word n-gram Jaccard similarity for candidate pairs.
 
@@ -227,7 +305,15 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|-|A∩B| — set algebra, no per-pair array shipping.
     ``hash_grams=True`` (the scale path) joins on xxhash64 of the gram —
     8 bytes instead of strings; False keeps raw gram strings (portable
-    to SQL oracles)."""
+    to SQL oracles).
+
+    ``max_gram_doc_freq`` caps a gram's document frequency before the
+    self-join: a stop-gram shared by d docs produces d·(d-1)/2 join rows,
+    so ONE gram in a million docs is a quadratic hot key at 100 TB.
+    Grams above the cap are dropped from the inverted index (standard
+    DF-cap pruning; denominators keep the full gram sets, so capped
+    Jaccard is a lower bound and pairs below threshold only by a capped
+    stop-gram are the accepted approximation)."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     mk = (
         (lambda c: F.xxhash64(c))
@@ -248,7 +334,16 @@ def ngram_jaccard_pairs(
         ).alias("g"),
     )
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
+    joinable = grams
+    if max_gram_doc_freq is not None:
+        rare = (
+            grams.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_gram_doc_freq)
+            .select("g")
+        )
+        joinable = grams.join(rare, "g", "left_semi")
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

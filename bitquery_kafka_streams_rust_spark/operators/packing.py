@@ -75,9 +75,11 @@ def pack_greedy(pdf: pd.DataFrame, context_len: int) -> pd.DataFrame:
             bins_fill.append(n)
             bins_docs.append([doc_id])
     src = pdf["source"].iloc[0] if len(pdf) else None
+    bucket = int(pdf["_bucket"].iloc[0]) if "_bucket" in pdf.columns and len(pdf) else 0
     return pd.DataFrame(
         {
             "source": [src] * len(bins_fill),
+            "bucket": [bucket] * len(bins_fill),
             "bin_idx": range(len(bins_fill)),
             "doc_ids": bins_docs,
             "total_tok": bins_fill,
@@ -86,22 +88,42 @@ def pack_greedy(pdf: pd.DataFrame, context_len: int) -> pd.DataFrame:
     )
 
 
+PACK_SCHEMA = (
+    "source string, bucket int, bin_idx long, doc_ids array<string>, "
+    "total_tok long, fill_ratio double"
+)
+
+
 def pack_sequences(
-    seq: DataFrame, context_len: int = 2048, salt_buckets: int | None = None
+    seq: DataFrame,
+    context_len: int = 2048,
+    salt_buckets: int | str | None = "auto",
+    salt_expr=None,
+    target_group_docs: int = 100_000,
 ) -> DataFrame:
-    """Greedy packing per source (optionally per (source, salt-bucket)
-    for hot keys — packing quality is unaffected since bins are
-    group-local anyway)."""
-    keys = ["source"]
+    """Greedy packing per (source, salt-bucket).
+
+    Packing quality is unaffected by salting since bins are group-local
+    anyway, but group SIZE is the scale hazard: ``applyInPandas``
+    materializes one whole group per task, so a 60%-hot source at 10^12
+    rows would be one executor-killing pandas frame.  The DEFAULT is
+    therefore bounded groups: ``salt_buckets="auto"`` counts the input
+    and picks ceil(n / target_group_docs) buckets (1 at test scale — the
+    historical per-source behavior — growing with the data so no group
+    ever exceeds ~target_group_docs docs).  Pass an int to pin the
+    bucket count, None to force unsalted (only safe for bounded inputs),
+    or ``salt_expr`` (a Column over doc_id → non-negative long) to make
+    the bucket assignment portable to a SQL oracle."""
     df = seq.select("doc_id", "n_tok", "source", "ts")
-    if salt_buckets:
+    if salt_buckets == "auto":
+        salt_buckets = min(max(-(-df.count() // target_group_docs), 1), 4096)
+    keys = ["source"]
+    if salt_buckets and salt_buckets > 1:
+        bucket = salt_expr if salt_expr is not None else F.xxhash64("doc_id")
         df = df.withColumn(
-            "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)).cast("int")
+            "_bucket", F.pmod(bucket, F.lit(salt_buckets)).cast("int")
         )
         keys = ["source", "_bucket"]
-    schema = (
-        "source string, bin_idx long, doc_ids array<string>, total_tok long, fill_ratio double"
-    )
     return df.groupBy(*keys).applyInPandas(
-        lambda pdf: pack_greedy(pdf, context_len), schema=schema
+        lambda pdf: pack_greedy(pdf, context_len), schema=PACK_SCHEMA
     )

@@ -200,18 +200,17 @@ def test_ttl_dedup_compat_first_wins_and_readmission(spark, tmp_path):
         shutil.move(glob.glob(f"{st}/part-*.parquet")[0], f"{in_dir}/b{i}.parquet")
         shutil.rmtree(st)
 
-    out_dir = str(tmp_path / "out")
-
-    def run():
+    def run(ttl_s, name):
         # parquet sink: the memory sink cannot resume a checkpoint, and
         # this test restarts the query per batch on one checkpoint
+        out_dir = str(tmp_path / f"out_{name}")
         stream = spark.readStream.schema("k string, batch int").parquet(in_dir)
         q = (
-            ttl_dedup_stream_compat(stream, key="k", ttl_s=2)
+            ttl_dedup_stream_compat(stream, key="k", ttl_s=ttl_s)
             .writeStream.format("parquet")
             .option("path", out_dir)
             .outputMode("append")
-            .option("checkpointLocation", str(tmp_path / "ck"))
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
             .trigger(availableNow=True)
             .start()
         )
@@ -219,10 +218,16 @@ def test_ttl_dedup_compat_first_wins_and_readmission(spark, tmp_path):
         q.stop()
         return spark.read.schema("k string, batch int").parquet(out_dir).count()
 
+    # suppression: TTL far larger than any restart overhead, so the
+    # second batch is unambiguously within the window
     write_batch(0)
-    assert run() == 3      # first sighting
+    assert run(3600, "a") == 3   # first sighting
     write_batch(1)
-    assert run() == 3      # within TTL → suppressed (no new rows)
-    _time.sleep(3)
+    assert run(3600, "a") == 3   # within TTL → suppressed (no new rows)
+
+    # re-admission: tiny TTL on a fresh checkpoint; both existing batches
+    # land in one run (one admission per key), then we sleep past the TTL
+    assert run(1, "b") == 3
+    _time.sleep(2.5)
     write_batch(2)
-    assert run() == 6      # TTL expired → re-admitted
+    assert run(1, "b") == 6      # TTL expired → re-admitted
