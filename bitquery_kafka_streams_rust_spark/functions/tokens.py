@@ -14,7 +14,14 @@ count the drops, exactly the reference's log-count-commit-continue.
 
 from __future__ import annotations
 
+import gzip
+import struct
 import zlib
+
+try:  # optional — not in every deployment; decode falls back to poison-pill
+    import lz4.block as _lz4_block
+except ImportError:  # pragma: no cover - sandbox has no lz4
+    _lz4_block = None
 
 import numpy as np
 import pandas as pd
@@ -109,6 +116,43 @@ def encode_tokens(tokens: pd.Series) -> pd.Series:
     return tokens.map(enc)
 
 
+# LZ4 wire format mirrors the reference's size-prepended blocks
+# (``src/core/utils/compression.rs:17-40``): 4-byte LE uncompressed size,
+# then an LZ4 block.  Magic-free, so it gets its own sniff order below.
+_LZ4_PREFIX = b"\x04\x22\x4d\x18"  # LZ4 frame magic used as our envelope tag
+
+
+@F.pandas_udf(T.BinaryType())
+def encode_tokens_gzip(tokens: pd.Series) -> pd.Series:
+    """Fixture-side gzip encoder (0x1f 0x8b wire), mirroring the
+    reference's gzip branch (``compression.rs:141-169``)."""
+
+    def enc(arr) -> bytes:
+        raw = np.asarray(arr, dtype="<i4").tobytes()
+        return gzip.compress(raw, compresslevel=1, mtime=0)
+
+    return tokens.map(enc)
+
+
+@F.pandas_udf(T.BinaryType())
+def encode_tokens_lz4(tokens: pd.Series) -> pd.Series:
+    """Fixture-side LZ4 encoder: magic ∥ LE-size ∥ lz4-block, the
+    reference's size-prepended layout (``compression.rs:17-40``).
+    Raises if the optional lz4 lib is absent (encode is test-only)."""
+    if _lz4_block is None:  # pragma: no cover - sandbox has no lz4
+        raise RuntimeError("lz4 library not available")
+
+    def enc(arr) -> bytes:
+        raw = np.asarray(arr, dtype="<i4").tobytes()
+        return (
+            _LZ4_PREFIX
+            + struct.pack("<I", len(raw))
+            + _lz4_block.compress(raw, store_size=False)
+        )
+
+    return tokens.map(enc)
+
+
 @F.pandas_udf(T.DoubleType())
 def token_entropy(tokens: pd.Series) -> pd.Series:
     """Shannon entropy (nats) of each row's token distribution —
@@ -138,7 +182,20 @@ def decode_tokens(payload: pd.Series) -> pd.Series:
         if b is None:
             return None
         try:
-            if len(b) >= 2 and b[0] == 0x78 and b[1] in (0x01, 0x5E, 0x9C, 0xDA):
+            if len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
+                # gzip magic (compression.rs:141-169); unlike zlib this
+                # magic can't start a raw int32 stream we emit (0x8b1f
+                # would need token ≡ 0x...8b1f patterns AND a valid gzip
+                # header), so failure here is a poison pill, not fallback
+                b = gzip.decompress(bytes(b))
+            elif b[:4] == _LZ4_PREFIX:
+                # size-prepended LZ4 (compression.rs:17-40).  Without the
+                # lz4 lib a tagged payload is undecodable → poison pill.
+                if _lz4_block is None or len(b) < 8:
+                    return None
+                (usize,) = struct.unpack("<I", bytes(b[4:8]))
+                b = _lz4_block.decompress(bytes(b[8:]), uncompressed_size=usize)
+            elif len(b) >= 2 and b[0] == 0x78 and b[1] in (0x01, 0x5E, 0x9C, 0xDA):
                 # zlib magic sniff; a RAW payload can start with these
                 # bytes too (first token ≡ 120 mod 256), so failure falls
                 # back to raw — the reference's decompress_safe fallback

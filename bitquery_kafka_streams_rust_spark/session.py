@@ -55,6 +55,18 @@ def get_spark(
             # size via env; override per-job with shuffle_partitions=
             shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
 
+    # Token-array rows expand ~10-30x from parquet to in-memory arrays, so
+    # the default 128 MB scan split yields multi-GB per-task batches whose
+    # GC cost grows superlinearly (measured: the decode stage ran 4x faster
+    # at 16 MB splits on the SAME cores — scripts/profile_checksum.py).
+    # 32 MB keeps per-task memory bounded while staying coarse enough that
+    # a 100 TB table is ~3M tasks; override per-deployment via env.
+    max_part = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024))
+    open_cost = os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(1024 * 1024))
+    state_provider = os.environ.get(
+        "SPARK_GRAFT_STATE_PROVIDER",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -66,10 +78,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", max_part)
+        .config("spark.sql.files.openCostInBytes", open_cost)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.streaming.stateStore.providerClass",
-                "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+        # RocksDB state store: streaming state (dedup keys, join buffers)
+        # lives off-heap and spills to disk — at 10^12-row state the
+        # HDFSBacked provider's whole-map-in-heap model OOMs, and its
+        # per-commit full-delta rewrite dominated epoch time in profiling
+        .config("spark.sql.streaming.stateStore.providerClass", state_provider)
+        # changelog checkpointing: commit ships the per-batch changelog
+        # instead of re-uploading whole SST files every epoch
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

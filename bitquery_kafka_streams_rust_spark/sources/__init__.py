@@ -90,12 +90,24 @@ def decode_protobuf(raw: DataFrame, message_name: str, descriptor_file: str) -> 
         from pyspark.sql.protobuf.functions import from_protobuf
     except ImportError as e:  # pragma: no cover
         raise RuntimeError("spark protobuf module unavailable") from e
-    decoded = raw.withColumn(
-        "msg",
-        from_protobuf(F.col("value"), message_name, descFilePath=descriptor_file,
-                      options={"mode": "PERMISSIVE"}),
-    )
-    return decoded.where(F.col("msg").isNotNull())
+    try:
+        decoded = raw.withColumn(
+            "msg",
+            from_protobuf(F.col("value"), message_name, descFilePath=descriptor_file,
+                          options={"mode": "PERMISSIVE"}),
+        )
+        return decoded.where(F.col("msg").isNotNull())
+    except Exception as e:
+        if "PROTOBUF_NOT_LOADED" in str(e):
+            # the spark-protobuf connector jar is a separate module not on
+            # this classpath; production runs add
+            # --packages org.apache.spark:spark-protobuf_2.13:<ver>
+            raise RuntimeError(
+                "spark-protobuf jar not on classpath; launch with "
+                "--packages org.apache.spark:spark-protobuf_2.13 or use "
+                "decoded_token_stream for binary token payloads"
+            ) from e
+        raise
 
 
 def decoded_token_stream(raw: DataFrame) -> DataFrame:

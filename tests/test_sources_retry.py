@@ -55,6 +55,41 @@ def test_decoded_token_stream_poison_pills(spark):
     assert out[0]["doc_id"] == "doc1" and out[0]["tokens"] == [5, 6, 7] and out[0]["n_tok"] == 3
 
 
+def _minimal_descriptor_set() -> bytes:
+    """Hand-encoded FileDescriptorSet for `message Seq { int64 slot = 1;
+    bytes payload = 2; }` — protobuf wire format by hand so the test
+    needs no protoc/google.protobuf (neither is in this sandbox).
+    Mirrors the BlockMessage shape of reference src/consumer.rs:213-230."""
+
+    def ld(tag, payload):
+        return bytes([tag, len(payload)]) + payload
+
+    f_slot = ld(0x0A, b"slot") + bytes([0x18, 1, 0x20, 1, 0x28, 3])
+    f_payl = ld(0x0A, b"payload") + bytes([0x18, 2, 0x20, 1, 0x28, 12])
+    msg = ld(0x0A, b"Seq") + ld(0x12, f_slot) + ld(0x12, f_payl)
+    fdp = ld(0x0A, b"test.proto") + ld(0x22, msg) + ld(0x62, b"proto3")
+    return ld(0x0A, fdp)
+
+
+def test_decode_protobuf_d4(spark, tmp_path):
+    """D4 (consumer.rs:213-230): full decode when the spark-protobuf jar
+    is on the classpath; a clear, actionable RuntimeError when it is not
+    (this sandbox ships no spark-protobuf_2.13 jar — documented gap)."""
+    desc = tmp_path / "seq.desc"
+    desc.write_bytes(_minimal_descriptor_set())
+    # Seq{slot=7, payload=0x0102} on the wire: 08 07 12 02 01 02
+    df = spark.createDataFrame(
+        [(bytearray(b"\x08\x07\x12\x02\x01\x02"),)], "value binary"
+    )
+    try:
+        out = SRC.decode_protobuf(df, "Seq", str(desc))
+    except RuntimeError as e:
+        assert "spark-protobuf jar not on classpath" in str(e)
+        return
+    rows = out.select("msg.slot", "msg.payload").collect()
+    assert rows[0]["slot"] == 7 and bytes(rows[0]["payload"]) == b"\x01\x02"
+
+
 def test_retry_sink_succeeds_after_k(spark):
     """retry.rs:138-264 semantics: success after k transient failures;
     delay grows by the multiplier and caps."""

@@ -90,6 +90,42 @@ def test_codec_poison_pills(spark):
     assert out["null"] is None
 
 
+def test_codec_gzip_and_lz4_branches(spark):
+    """gzip (0x1f8b) payloads decode via the dedicated branch
+    (compression.rs:141-169); LZ4-tagged payloads decode when the lib
+    exists, otherwise poison-pill NULL (compression.rs:17-40)."""
+    import gzip as _gzip
+
+    raw = (7).to_bytes(4, "little") + (42).to_bytes(4, "little")
+    rows = [
+        ("gz", bytearray(_gzip.compress(raw, mtime=0))),
+        ("gz_corrupt", bytearray(b"\x1f\x8b\x00\x00bad")),
+        ("lz4_tag", bytearray(TK._LZ4_PREFIX + (8).to_bytes(4, "little") + b"\x00" * 6)),
+    ]
+    df = spark.createDataFrame(rows, T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("p", T.BinaryType()),
+    ]))
+    out = {r["k"]: r["t"] for r in df.select("k", TK.decode_tokens("p").alias("t")).collect()}
+    assert out["gz"] == [7, 42]
+    assert out["gz_corrupt"] is None
+    if TK._lz4_block is None:
+        assert out["lz4_tag"] is None  # undecodable without the lib
+
+    # gzip fixture-encoder round-trip (vectorized path)
+    tok = spark.createDataFrame([("a", [1, 2, 3]), ("b", [])], "doc_id string, tokens array<int>")
+    back = tok.select(
+        "doc_id", "tokens", TK.decode_tokens(TK.encode_tokens_gzip("tokens")).alias("back")
+    )
+    assert back.where(~(F.col("tokens") == F.col("back")) | F.col("back").isNull()).count() == 0
+
+    if TK._lz4_block is not None:  # pragma: no cover - sandbox has no lz4
+        back = tok.select(
+            "tokens", TK.decode_tokens(TK.encode_tokens_lz4("tokens")).alias("back")
+        )
+        assert back.where(~(F.col("tokens") == F.col("back"))).count() == 0
+
+
 def test_token_stats(spark, tok_df):
     st = {r["doc_id"]: r["s"] for r in tok_df.select("doc_id", TK.token_stats("tokens").alias("s")).collect()}
     assert st["a"]["n"] == 3 and st["a"]["min"] == 1 and st["a"]["max"] == 3
