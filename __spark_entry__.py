@@ -1254,13 +1254,15 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b
 
 
 def _q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN.  The hyperplane signature is a
+    """LSH-bucketed approximate NN with multi-probe (each query probes
+    its own bucket plus the 6 Hamming-1 neighbors — recall recovery at
+    scale with zero corpus-side fan-out).  The hyperplane signature is a
     deterministic ±1000 integer lattice (similarity.py:63-85) — pure
     portable arithmetic, so the whole approximate index is replayed by
     the DuckDB oracle (recall vs exact top-k is pytest-bounded)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 5)
-    return SIM.lsh_topk(emb, q, k=5, n_planes=6).orderBy("q_id", "rank")
+    return SIM.lsh_topk(emb, q, k=5, n_planes=6, n_probes=6).orderBy("q_id", "rank")
 
 
 _SQL_EMB_LSH = """
@@ -1275,7 +1277,14 @@ sig AS (
          AS BIGINT) AS bucket
   FROM e
 ),
-q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM sig WHERE vec_id < 5),
+q0 AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM sig WHERE vec_id < 5),
+-- multi-probe: own bucket (p=0) plus the 6 Hamming-1 neighbors
+q AS (
+  SELECT q_id, q_vec,
+         CASE WHEN p = 0 THEN bucket
+              ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(p - 1 AS INTEGER)) END AS bucket
+  FROM q0, LATERAL unnest(range(0, 7)) AS t(p)
+),
 scored AS (
   SELECT q.q_id, c.vec_id AS c_id,
          round(list_dot_product(q.q_vec, c.v) /

@@ -92,15 +92,35 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine ranks within bucket.  Recall < 1 by construction; at
-    scale add multi-probe (flip one bit) — here single-probe."""
+    exact cosine ranks within bucket.
+
+    ``n_probes`` enables multi-probe LSH: each query ALSO probes the
+    ``n_probes`` buckets at Hamming distance 1 (bit j flipped, j <
+    n_probes ≤ n_planes) — near-misses that straddle one hyperplane are
+    recovered.  Scale shape is unchanged: the corpus side still carries
+    exactly one signature per row (no corpus fan-out, no extra shuffle);
+    only the small broadcast query side fans out ×(1+n_probes).  Each
+    (query, candidate) pair can match at most one probe (probe buckets
+    are distinct, a corpus row has one bucket), so no dedup is needed."""
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"),
     )
+    if n_probes:
+        probes = F.concat(
+            F.array(F.col("bucket")),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(min(n_probes, n_planes) - 1)),
+                lambda j: F.col("bucket").bitwiseXOR(
+                    F.call_function("shiftleft", F.lit(1).cast("long"), j.cast("int"))
+                ),
+            ),
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
