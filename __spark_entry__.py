@@ -1299,6 +1299,51 @@ SELECT q_id, c_id, cos_sim, rank FROM (
 """
 
 
+def _q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate NN (similarity.py ivf_topk): deterministic
+    hash-sampled centroids inlined as the coarse quantizer, map-side cell
+    assignment (zero shuffle on the corpus scan), 2-probe queries, exact
+    cosine rank within probed cells.  The whole index is deterministic
+    integer/double arithmetic, so the DuckDB oracle replays it."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, q, k=5, n_cells=16, n_probe=2).orderBy("q_id", "rank")
+
+
+_SQL_EMB_IVF = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cent_vec
+  FROM e
+  ORDER BY (vec_id * 2654435761) % 2147483648 ASC, vec_id ASC
+  LIMIT 16
+),
+assigned AS (
+  SELECT e.vec_id, e.v, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cent_vec) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cent_vec, c.cent_vec))) DESC,
+                      c.cent_id ASC) AS cr
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id AS c_id, v AS c_vec, cent_id AS cell FROM assigned WHERE cr = 1),
+qcells AS (SELECT vec_id AS q_id, v AS q_vec, cent_id AS cell
+           FROM assigned WHERE cr <= 2 AND vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.c_id,
+         round(list_dot_product(q.q_vec, c.c_vec) /
+               (sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+                sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) AS cos_sim
+  FROM corpus c JOIN qcells q USING (cell) WHERE q.q_id <> c.c_id
+)
+SELECT q_id, c_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _shipped(flagship),
@@ -1339,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _shipped(_q_minhash_pairs),
         "simhash_pairs": _shipped(_q_simhash_pairs),
         "emb_lsh_ann": _shipped(_q_emb_lsh_ann),
+        "emb_ivf_ann": _shipped(_q_emb_ivf_ann),
     }
 
 
@@ -1382,4 +1428,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _SQL_MINHASH,
         "simhash_pairs": _SQL_SIMHASH,
         "emb_lsh_ann": _SQL_EMB_LSH,
+        "emb_ivf_ann": _SQL_EMB_IVF,
     }

@@ -51,12 +51,16 @@ DUR_KEYS = [
 
 
 def run_level(in_dir: str, cores: int, tmp: str, tag: str) -> dict:
+    # SPARK_GRAFT_PROFILE_PARTS pins shuffle/state partitions across
+    # levels (strong scaling: same plan, more cores); default keeps the
+    # historical partitions=cores behavior
+    parts = int(os.environ.get("SPARK_GRAFT_PROFILE_PARTS", cores))
     spark = get_spark(
-        app_name=f"profile-{tag}", master=f"local[{cores}]", shuffle_partitions=cores
+        app_name=f"profile-{tag}", master=f"local[{cores}]", shuffle_partitions=parts
     )
     cfg = EngineConfig(
         processing=ProcessingConfig(
-            max_files_per_trigger=PARTS_PER_BATCH * 4, shuffle_partitions=cores
+            max_files_per_trigger=PARTS_PER_BATCH * 4, shuffle_partitions=parts
         ),
         filters=FilterConfig(source_allowlist=("pumpfun", "raydium", "orca"), min_n_tok=16),
         checkpoint_dir=f"{tmp}/ckpt_{tag}",

@@ -45,6 +45,36 @@ def test_lsh_topk_subset_quality(spark, sf_dir):
         assert cs >= exact[q_id] - 0.25  # bucket recall margin
 
 
+def test_ivf_topk_quality_and_probe_recall(spark, sf_dir):
+    """IVF top-1 is genuinely similar (within margin of exact top-1);
+    2-probe recall ≥ 1-probe recall vs the exact top-5 set."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    exact1 = {r["q_id"]: r["cos_sim"] for r in SIM.brute_force_topk(emb, q, k=1).collect()}
+    ivf = SIM.ivf_topk(emb, q, k=5, n_cells=8, n_probe=2).collect()
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0]["cos_sim"] <= exact1[q_id] + 1e-9
+        assert rs[0]["cos_sim"] >= exact1[q_id] - 0.25  # cell recall margin
+
+    exact5 = {}
+    for r in SIM.brute_force_topk(emb, q, k=5).collect():
+        exact5.setdefault(r["q_id"], set()).add(r["c_id"])
+
+    def recall(probes: int) -> float:
+        hits = tot = 0
+        for r in SIM.ivf_topk(emb, q, k=5, n_cells=8, n_probe=probes).collect():
+            tot += 1
+            hits += r["c_id"] in exact5.get(r["q_id"], set())
+        return hits / max(tot, 1)
+
+    assert recall(2) >= recall(1) - 1e-9
+
+
 def test_hyperplane_signature_deterministic(spark):
     df = spark.createDataFrame([([0.5, -0.25, 0.1],)], "v array<float>")
     a = df.select(SIM.hyperplane_signature(F.col("v"), 8).alias("s")).collect()[0]["s"]
