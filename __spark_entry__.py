@@ -22,6 +22,7 @@ from bitquery_kafka_streams_rust_spark.functions import text as TX
 from bitquery_kafka_streams_rust_spark.functions import tokens as TK
 from bitquery_kafka_streams_rust_spark.operators import aggregates as AG
 from bitquery_kafka_streams_rust_spark.operators import dedup as DD
+from bitquery_kafka_streams_rust_spark.operators import sampling as SAMP
 from bitquery_kafka_streams_rust_spark.operators import similarity as SIM
 from bitquery_kafka_streams_rust_spark.operators import skew as SK
 from bitquery_kafka_streams_rust_spark.operators.filters import FilterBuilder, sequence_gate
@@ -1344,6 +1345,108 @@ SELECT q_id, c_id, cos_sim, rank FROM (
 """
 
 
+# -- training-data sampling / splitting / shuffling ---------------------------
+
+
+def _q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split (sampling.hash_split):
+    a pure map-side function of doc_id (Knuth multiplicative mix) — no
+    shuffle, no RNG state, identical assignment at any cluster size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = SAMP.hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        split.groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("split")
+    )
+
+
+_SQL_DOC_TRAIN_SPLIT = """
+WITH s AS (
+  SELECT CASE WHEN (doc_id * 2654435761) % 2147483648 / 2147483648.0 < 0.9 THEN 'train'
+              WHEN (doc_id * 2654435761) % 2147483648 / 2147483648.0 < 0.95 THEN 'val'
+              ELSE 'test' END AS split, n_chars
+  FROM documents)
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-source deterministic sample
+    (sampling.stratified_sample_exact): hash-ordered row_number per
+    stratum; WindowGroupLimit pushes the rank<=n filter below the sort
+    so the shuffle carries O(n_strata*n) rows, not the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        SAMP.stratified_sample_exact(docs, 20, strata_col="source", id_col="doc_id")
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
+_SQL_DOC_STRAT_SAMPLE = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+             ORDER BY (doc_id * 2654435761) % 2147483648 ASC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= 20 ORDER BY source, doc_id
+"""
+
+
+def _q_doc_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random example order (sampling.shuffle_order):
+    distributed range sort on the mixing hash — rerun/cluster-size
+    invariant, unlike ORDER BY rand().  Contract query takes the first
+    100 (TakeOrdered); the export path keeps the full order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        SAMP.shuffle_order(docs, id_col="doc_id")
+        .select("doc_id", SAMP.hash_frac(F.col("doc_id")).alias("pos"))
+        .limit(100)
+    )
+
+
+_SQL_DOC_SHUFFLE = """
+SELECT doc_id, (doc_id * 2654435761) % 2147483648 / 2147483648.0 AS pos
+FROM documents ORDER BY pos ASC, doc_id ASC LIMIT 100
+"""
+
+
+def _q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup.embedding_near_dups):
+    hyperplane-LSH buckets replace the O(n^2) cross join with an
+    equi-join on the signature; exact cosine verifies in-bucket.  The
+    ±1000 integer lattice is portable arithmetic, so the DuckDB oracle
+    replays the whole index."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return DD.embedding_near_dups(emb, threshold=0.35, n_planes=4).orderBy("id_a", "id_b")
+
+
+_SQL_EMB_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(0, 4), j ->
+             CASE WHEN list_sum(list_transform(range(0, len(v)),
+                      d -> v[CAST(d + 1 AS INTEGER)] *
+                           CAST((j * 1000003 + d * 7919) % 2001 - 1000 AS DOUBLE))) > 0
+                  THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE CAST(0 AS BIGINT) END))
+         AS BIGINT) AS bucket
+  FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cos_sim
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _shipped(flagship),
@@ -1385,6 +1488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _shipped(_q_simhash_pairs),
         "emb_lsh_ann": _shipped(_q_emb_lsh_ann),
         "emb_ivf_ann": _shipped(_q_emb_ivf_ann),
+        "doc_train_split": _shipped(_q_doc_train_split),
+        "doc_stratified_sample": _shipped(_q_doc_stratified_sample),
+        "doc_shuffle_export": _shipped(_q_doc_shuffle_export),
+        "emb_neardup_pairs": _shipped(_q_emb_neardup_pairs),
     }
 
 
@@ -1429,4 +1536,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SQL_SIMHASH,
         "emb_lsh_ann": _SQL_EMB_LSH,
         "emb_ivf_ann": _SQL_EMB_IVF,
+        "doc_train_split": _SQL_DOC_TRAIN_SPLIT,
+        "doc_stratified_sample": _SQL_DOC_STRAT_SAMPLE,
+        "doc_shuffle_export": _SQL_DOC_SHUFFLE,
+        "emb_neardup_pairs": _SQL_EMB_NEARDUP,
     }

@@ -1,0 +1,124 @@
+"""Deterministic sampling / splitting / shuffling for training-data
+pipelines.
+
+The reference engine stops at filtered+deduped event streams; a
+training pipeline downstream of it always needs three more primitives
+(dataset curation at 100 TB):
+
+- ``hash_split``    — train/val/test assignment that is a pure function
+                      of the row id (content-stable across reruns and
+                      cluster sizes, no RNG state to coordinate);
+- ``stratified_sample_frac`` / ``stratified_sample_exact``
+                    — per-stratum downsampling (frac = zero-shuffle
+                      map-side filter; exact-n = one shuffle with the
+                      rank filter pushed below the sort by Spark's
+                      WindowGroupLimit);
+- ``shuffle_order`` — a deterministic pseudo-random total order for
+                      example shuffling at export time (distributed
+                      range sort, no driver involvement).
+
+All three use the same portable mixing hash so any engine (the DuckDB
+oracle included) replays the exact assignment:
+
+    h(id) = (id + seed) * 2654435761 mod 2^31      (Knuth multiplicative)
+    frac(id) = h(id) / 2^31  in [0, 1)
+
+Products are BIGINT-safe for id < ~3.4e9; at larger id spaces swap the
+constant for a 64-bit mix — the structure is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761
+_MOD = 2**31
+
+
+def hash_frac(id_col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform fraction in [0, 1) from an integer id."""
+    h = ((id_col.cast("long") + F.lit(seed)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    return h.cast("double") / F.lit(float(_MOD))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with probability ~weights.
+
+    Pure map-side expression (no shuffle, no RNG): the split is a
+    function of the id alone, so reruns, retries and different cluster
+    sizes all produce the identical assignment — the property that
+    makes a 100 TB split reproducible without materializing it."""
+    frac = hash_frac(df[id_col], seed)
+    total = sum(weights.values())
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def stratified_sample_frac(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli-style sample — zero shuffle.
+
+    Each row keeps iff frac(id) < fraction[stratum]: a map-side filter
+    the scan pushes down, the scale path for rebalancing a skewed
+    corpus (e.g. downweight the 60%-hot crawl source).  Exact expected
+    rates, deterministic membership."""
+    frac = hash_frac(df[id_col], seed)
+    thresh: Column = F.lit(float(default_frac))
+    for name, p in sorted(fractions.items()):
+        thresh = F.when(df[strata_col] == name, F.lit(float(p))).otherwise(thresh)
+    return df.where(frac < thresh)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-n rows per stratum, chosen by hash order.
+
+    One shuffle on the stratum key; the ``row_number <= n`` filter is
+    pushed below the sort by Spark's WindowGroupLimit rule, so each map
+    task forwards at most n candidate rows per stratum — the shuffle
+    carries O(n_strata * n), not the table.  Hash order makes the pick
+    a uniform deterministic sample rather than "first n in storage
+    order"."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_frac(df[id_col], seed).asc(), df[id_col].asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def shuffle_order(df: DataFrame, id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Deterministic pseudo-random total order (training-export shuffle).
+
+    A distributed range sort on the mixing hash: Spark samples range
+    boundaries, each partition sorts locally — no global bottleneck,
+    and the resulting example order is identical on every rerun and
+    cluster size (unlike ``ORDER BY rand()``)."""
+    return df.orderBy(hash_frac(df[id_col], seed).asc(), df[id_col].asc())

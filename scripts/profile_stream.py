@@ -55,12 +55,19 @@ def run_level(in_dir: str, cores: int, tmp: str, tag: str) -> dict:
     # levels (strong scaling: same plan, more cores); default keeps the
     # historical partitions=cores behavior
     parts = int(os.environ.get("SPARK_GRAFT_PROFILE_PARTS", cores))
+    mfpt = int(os.environ.get("SPARK_GRAFT_PROFILE_MFPT", PARTS_PER_BATCH * 4))
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_PROFILE_CODEC"):
+        extra["spark.sql.parquet.compression.codec"] = os.environ[
+            "SPARK_GRAFT_PROFILE_CODEC"
+        ]
     spark = get_spark(
-        app_name=f"profile-{tag}", master=f"local[{cores}]", shuffle_partitions=parts
+        app_name=f"profile-{tag}", master=f"local[{cores}]",
+        shuffle_partitions=parts, extra_conf=extra,
     )
     cfg = EngineConfig(
         processing=ProcessingConfig(
-            max_files_per_trigger=PARTS_PER_BATCH * 4, shuffle_partitions=parts
+            max_files_per_trigger=mfpt, shuffle_partitions=parts
         ),
         filters=FilterConfig(source_allowlist=("pumpfun", "raydium", "orca"), min_n_tok=16),
         checkpoint_dir=f"{tmp}/ckpt_{tag}",

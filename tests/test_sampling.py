@@ -1,0 +1,113 @@
+"""Deterministic sampling/split/shuffle operators (training-data curation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark.operators import sampling as SAMP
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_split_covers_and_is_deterministic(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = SAMP.hash_split(docs, w).groupBy("split").count().collect()
+    b = SAMP.hash_split(docs, w).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r["split"]: r["count"] for r in a}
+    total = docs.count()
+    assert sum(counts.values()) == total  # disjoint exact cover
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / total - 0.8) < 0.1
+
+
+def test_hash_split_is_content_stable(spark, sf_dir):
+    """The split of a given doc_id never depends on the rest of the data
+    — subset rows get the same labels the full table gave them."""
+    docs = _docs(spark, sf_dir)
+    full = {
+        r["doc_id"]: r["split"]
+        for r in SAMP.hash_split(docs, {"a": 0.5, "b": 0.5}).select("doc_id", "split").collect()
+    }
+    sub = SAMP.hash_split(docs.where(F.col("doc_id") % 7 == 0), {"a": 0.5, "b": 0.5})
+    for r in sub.select("doc_id", "split").collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_hash_split_seed_changes_assignment(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = SAMP.hash_split(docs, {"x": 0.5, "y": 0.5}, seed=0).select("doc_id", "split")
+    b = SAMP.hash_split(docs, {"x": 0.5, "y": 0.5}, seed=1).select("doc_id", "split")
+    diff = a.join(b.withColumnRenamed("split", "split_b"), "doc_id").where(
+        F.col("split") != F.col("split_b")
+    )
+    assert diff.count() > 0
+
+
+def test_hash_split_no_shuffle(spark, sf_dir):
+    plan = SAMP.hash_split(_docs(spark, sf_dir), {"a": 0.9, "b": 0.1})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_frac_rate_and_no_shuffle(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    fr = {"src0": 0.5, "src1": 1.0}
+    samp = SAMP.stratified_sample_frac(docs, fr, strata_col="source")
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side filter
+    base = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    got = {r["source"]: r["count"] for r in samp.groupBy("source").count().collect()}
+    assert set(got) <= set(fr)  # default_frac=0 drops unlisted strata
+    assert got.get("src1", 0) == base["src1"]  # frac 1.0 keeps all
+    assert abs(got.get("src0", 0) / base["src0"] - 0.5) < 0.25
+
+
+def test_stratified_exact_counts_and_group_limit(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = 5
+    samp = SAMP.stratified_sample_exact(docs, n, strata_col="source")
+    base = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    got = {r["source"]: r["count"] for r in samp.groupBy("source").count().collect()}
+    for src, cnt in base.items():
+        assert got.get(src, 0) == min(n, cnt)
+    # rank filter is pushed below the final sort (shuffle carries <= n
+    # candidates per stratum per map task, not the corpus)
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    # deterministic pick
+    a = sorted(r["doc_id"] for r in samp.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in SAMP.stratified_sample_exact(docs, n, strata_col="source").select("doc_id").collect()
+    )
+    assert a == b
+
+
+def test_shuffle_order_is_permutation_and_stable(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = [r["doc_id"] for r in SAMP.shuffle_order(docs).select("doc_id").collect()]
+    b = [r["doc_id"] for r in SAMP.shuffle_order(docs).select("doc_id").collect()]
+    assert a == b  # rerun-identical order
+    assert sorted(a) == sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert a != sorted(a)  # actually shuffled, not storage order
+    c = [r["doc_id"] for r in SAMP.shuffle_order(docs, seed=3).select("doc_id").collect()]
+    assert c != a  # seed changes the permutation
+
+
+def test_hash_frac_matches_python_replay(spark):
+    """The mixing hash is portable arithmetic: the Spark column and a
+    pure-Python replay (== what the DuckDB oracles inline) agree, and
+    the fraction is always in [0, 1)."""
+    ids = [0, 1, 2, 7, 100, 12345, 10**6, 3 * 10**6 + 17]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", SAMP.hash_frac(F.col("doc_id"), seed=4).alias("f")).collect()
+    }
+    for i in ids:
+        expect = ((i + 4) * 2654435761 % 2**31) / 2**31
+        assert got[i] == expect
+        assert 0.0 <= got[i] < 1.0
