@@ -1447,6 +1447,84 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals (text.dup_word_frac /
+    dup_2gram_frac / top_word_frac + repetition_gate): all pure
+    within-row higher-order expressions — zero shuffle, zero Python —
+    vs the explode+groupBy formulation that would shuffle
+    words_per_doc x corpus rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        TX.dup_word_frac(F.col("text")).alias("dup_word_frac"),
+        TX.dup_2gram_frac(F.col("text")).alias("dup_2gram_frac"),
+        TX.top_word_frac(F.col("text")).alias("top_word_frac"),
+        TX.repetition_gate(F.col("text")).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+_SQL_DOC_REPETITION = """
+WITH w AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> len(x) > 0) AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, ws,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS gs
+  FROM w
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE round(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) END
+           AS dup_word_frac,
+         CASE WHEN len(gs) <= 0 THEN 0.0
+              ELSE round(1 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6) END
+           AS dup_2gram_frac,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE round(CAST(list_max(list_transform(list_distinct(ws),
+                       d -> len(list_filter(ws, x -> x = d)))) AS DOUBLE) / len(ws), 6) END
+           AS top_word_frac
+  FROM g
+)
+SELECT doc_id, dup_word_frac, dup_2gram_frac, top_word_frac,
+       CAST(dup_word_frac <= 0.6 AND dup_2gram_frac <= 0.2 AND top_word_frac <= 0.2
+            AS INTEGER) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def _q_doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing (sampling.rebalance_to_mix): one metadata
+    aggregate computes per-source keep fractions toward a uniform mix
+    under a char budget; the corpus pass applies them as the zero-shuffle
+    hash filter.  Aggregate-then-broadcast — the collect is n_strata
+    rows, never data."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    shares = {s: 1.0 for s in sources}
+    kept = SAMP.rebalance_to_mix(docs, shares, total_budget=70000)
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+_SQL_DOC_MIX_REBALANCE = """
+WITH agg AS (SELECT source, count(*) AS n, sum(n_chars) AS sz FROM documents GROUP BY source),
+n_strata AS (SELECT count(*) AS k FROM agg),
+w AS (
+  SELECT source,
+         round(least(1.0, 70000 * (1.0 / (SELECT k FROM n_strata)) / CAST(sz AS DOUBLE)), 6)
+           AS kf
+  FROM agg
+)
+SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN w USING (source)
+WHERE (d.doc_id * 2654435761) % 2147483648 / 2147483648.0 < w.kf
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _shipped(flagship),
@@ -1492,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _shipped(_q_doc_stratified_sample),
         "doc_shuffle_export": _shipped(_q_doc_shuffle_export),
         "emb_neardup_pairs": _shipped(_q_emb_neardup_pairs),
+        "doc_repetition_stats": _shipped(_q_doc_repetition_stats),
+        "doc_mix_rebalance": _shipped(_q_doc_mix_rebalance),
     }
 
 
@@ -1540,4 +1620,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": _SQL_DOC_STRAT_SAMPLE,
         "doc_shuffle_export": _SQL_DOC_SHUFFLE,
         "emb_neardup_pairs": _SQL_EMB_NEARDUP,
+        "doc_repetition_stats": _SQL_DOC_REPETITION,
+        "doc_mix_rebalance": _SQL_DOC_MIX_REBALANCE,
     }

@@ -102,3 +102,69 @@ def rolling_hash(text: Column, base: int = 257, mod: int = 1_000_000_007) -> Col
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % mod,
     )
+
+
+# -- repetition / diversity quality signals (Gopher/C4-style gates) -----------
+#
+# All four are pure within-row higher-order expressions — zero shuffle,
+# zero Python: the map-side scale path for corpus-wide repetition
+# filtering (the groupBy-explode formulation would shuffle words_per_doc
+# x corpus; this one ships one double per doc).
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda w: F.length(w) > 0)
+
+
+def dup_word_frac(text: Column) -> Column:
+    """Fraction of word occurrences that repeat an earlier word
+    (1 - distinct/total).  High => boilerplate / keyword stuffing."""
+    w = _words(text)
+    return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double"),
+            6,
+        )
+    )
+
+
+def dup_2gram_frac(text: Column) -> Column:
+    """Fraction of duplicate word 2-grams — the classic repeated-phrase
+    signal (C4/Gopher use top/dup n-gram character fractions)."""
+    w = _words(text)
+    grams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams).cast("double"),
+            6,
+        )
+    )
+
+
+def top_word_frac(text: Column) -> Column:
+    """Share of the single most frequent word.  O(words * distinct)
+    within the row — fine at document sizes, still zero shuffle."""
+    w = _words(text)
+    counts = F.transform(
+        F.array_distinct(w), lambda d: F.size(F.filter(w, lambda x: x == d))
+    )
+    return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
+        F.round(F.array_max(counts).cast("double") / F.size(w).cast("double"), 6)
+    )
+
+
+def repetition_gate(text: Column, max_dup_word: float = 0.6, max_dup_2gram: float = 0.2,
+                    max_top_word: float = 0.2) -> Column:
+    """Boolean keep/drop combining the three repetition signals with
+    Gopher-style default ceilings."""
+    return (
+        (dup_word_frac(text) <= max_dup_word)
+        & (dup_2gram_frac(text) <= max_dup_2gram)
+        & (top_word_frac(text) <= max_top_word)
+    )

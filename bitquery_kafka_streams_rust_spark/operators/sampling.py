@@ -122,3 +122,63 @@ def shuffle_order(df: DataFrame, id_col: str = "doc_id", seed: int = 0) -> DataF
     and the resulting example order is identical on every rerun and
     cluster size (unlike ``ORDER BY rand()``)."""
     return df.orderBy(hash_frac(df[id_col], seed).asc(), df[id_col].asc())
+
+
+def mix_weights(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    total_budget: int,
+    strata_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-stratum keep fractions that steer the corpus toward a target
+    domain mix under a total size budget.
+
+    keep_frac(s) = min(1, budget * share(s) / size(s)) — the standard
+    "domain mixing" computation (can't upsample past 1.0 without
+    repeating data; undersized domains just keep everything).  One
+    partial-aggregated groupBy over the corpus; output is n_strata rows
+    of metadata."""
+    total = sum(target_shares.values())
+    share: Column = F.lit(0.0)
+    for name, s in sorted(target_shares.items()):
+        share = F.when(F.col(strata_col) == name, F.lit(s / total)).otherwise(share)
+    agg = df.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"), F.sum(size_col).alias("stratum_size")
+    )
+    return agg.select(
+        strata_col,
+        "n_docs",
+        "stratum_size",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(total_budget)) * share / F.col("stratum_size").cast("double"),
+            ),
+            6,
+        ).alias("keep_frac"),
+    )
+
+
+def rebalance_to_mix(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    total_budget: int,
+    strata_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Apply ``mix_weights`` as a deterministic per-stratum filter.
+
+    The weights are n_strata rows of metadata — collecting them to
+    drive the map-side hash filter is the aggregate-then-broadcast
+    pattern (NOT a data collect); the corpus pass itself stays
+    shuffle-free."""
+    w = {
+        r[strata_col]: float(r["keep_frac"])
+        for r in mix_weights(df, target_shares, total_budget, strata_col, size_col).collect()
+    }
+    return stratified_sample_frac(
+        df, w, strata_col=strata_col, id_col=id_col, seed=seed
+    )

@@ -111,3 +111,26 @@ def test_hash_frac_matches_python_replay(spark):
         expect = ((i + 4) * 2654435761 % 2**31) / 2**31
         assert got[i] == expect
         assert 0.0 <= got[i] < 1.0
+
+
+def test_mix_weights_and_rebalance(spark, sf_dir):
+    """Uniform target over 20 equal strata with budget = half the corpus
+    → every keep_frac ~0.5 and the kept share lands near the budget;
+    oversized budget → keep_frac 1.0 keeps everything."""
+    docs = _docs(spark, sf_dir)
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    shares = {s: 1.0 for s in sources}
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+
+    w = {r["source"]: r["keep_frac"] for r in
+         SAMP.mix_weights(docs, shares, total_budget=total_chars // 2).collect()}
+    assert set(w) == set(sources)
+    assert all(0.0 < kf <= 1.0 for kf in w.values())
+
+    kept = SAMP.rebalance_to_mix(docs, shares, total_budget=total_chars // 2)
+    kept_chars = kept.agg(F.sum("n_chars")).collect()[0][0]
+    assert abs(kept_chars / (total_chars / 2) - 1.0) < 0.2
+
+    all_w = SAMP.mix_weights(docs, shares, total_budget=total_chars * 10)
+    assert all(r["keep_frac"] == 1.0 for r in all_w.collect())
+    assert SAMP.rebalance_to_mix(docs, shares, total_budget=total_chars * 10).count() == docs.count()

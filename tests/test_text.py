@@ -43,3 +43,27 @@ def test_fingerprint_md5_dedup_key(spark):
     df = spark.createDataFrame([("x",), ("x",), ("y",)], "text string")
     n = df.select(TX.fingerprint_md5(F.col("text")).alias("fp")).distinct().count()
     assert n == 2
+
+
+def test_repetition_metrics_hand_values(spark):
+    """'a b a b a' → 5 words {a,b} → dup_word 0.6; 2-grams
+    [a b, b a, a b, b a] → 2 distinct of 4 → dup_2gram 0.5;
+    top word 'a' 3/5 → 0.6."""
+    df = spark.createDataFrame([("a b a b a",), ("x y z",), ("",)], "text string")
+    rows = df.select(
+        TX.dup_word_frac(F.col("text")).alias("dw"),
+        TX.dup_2gram_frac(F.col("text")).alias("dg"),
+        TX.top_word_frac(F.col("text")).alias("tw"),
+        TX.repetition_gate(F.col("text")).alias("keep"),
+    ).collect()
+    assert (rows[0]["dw"], rows[0]["dg"], rows[0]["tw"]) == (0.6, 0.5, 0.6)
+    assert rows[0]["keep"] is False
+    assert (rows[1]["dw"], rows[1]["dg"], rows[1]["tw"]) == (0.0, 0.0, round(1 / 3, 6))
+    assert rows[1]["keep"] is False  # top_word 1/3 > 0.2 on tiny docs
+    assert (rows[2]["dw"], rows[2]["dg"], rows[2]["tw"]) == (0.0, 0.0, 0.0)
+
+
+def test_repetition_zero_shuffle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.select(TX.dup_2gram_frac(F.col("text")).alias("d"))
+    assert "Exchange" not in q._jdf.queryExecution().executedPlan().toString()
