@@ -134,3 +134,42 @@ def test_mix_weights_and_rebalance(spark, sf_dir):
     all_w = SAMP.mix_weights(docs, shares, total_budget=total_chars * 10)
     assert all(r["keep_frac"] == 1.0 for r in all_w.collect())
     assert SAMP.rebalance_to_mix(docs, shares, total_budget=total_chars * 10).count() == docs.count()
+
+
+def test_sampling_stages_are_streaming_safe(spark, sf_dir, tmp_path):
+    """hash_split + stratified_sample_frac are stateless map-side
+    expressions, so they slot into a readStream plan unchanged and the
+    stream emits exactly the rows the batch plan keeps (the streaming
+    curation path; stratified_sample_exact is the batch-only variant —
+    its global window is unsupported on streams by design)."""
+    from bitquery_kafka_streams_rust_spark import datagen
+
+    d = str(tmp_path / "batches")
+    datagen.write_sequence_batches(spark, sf_dir, d, n_batches=2)
+    batch = spark.read.parquet(d)
+
+    def curate(df):
+        split = SAMP.hash_split(df, {"train": 0.9, "heldout": 0.1}, id_col="n_tok")
+        return SAMP.stratified_sample_frac(
+            split.where(F.col("split") == "train"),
+            {"pumpfun": 1.0, "raydium": 0.5},
+            strata_col="source",
+            id_col="n_tok",
+        ).select("doc_id", "source", "split")
+
+    expected = {tuple(r) for r in curate(batch).collect()}
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM curated_stream").collect()}
+    assert got == expected and len(got) > 0
