@@ -1,0 +1,74 @@
+"""Physical-plan hygiene audit over every contract query.
+
+For each ``queries()`` entry (built against the given SF dir, default
+sf0.01) this prints: number of shuffle Exchanges, join strategies,
+whether any cartesian/broadcast-nested-loop join appears, and the
+parquet scans' pushed filters / read schemas (pruning evidence).
+
+Usage:  python tools/audit_plans.py [sf_dir] [query ...]
+
+Exit code 1 if any query has a cartesian product or a nested-loop join
+that is not in the allowlist below (pair generation must go through
+band/bucket/gram equi-joins, never O(n^2)).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries where a BroadcastNestedLoopJoin is the intended plan: the
+# broadcast side is a handful of query vectors and the "join" is an
+# intentional scored scan (brute-force ANN baseline).
+NESTED_LOOP_OK = {"emb_cosine_topk"}
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from bitquery_kafka_streams_rust_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="plan-audit", master="local[8]")
+
+    bad: list[str] = []
+    qs = E.queries()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:28s} ERROR building plan: {e}")
+            bad.append(name)
+            continue
+        n_shuffle = len(re.findall(r"(?<!Broadcast)Exchange ", plan))
+        n_bcast = len(re.findall(r"BroadcastExchange", plan))
+        joins = sorted(set(re.findall(r"(\w+Join\w*)", plan)))
+        cartesian = "CartesianProduct" in plan
+        bnl = "BroadcastNestedLoopJoin" in plan
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        n_cols = sum(s.count(":") for s in scans)
+        flag = ""
+        if cartesian or (bnl and name not in NESTED_LOOP_OK):
+            flag = "  << CARTESIAN/NLJ"
+            bad.append(name)
+        print(
+            f"{name:28s} shuffles={n_shuffle:2d} bcast={n_bcast}"
+            f" scans={len(scans)} scan_cols={n_cols}"
+            f" joins={','.join(joins) or '-'}"
+            f" pushed={'y' if any(p.strip() for p in pushed) else '-'}{flag}"
+        )
+    spark.stop()
+    if bad:
+        print(f"\nFLAGGED: {bad}")
+        sys.exit(1)
+    print("\nplan audit clean")
+
+
+if __name__ == "__main__":
+    main()
