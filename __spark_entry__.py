@@ -1460,12 +1460,22 @@ def _q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the explode+groupBy formulation that would shuffle
     words_per_doc x corpus rows."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
+    m = docs.select(
         "doc_id",
         TX.dup_word_frac(F.col("text")).alias("dup_word_frac"),
         TX.dup_2gram_frac(F.col("text")).alias("dup_2gram_frac"),
         TX.top_word_frac(F.col("text")).alias("top_word_frac"),
-        TX.repetition_gate(F.col("text")).cast("int").alias("keep"),
+    )
+    # gate from the projected columns: CollapseProject keeps each HOF
+    # tree evaluated once (it won't inline non-cheap exprs used twice)
+    return m.select(
+        "doc_id",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        "top_word_frac",
+        TX.repetition_gate_cols(
+            F.col("dup_word_frac"), F.col("dup_2gram_frac"), F.col("top_word_frac")
+        ).cast("int").alias("keep"),
     ).orderBy("doc_id")
 
 

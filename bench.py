@@ -51,6 +51,9 @@ HEADLINE = [
 HEAP_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 )
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
 
 def _stream_scaling(input_dir: str, levels: list[int]) -> dict:
@@ -95,7 +98,10 @@ def _stream_scaling(input_dir: str, levels: list[int]) -> dict:
 
     parts = max(levels)  # one plan for every run
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
-    providers = [("heap", HEAP_PROVIDER), ("rocksdb", None)]
+    # pin BOTH provider classes explicitly: relying on the session
+    # default would let a stray SPARK_GRAFT_STATE_PROVIDER override
+    # mislabel the published rocksdb numbers
+    providers = [("heap", HEAP_PROVIDER), ("rocksdb", ROCKSDB_PROVIDER)]
 
     # Every (provider, level) CELL runs once per round, cells interleaved
     # inside the round: this sandbox's noise comes in multi-minute bursts

@@ -182,12 +182,29 @@ def top_word_frac(text: Column) -> Column:
     )
 
 
+def repetition_gate_cols(
+    dup_word: Column, dup_2gram: Column, top_word: Column,
+    max_dup_word: float = 0.6, max_dup_2gram: float = 0.2, max_top_word: float = 0.2,
+) -> Column:
+    """Keep/drop from ALREADY-COMPUTED repetition columns.  Use this
+    when the metrics are also being projected: referencing the metric
+    columns (instead of recomputing from text) keeps each HOF tree
+    evaluated once — CollapseProject refuses to inline a non-cheap
+    expression referenced twice, so a two-select plan computes each
+    metric a single time."""
+    return (
+        (dup_word <= max_dup_word)
+        & (dup_2gram <= max_dup_2gram)
+        & (top_word <= max_top_word)
+    )
+
+
 def repetition_gate(text: Column, max_dup_word: float = 0.6, max_dup_2gram: float = 0.2,
                     max_top_word: float = 0.2) -> Column:
     """Boolean keep/drop combining the three repetition signals with
-    Gopher-style default ceilings."""
-    return (
-        (dup_word_frac(text) <= max_dup_word)
-        & (dup_2gram_frac(text) <= max_dup_2gram)
-        & (top_word_frac(text) <= max_top_word)
+    Gopher-style default ceilings (standalone-filter form; see
+    ``repetition_gate_cols`` when the metrics are projected too)."""
+    return repetition_gate_cols(
+        dup_word_frac(text), dup_2gram_frac(text), top_word_frac(text),
+        max_dup_word, max_dup_2gram, max_top_word,
     )

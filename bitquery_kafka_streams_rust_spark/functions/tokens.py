@@ -183,11 +183,15 @@ def decode_tokens(payload: pd.Series) -> pd.Series:
             return None
         try:
             if len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
-                # gzip magic (compression.rs:141-169); unlike zlib this
-                # magic can't start a raw int32 stream we emit (0x8b1f
-                # would need token ≡ 0x...8b1f patterns AND a valid gzip
-                # header), so failure here is a poison pill, not fallback
-                b = gzip.decompress(bytes(b))
+                # gzip magic (compression.rs:141-169).  A RAW payload can
+                # start 1F 8B too: first little-endian token 35615
+                # (= 0x8B1F, a legal vocab id) serializes to exactly the
+                # magic — so like the zlib branch, failure falls back to
+                # raw instead of poison-pilling a valid sequence
+                try:
+                    b = gzip.decompress(bytes(b))
+                except (OSError, EOFError, zlib.error):
+                    pass
             elif b[:4] == _LZ4_PREFIX:
                 # size-prepended LZ4 (compression.rs:17-40).  Without the
                 # lz4 lib a tagged payload is undecodable → poison pill.

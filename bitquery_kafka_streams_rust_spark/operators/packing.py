@@ -99,7 +99,6 @@ def pack_sequences(
     context_len: int = 2048,
     salt_buckets: int | str | None = "auto",
     salt_expr=None,
-    target_group_docs: int = 100_000,
 ) -> DataFrame:
     """Greedy packing per (source, salt-bucket).
 
@@ -107,16 +106,18 @@ def pack_sequences(
     anyway, but group SIZE is the scale hazard: ``applyInPandas``
     materializes one whole group per task, so a 60%-hot source at 10^12
     rows would be one executor-killing pandas frame.  The DEFAULT is
-    therefore bounded groups: ``salt_buckets="auto"`` counts the input
-    and picks ceil(n / target_group_docs) buckets (1 at test scale — the
-    historical per-source behavior — growing with the data so no group
-    ever exceeds ~target_group_docs docs).  Pass an int to pin the
-    bucket count, None to force unsalted (only safe for bounded inputs),
-    or ``salt_expr`` (a Column over doc_id → non-negative long) to make
-    the bucket assignment portable to a SQL oracle."""
+    therefore bounded groups: ``salt_buckets="auto"`` uses the scan's
+    partition count (driver-side file listing — no Spark job, unlike a
+    ``count()``, and no eager work when the plan is merely built), which
+    grows with input bytes via maxPartitionBytes, so a group holds
+    about one scan-partition's docs per source at any scale.  Pass an
+    int to pin the bucket count, None to force unsalted (only safe for
+    bounded inputs), or ``salt_expr`` (a Column over doc_id →
+    non-negative long) to make the bucket assignment portable to a SQL
+    oracle."""
     df = seq.select("doc_id", "n_tok", "source", "ts")
     if salt_buckets == "auto":
-        salt_buckets = min(max(-(-df.count() // target_group_docs), 1), 4096)
+        salt_buckets = min(max(df.rdd.getNumPartitions(), 1), 4096)
     keys = ["source"]
     if salt_buckets and salt_buckets > 1:
         bucket = salt_expr if salt_expr is not None else F.xxhash64("doc_id")

@@ -111,12 +111,14 @@ def ivf_topk(
     equi-join on the cell id, ranked by exact cosine.  Candidate cost
     scales with cell occupancy, not corpus size; probe>1 recovers
     boundary misses."""
+    # the shared load-bearing mixing hash (sampling.hash_frac == the
+    # (id*2654435761 % 2^31) the DuckDB oracle inlines) — monotone in
+    # the raw hash, so ordering by it picks the same centroid sample
+    from .sampling import hash_frac
+
     cent_rows = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        .orderBy(
-            ((F.col("cent_id") * F.lit(2654435761)) % F.lit(2**31)).asc(),
-            F.col("cent_id").asc(),
-        )
+        .orderBy(hash_frac(F.col("cent_id")).asc(), F.col("cent_id").asc())
         .limit(n_cells)
         .collect()
     )

@@ -31,8 +31,10 @@ def _watchdog(request):
         return
     marker = request.node.get_closest_marker("watchdog_timeout")
     limit = int(marker.args[0]) if marker and marker.args else WATCHDOG_DEFAULT_S
+    fired = []
 
     def _on_alarm(signum, frame):
+        fired.append(True)
         raise TimeoutError(
             f"watchdog: {request.node.nodeid} exceeded {limit}s wall clock"
         )
@@ -44,6 +46,26 @@ def _watchdog(request):
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+        if fired:
+            # The TimeoutError interrupted a py4j socket read mid-reply:
+            # that connection may still carry the stale JVM response and
+            # would poison the NEXT test's first call.  Drop the pooled
+            # connections (fresh ones reopen lazily), then stop whatever
+            # streaming queries / jobs the dead test left running.
+            try:
+                from pyspark.sql import SparkSession
+
+                s = SparkSession.getActiveSession()
+                if s is not None:
+                    s.sparkContext._gateway._gateway_client.close()
+                    for q in s.streams.active:
+                        try:
+                            q.stop()
+                        except Exception:
+                            pass
+                    s.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
 
 
 @pytest.fixture(scope="session")

@@ -100,6 +100,10 @@ def test_codec_gzip_and_lz4_branches(spark):
     rows = [
         ("gz", bytearray(_gzip.compress(raw, mtime=0))),
         ("gz_corrupt", bytearray(b"\x1f\x8b\x00\x00bad")),
+        # RAW payload whose first token is 35615 = 0x8B1F: serializes to
+        # the gzip magic bytes 1F 8B — must fall back to raw, not
+        # poison-pill (same collision class as the zlib sniff)
+        ("gz_magic_raw", bytearray((35615).to_bytes(4, "little") + (1).to_bytes(4, "little"))),
         ("lz4_tag", bytearray(TK._LZ4_PREFIX + (8).to_bytes(4, "little") + b"\x00" * 6)),
     ]
     df = spark.createDataFrame(rows, T.StructType([
@@ -109,6 +113,7 @@ def test_codec_gzip_and_lz4_branches(spark):
     out = {r["k"]: r["t"] for r in df.select("k", TK.decode_tokens("p").alias("t")).collect()}
     assert out["gz"] == [7, 42]
     assert out["gz_corrupt"] is None
+    assert out["gz_magic_raw"] == [35615, 1]
     if TK._lz4_block is None:
         assert out["lz4_tag"] is None  # undecodable without the lib
 
