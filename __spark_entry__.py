@@ -620,18 +620,50 @@ ORDER BY kind
 
 
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text quality scoring + language ID + token counts (training-data ops)."""
+    """Text quality scoring + language ID + token counts (training-data
+    ops).  Two-select shape: the expensive regexp counts land in ONE
+    projection, the language CASE / ratio arithmetic derives from those
+    columns — CollapseProject won't re-inline a non-cheap expression
+    referenced more than once, so each regexp runs exactly once per row
+    (the one-select form repeated the 4 marker regexps inside every
+    greatest/when reference)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        F.length(t).alias("n"),
+        TX._marker_hits(t, TX.LANG_MARKERS["en"]).alias("hits_en"),
+        TX._marker_hits(t, TX.LANG_MARKERS["de"]).alias("hits_de"),
+        TX._marker_hits(t, TX.LANG_MARKERS["fr"]).alias("hits_fr"),
+        TX._marker_hits(t, TX.LANG_MARKERS["es"]).alias("hits_es"),
+        TX.whitespace_token_count(t).alias("n_words"),
+        TX.bpe_ish_token_count(t).alias("n_pieces"),
+        F.regexp_count(t, F.lit(r"[^\w\s]")).alias("n_punct"),
+    )
+    en, de, fr, es = (F.col(c) for c in ("hits_en", "hits_de", "hits_fr", "hits_es"))
+    mx = F.greatest(en, de, fr, es)
+    # identical arithmetic (incl. rounding points) to text.quality_score
+    punct = F.when(F.col("n") > 0, F.round(F.col("n_punct") / F.col("n"), 6)).otherwise(F.lit(0.0))
+    stop = F.when(F.col("n_words") > 0, F.round(en / F.col("n_words"), 6)).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.lit(0.4) * F.least(F.col("n") / F.lit(500.0), F.lit(1.0))
+        + F.lit(0.3) * F.greatest(F.lit(0.0), F.lit(1.0) - punct * 4)
+        + F.lit(0.3) * F.least(stop * 5, F.lit(1.0)),
+        6,
+    )
+    scored = feats.select(
+        F.when(mx <= 0, "und")
+        .when(en == mx, "en")
+        .when(de == mx, "de")
+        .when(fr == mx, "fr")
+        .otherwise("es")
+        .alias("lang_pred"),
+        "n_words",
+        "n_pieces",
+        quality.alias("quality"),
+    )
     return (
-        docs.select(
-            "doc_id",
-            TX.detect_lang(t).alias("lang_pred"),
-            TX.whitespace_token_count(t).alias("n_words"),
-            TX.bpe_ish_token_count(t).alias("n_pieces"),
-            TX.quality_score(t).alias("quality"),
-        )
-        .groupBy("lang_pred")
+        scored.groupBy("lang_pred")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_words").alias("sum_words"),
