@@ -97,7 +97,7 @@ def _stream_scaling(input_dir: str, levels: list[int]) -> dict:
     tmp = tempfile.mkdtemp(prefix="bench_stream_", dir=scratch_root)
 
     parts = max(levels)  # one plan for every run
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     # pin BOTH provider classes explicitly: relying on the session
     # default would let a stray SPARK_GRAFT_STATE_PROVIDER override
     # mislabel the published rocksdb numbers
@@ -209,13 +209,19 @@ def main() -> None:
     )
     sys.stderr.write(f"[bench] datagen {n_rows} rows in {time.time()-t0:.1f}s\n")
 
-    # 2. headline batch queries in the parent
+    # 2. headline batch queries in the parent — two full passes,
+    # best-of-2 per query: pass 1 warms JIT/page cache, and a
+    # multi-minute VM noise burst (observed 2x inflation) has to cover
+    # BOTH passes to poison a number
     q_times: dict[str, float] = {}
     qs = E.queries()
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        q_times[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in q_times or dt < q_times[name]:
+                q_times[name] = dt
     sys.stderr.write(f"[bench] headline suite {sum(q_times.values()):.1f}s\n")
     spark.stop()
 
