@@ -1573,6 +1573,58 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def _q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: quality-score quartiles via ntile — the
+    global-ranking window op (§2.8 family) the curriculum scheduler
+    needs.  Single-partition window on a 2-double projection (score +
+    id), never on the documents themselves; at 10^12 rows swap ntile
+    for approx percentile cutoffs + a map-side bucket join — same
+    contract, no global sort."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("quality"), 6).alias("min_q"),
+            F.round(F.max("quality"), 6).alias("max_q"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_DOC_QUALITY_BUCKETS = r"""
+WITH raw AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS en,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END          AS n_words,
+         length(text)                                                      AS n,
+         length(regexp_extract_all(text, '[^\w\s]'))                       AS n_punct
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         round(0.4 * least(n / 500.0, 1.0)
+             + 0.3 * greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN round(n_punct / n, 6) ELSE 0.0 END) * 4)
+             + 0.3 * least((CASE WHEN n_words > 0 THEN round(en / n_words, 6) ELSE 0.0 END) * 5, 1.0),
+               6) AS quality
+  FROM raw
+), b AS (
+  SELECT quality, ntile(4) OVER (ORDER BY quality ASC, doc_id ASC) AS bucket
+  FROM scored
+)
+SELECT bucket, count(*) AS n_docs, round(min(quality), 6) AS min_q,
+       round(max(quality), 6) AS max_q
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _shipped(flagship),
@@ -1620,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": _shipped(_q_emb_neardup_pairs),
         "doc_repetition_stats": _shipped(_q_doc_repetition_stats),
         "doc_mix_rebalance": _shipped(_q_doc_mix_rebalance),
+        "doc_quality_buckets": _shipped(_q_doc_quality_buckets),
     }
 
 
@@ -1670,4 +1723,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_pairs": _SQL_EMB_NEARDUP,
         "doc_repetition_stats": _SQL_DOC_REPETITION,
         "doc_mix_rebalance": _SQL_DOC_MIX_REBALANCE,
+        "doc_quality_buckets": _SQL_DOC_QUALITY_BUCKETS,
     }
