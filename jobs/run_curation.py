@@ -1,0 +1,92 @@
+"""Training-data curation job — ship with spark-submit --py-files.
+
+    spark-submit --py-files engine.zip jobs/run_curation.py \
+        --input /data/documents --output s3://curated \
+        --splits train=0.9 val=0.05 test=0.05 --budget 50000000000 \
+        --repetition-gate --shuffle
+
+Local smoke (this sandbox):
+
+    python jobs/run_curation.py --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/curated
+
+The batch companion to ``run_pipeline.py``: the corpus-curation stage a
+training pipeline runs downstream of the streaming engine.  Stages (all
+deterministic — rerunning the job reproduces byte-identical splits):
+
+    read → repetition/quality gates (map-side HOF/regexp expressions)
+         → optional domain-mix rebalance toward uniform source shares
+           under a char budget (aggregate-then-broadcast hash filter)
+         → train/val/test hash split (map-side, no RNG)
+         → optional deterministic shuffle order
+         → parquet partitioned by split
+
+Prints ONE JSON line of per-split counts (the job's manifest).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bitquery_kafka_streams_rust_spark.functions import text as TX  # noqa: E402
+from bitquery_kafka_streams_rust_spark.operators import sampling as SAMP  # noqa: E402
+from bitquery_kafka_streams_rust_spark.session import get_spark  # noqa: E402
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="corpus curation/split/export job")
+    p.add_argument("--input", required=True, help="documents parquet (doc_id, text, source, n_chars)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--splits", nargs="*", default=["train=0.9", "val=0.05", "test=0.05"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--budget", type=int, default=None,
+                   help="total char budget; rebalances sources toward uniform shares")
+    p.add_argument("--repetition-gate", action="store_true")
+    p.add_argument("--min-quality", type=float, default=None)
+    p.add_argument("--shuffle", action="store_true", help="deterministic export order")
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def curate(docs, a: argparse.Namespace):
+    if a.repetition_gate:
+        docs = docs.where(TX.repetition_gate(F.col("text")))
+    if a.min_quality is not None:
+        docs = docs.where(TX.quality_score(F.col("text")) >= a.min_quality)
+    if a.budget is not None:
+        sources = [r["source"] for r in docs.select("source").distinct().collect()]
+        docs = SAMP.rebalance_to_mix(
+            docs, {s: 1.0 for s in sources}, total_budget=a.budget, seed=a.seed
+        )
+    weights = {k: float(v) for k, v in (s.split("=", 1) for s in a.splits)}
+    out = SAMP.hash_split(docs, weights, seed=a.seed)
+    if a.shuffle:
+        out = SAMP.shuffle_order(out, seed=a.seed)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    a = parse_args(argv)
+    spark = get_spark(app_name="corpus-curation", master=a.master)
+    out = curate(spark.read.parquet(a.input), a)
+    out.write.mode("overwrite").partitionBy("split").parquet(a.output)
+    stats = {
+        r["split"]: {"n_docs": r["n_docs"], "sum_chars": r["sum_chars"]}
+        for r in spark.read.parquet(a.output)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .collect()
+    }
+    print(json.dumps({"output": a.output, "splits": stats}, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

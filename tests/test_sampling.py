@@ -173,3 +173,29 @@ def test_sampling_stages_are_streaming_safe(spark, sf_dir, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM curated_stream").collect()}
     assert got == expected and len(got) > 0
+
+
+def test_curation_job_cli_end_to_end(spark, sf_dir, tmp_path):
+    """jobs/run_curation.py: gate → budget rebalance → split → shuffle →
+    partitioned parquet, and a rerun reproduces byte-identical splits."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    args = [
+        "--input", f"{sf_dir}/documents.parquet",
+        "--repetition-gate", "--budget", "40000", "--shuffle",
+        "--splits", "train=0.8", "val=0.2",
+    ]
+    rc = J.main([*args, "--output", str(tmp_path / "a")])
+    assert rc == 0
+    a = spark.read.parquet(str(tmp_path / "a"))
+    assert set(r["split"] for r in a.select("split").distinct().collect()) <= {"train", "val"}
+    assert 0 < a.count() < spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    rc = J.main([*args, "--output", str(tmp_path / "b")])
+    assert rc == 0
+    b = spark.read.parquet(str(tmp_path / "b"))
+    key = lambda df: sorted(map(tuple, df.select("doc_id", "split").collect()))
+    assert key(a) == key(b)
