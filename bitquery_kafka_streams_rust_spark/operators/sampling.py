@@ -182,3 +182,24 @@ def rebalance_to_mix(
     return stratified_sample_frac(
         df, w, strata_col=strata_col, id_col=id_col, seed=seed
     )
+
+
+def quality_buckets_approx(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 4,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scale path for quantile binning: approx_percentile cutoffs
+    (one mergeable-sketch aggregate pass) + a map-side bucket CASE —
+    no global sort, unlike exact ntile.  Boundary docs may land one
+    bucket off vs exact ntile (sketch error ~1/accuracy); bucket ids
+    follow the ntile convention (1..n_buckets ascending score)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile_approx(score_col, probs, accuracy).alias("cuts")
+    ).collect()[0]["cuts"]
+    bucket: Column = F.lit(n_buckets)
+    for i in range(n_buckets - 1, 0, -1):
+        bucket = F.when(df[score_col] <= float(cuts[i - 1]), F.lit(i)).otherwise(bucket)
+    return df.withColumn("bucket", bucket)

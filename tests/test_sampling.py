@@ -199,3 +199,27 @@ def test_curation_job_cli_end_to_end(spark, sf_dir, tmp_path):
     b = spark.read.parquet(str(tmp_path / "b"))
     key = lambda df: sorted(map(tuple, df.select("doc_id", "split").collect()))
     assert key(a) == key(b)
+
+
+def test_quality_buckets_approx_tracks_exact_ntile(spark, sf_dir):
+    """The sketch-cutoff binning agrees with exact ntile(4) for ~all
+    docs (only sketch-boundary docs may shift one bucket)."""
+    from pyspark.sql import Window
+
+    from bitquery_kafka_streams_rust_spark.functions import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select("doc_id", TX.quality_score(F.col("text")).alias("q"))
+    w = Window.orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    exact = {r["doc_id"]: r["b"] for r in
+             scored.withColumn("b", F.ntile(4).over(w)).select("doc_id", "b").collect()}
+    approx = {r["doc_id"]: r["bucket"] for r in
+              SAMP.quality_buckets_approx(scored, "q").select("doc_id", "bucket").collect()}
+    assert set(approx.values()) <= {1, 2, 3, 4}
+    agree = sum(exact[d] == approx[d] for d in exact)
+    assert agree / len(exact) > 0.9
+    assert all(abs(exact[d] - approx[d]) <= 1 for d in exact)
+    # the bucket assignment itself is a map-side CASE: no window, no
+    # global sort in the physical plan (the only aggregate is the sketch)
+    plan = SAMP.quality_buckets_approx(scored, "q")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort " not in plan
