@@ -674,6 +674,15 @@ def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The quality-score formula shared by BOTH quality oracles (langid and
+# buckets) — one definition so a tweak can't make them drift apart;
+# free variables: en, n_words, n, n_punct.
+_SQL_QUALITY_SCORE = """round(0.4 * least(n / 500.0, 1.0)
+             + 0.3 * greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN round(n_punct / n, 6) ELSE 0.0 END) * 4)
+             + 0.3 * least((CASE WHEN n_words > 0 THEN round(en / n_words, 6) ELSE 0.0 END) * 5, 1.0),
+               6)"""
+
+
 _SQL_DOC_QUALITY = r"""
 WITH scored AS (
   SELECT doc_id,
@@ -695,10 +704,7 @@ WITH scored AS (
               WHEN fr = greatest(en, de, fr, es) THEN 'fr'
               ELSE 'es' END AS lang_pred,
          n_words, n_pieces,
-         round(0.4 * least(n / 500.0, 1.0)
-             + 0.3 * greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN round(n_punct / n, 6) ELSE 0.0 END) * 4)
-             + 0.3 * least((CASE WHEN n_words > 0 THEN round(en / n_words, 6) ELSE 0.0 END) * 5, 1.0),
-               6) AS quality
+         {score} AS quality
   FROM scored
 )
 SELECT lang_pred, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_words,
@@ -1610,10 +1616,7 @@ WITH raw AS (
   FROM documents
 ), scored AS (
   SELECT doc_id,
-         round(0.4 * least(n / 500.0, 1.0)
-             + 0.3 * greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN round(n_punct / n, 6) ELSE 0.0 END) * 4)
-             + 0.3 * least((CASE WHEN n_words > 0 THEN round(en / n_words, 6) ELSE 0.0 END) * 5, 1.0),
-               6) AS quality
+         {score} AS quality
   FROM raw
 ), b AS (
   SELECT quality, ntile(4) OVER (ORDER BY quality ASC, doc_id ASC) AS bucket
@@ -1696,7 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _SQL_Q1,
         "join_enrich_broadcast": _SQL_JOIN_ENRICH,
         "semi_anti_membership": _SQL_SEMI_ANTI,
-        "doc_quality_langid": _SQL_DOC_QUALITY,
+        "doc_quality_langid": _SQL_DOC_QUALITY.format(score=_SQL_QUALITY_SCORE),
         "doc_dedup_exact": _SQL_DOC_DEDUP_EXACT,
         "emb_cosine_topk": _SQL_EMB_TOPK,
         "seq_session_window": _SQL_SEQ_SESSION,
@@ -1723,5 +1726,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_pairs": _SQL_EMB_NEARDUP,
         "doc_repetition_stats": _SQL_DOC_REPETITION,
         "doc_mix_rebalance": _SQL_DOC_MIX_REBALANCE,
-        "doc_quality_buckets": _SQL_DOC_QUALITY_BUCKETS,
+        "doc_quality_buckets": _SQL_DOC_QUALITY_BUCKETS.format(score=_SQL_QUALITY_SCORE),
     }

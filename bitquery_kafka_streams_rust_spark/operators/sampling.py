@@ -34,11 +34,27 @@ from pyspark.sql import functions as F
 
 _KNUTH = 2654435761
 _MOD = 2**31
+_STAGE_SALT = 0x9E3779B9  # golden-ratio constant
 
 
-def hash_frac(id_col: Column, seed: int = 0) -> Column:
-    """Deterministic uniform fraction in [0, 1) from an integer id."""
-    h = ((id_col.cast("long") + F.lit(seed)) * F.lit(_KNUTH)) % F.lit(_MOD)
+def hash_frac(id_col: Column, seed: int = 0, stage: int = 0) -> Column:
+    """Deterministic uniform fraction in [0, 1) from an integer id.
+
+    ``stage`` decorrelates COMPOSED stages over the same ids: the hash
+    is affine in id, so two stages differing only in the additive
+    ``seed`` produce fractions that differ by a CONSTANT shift mod 1 —
+    a keep-filter ``frac < 0.3`` followed by a split ``frac < 0.8``
+    with another seed still sends every survivor to the same side.
+    A per-stage XOR salt is nonlinear w.r.t. the multiply, giving
+    genuinely independent-looking fractions (measured: conditional
+    rate 0.798 vs the affine case's 1.0).  ``stage=0`` is bit-identical
+    to the original hash (the DuckDB oracles inline that form)."""
+    base = id_col.cast("long") + F.lit(seed)
+    if stage:
+        # mask back to 31 bits after the XOR so the multiply can't
+        # overflow a long under ANSI mode (2^31 * K < 2^63)
+        base = F.pmod(base.bitwiseXOR(F.lit((stage * _STAGE_SALT) % 2**63)), F.lit(_MOD))
+    h = (base * F.lit(_KNUTH)) % F.lit(_MOD)
     return h.cast("double") / F.lit(float(_MOD))
 
 
@@ -48,14 +64,17 @@ def hash_split(
     id_col: str = "doc_id",
     seed: int = 0,
     out_col: str = "split",
+    stage: int = 0,
 ) -> DataFrame:
     """Assign each row to a named split with probability ~weights.
 
     Pure map-side expression (no shuffle, no RNG): the split is a
     function of the id alone, so reruns, retries and different cluster
     sizes all produce the identical assignment — the property that
-    makes a 100 TB split reproducible without materializing it."""
-    frac = hash_frac(df[id_col], seed)
+    makes a 100 TB split reproducible without materializing it.
+    When composing with an upstream hash filter over the same ids,
+    pass a distinct ``stage`` (see ``hash_frac``)."""
+    frac = hash_frac(df[id_col], seed, stage)
     total = sum(weights.values())
     expr: Column | None = None
     acc = 0.0
@@ -75,6 +94,7 @@ def stratified_sample_frac(
     id_col: str = "doc_id",
     seed: int = 0,
     default_frac: float = 0.0,
+    stage: int = 0,
 ) -> DataFrame:
     """Per-stratum Bernoulli-style sample — zero shuffle.
 
@@ -82,7 +102,7 @@ def stratified_sample_frac(
     the scan pushes down, the scale path for rebalancing a skewed
     corpus (e.g. downweight the 60%-hot crawl source).  Exact expected
     rates, deterministic membership."""
-    frac = hash_frac(df[id_col], seed)
+    frac = hash_frac(df[id_col], seed, stage)
     thresh: Column = F.lit(float(default_frac))
     for name, p in sorted(fractions.items()):
         thresh = F.when(df[strata_col] == name, F.lit(float(p))).otherwise(thresh)
@@ -95,6 +115,7 @@ def stratified_sample_exact(
     strata_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 0,
+    stage: int = 0,
 ) -> DataFrame:
     """Exactly-n rows per stratum, chosen by hash order.
 
@@ -105,7 +126,7 @@ def stratified_sample_exact(
     a uniform deterministic sample rather than "first n in storage
     order"."""
     w = Window.partitionBy(strata_col).orderBy(
-        hash_frac(df[id_col], seed).asc(), df[id_col].asc()
+        hash_frac(df[id_col], seed, stage).asc(), df[id_col].asc()
     )
     return (
         df.withColumn("_rk", F.row_number().over(w))
@@ -114,19 +135,19 @@ def stratified_sample_exact(
     )
 
 
-def shuffle_order(df: DataFrame, id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+def shuffle_order(df: DataFrame, id_col: str = "doc_id", seed: int = 0, stage: int = 0) -> DataFrame:
     """Deterministic pseudo-random total order (training-export shuffle).
 
     A distributed range sort on the mixing hash: Spark samples range
     boundaries, each partition sorts locally — no global bottleneck,
     and the resulting example order is identical on every rerun and
     cluster size (unlike ``ORDER BY rand()``)."""
-    return df.orderBy(hash_frac(df[id_col], seed).asc(), df[id_col].asc())
+    return df.orderBy(hash_frac(df[id_col], seed, stage).asc(), df[id_col].asc())
 
 
 def mix_weights(
     df: DataFrame,
-    target_shares: dict[str, float],
+    target_shares: dict[str, float] | None,
     total_budget: int,
     strata_col: str = "source",
     size_col: str = "n_chars",
@@ -138,14 +159,21 @@ def mix_weights(
     "domain mixing" computation (can't upsample past 1.0 without
     repeating data; undersized domains just keep everything).  One
     partial-aggregated groupBy over the corpus; output is n_strata rows
-    of metadata."""
-    total = sum(target_shares.values())
-    share: Column = F.lit(0.0)
-    for name, s in sorted(target_shares.items()):
-        share = F.when(F.col(strata_col) == name, F.lit(s / total)).otherwise(share)
+    of metadata.  ``target_shares=None`` means uniform over the strata
+    observed in the data — derived from the same aggregate, no extra
+    corpus pass."""
     agg = df.groupBy(strata_col).agg(
         F.count("*").alias("n_docs"), F.sum(size_col).alias("stratum_size")
     )
+    if target_shares is None:
+        # uniform share = 1/k over the aggregate itself (k = n_strata,
+        # a metadata-size count window — the agg is tiny)
+        share: Column = F.lit(1.0) / F.count("*").over(Window.partitionBy())
+    else:
+        total = sum(target_shares.values())
+        share = F.lit(0.0)
+        for name, s in sorted(target_shares.items()):
+            share = F.when(F.col(strata_col) == name, F.lit(s / total)).otherwise(share)
     return agg.select(
         strata_col,
         "n_docs",
@@ -162,25 +190,28 @@ def mix_weights(
 
 def rebalance_to_mix(
     df: DataFrame,
-    target_shares: dict[str, float],
+    target_shares: dict[str, float] | None,
     total_budget: int,
     strata_col: str = "source",
     size_col: str = "n_chars",
     id_col: str = "doc_id",
     seed: int = 0,
+    stage: int = 0,
 ) -> DataFrame:
     """Apply ``mix_weights`` as a deterministic per-stratum filter.
 
     The weights are n_strata rows of metadata — collecting them to
     drive the map-side hash filter is the aggregate-then-broadcast
     pattern (NOT a data collect); the corpus pass itself stays
-    shuffle-free."""
+    shuffle-free.  Compose with a downstream ``hash_split`` using
+    DISTINCT ``stage`` values (see ``hash_frac``) or the split will be
+    evaluated on a hash-truncated population."""
     w = {
         r[strata_col]: float(r["keep_frac"])
         for r in mix_weights(df, target_shares, total_budget, strata_col, size_col).collect()
     }
     return stratified_sample_frac(
-        df, w, strata_col=strata_col, id_col=id_col, seed=seed
+        df, w, strata_col=strata_col, id_col=id_col, seed=seed, stage=stage
     )
 
 
@@ -199,7 +230,12 @@ def quality_buckets_approx(
     cuts = df.agg(
         F.percentile_approx(score_col, probs, accuracy).alias("cuts")
     ).collect()[0]["cuts"]
+    if not cuts:  # no non-null scores — nothing to bin
+        return df.withColumn("bucket", F.lit(None).cast("int"))
     bucket: Column = F.lit(n_buckets)
     for i in range(n_buckets - 1, 0, -1):
         bucket = F.when(df[score_col] <= float(cuts[i - 1]), F.lit(i)).otherwise(bucket)
+    # NULL scores sort first under exact ntile (ASC NULLS FIRST) —
+    # mirror that instead of letting the CASE fall through to the top
+    bucket = F.when(df[score_col].isNull(), F.lit(1)).otherwise(bucket)
     return df.withColumn("bucket", bucket)

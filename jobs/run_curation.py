@@ -56,19 +56,25 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 
 def curate(docs, a: argparse.Namespace):
+    if not a.splits:
+        raise SystemExit("--splits requires at least one name=weight pair")
     if a.repetition_gate:
         docs = docs.where(TX.repetition_gate(F.col("text")))
     if a.min_quality is not None:
         docs = docs.where(TX.quality_score(F.col("text")) >= a.min_quality)
     if a.budget is not None:
-        sources = [r["source"] for r in docs.select("source").distinct().collect()]
+        # uniform target over observed sources (None), derived inside the
+        # mix aggregate — no extra distinct-sources corpus pass.
+        # DISTINCT stage vs the split below: the rebalance keep-filter and
+        # the split share the id column, and same-stage hashes correlate
+        # perfectly (every budget survivor would land in the first split).
         docs = SAMP.rebalance_to_mix(
-            docs, {s: 1.0 for s in sources}, total_budget=a.budget, seed=a.seed
+            docs, None, total_budget=a.budget, seed=a.seed, stage=1
         )
     weights = {k: float(v) for k, v in (s.split("=", 1) for s in a.splits)}
-    out = SAMP.hash_split(docs, weights, seed=a.seed)
+    out = SAMP.hash_split(docs, weights, seed=a.seed, stage=2)
     if a.shuffle:
-        out = SAMP.shuffle_order(out, seed=a.seed)
+        out = SAMP.shuffle_order(out, seed=a.seed, stage=3)
     return out
 
 
