@@ -1628,6 +1628,40 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.decontaminate): corpus docs
+    sharing >=2 word 3-grams with a held-out eval set (doc_id % 97).
+    Eval grams are distinct-ed and BROADCAST (benchmarks are tiny next
+    to the corpus); the corpus gram index joins map-side — cost
+    O(corpus grams), never a pairwise doc join.  String grams here for
+    the oracle; the scale path hashes them."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return (
+        DD.decontaminate(corpus, ev, n=3, min_shared=2, hash_grams=False)
+        .select(F.col("id").alias("doc_id"), "n_shared")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DOC_DECONTAMINATE = r"""
+WITH g AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+     CASE WHEN len(string_split_regex(lower(text), '\s+')) < 3
+          THEN [lower(text)]
+          ELSE list_transform(range(0, len(string_split_regex(lower(text), '\s+')) - 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(text), '\s+'),
+                                               i + 1, i + 3), ' ')) END)) AS gr
+  FROM documents
+), ev AS (SELECT DISTINCT gr FROM g WHERE id % 97 = 0),
+cg AS (SELECT * FROM g WHERE id % 97 <> 0)
+SELECT cg.id AS doc_id, count(*) AS n_shared
+FROM cg JOIN ev USING (gr)
+GROUP BY cg.id HAVING count(*) >= 2 ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _shipped(flagship),
@@ -1676,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": _shipped(_q_doc_repetition_stats),
         "doc_mix_rebalance": _shipped(_q_doc_mix_rebalance),
         "doc_quality_buckets": _shipped(_q_doc_quality_buckets),
+        "doc_decontaminate": _shipped(_q_doc_decontaminate),
     }
 
 
@@ -1727,4 +1762,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": _SQL_DOC_REPETITION,
         "doc_mix_rebalance": _SQL_DOC_MIX_REBALANCE,
         "doc_quality_buckets": _SQL_DOC_QUALITY_BUCKETS.format(score=_SQL_QUALITY_SCORE),
+        "doc_decontaminate": _SQL_DOC_DECONTAMINATE,
     }

@@ -289,6 +289,70 @@ def simhash_near_dups(
     )
 
 
+def word_gram_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """(id, g) inverted index of DISTINCT word n-grams per document —
+    the shared candidate-generation primitive for n-gram Jaccard and
+    eval-set decontamination.  ``hash_grams=True`` (scale path) emits
+    xxhash64 8-byte keys; False keeps raw gram strings (portable to SQL
+    oracles).  Docs shorter than n words contribute their whole
+    (lowercased) text as the single gram."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    mk = (
+        (lambda c: F.xxhash64(c))
+        if hash_grams
+        else (lambda c: c.cast("string"))
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(words) < n, F.array(mk(F.lower(F.col(text_col))))
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(words) - n),
+                        lambda i: mk(F.array_join(F.slice(words, i + 1, n), " ")),
+                    )
+                )
+            )
+        ).alias("g"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= ``min_shared``
+    distinct word n-grams with ANY eval doc, as (id, n_shared).
+
+    The eval gram set is tiny next to the corpus (benchmarks are
+    thousands of docs vs 10^12), so it is distinct-ed and BROADCAST;
+    the corpus gram index inner-joins it map-side and one groupBy per
+    contaminated doc counts overlaps — cost O(corpus grams), never a
+    pairwise doc join.  Training sets are decontaminated with
+    ``corpus.join(decontaminate(...), on=id, how="left_anti")``."""
+    ev = word_gram_index(eval_docs, id_col, text_col, n, hash_grams).select("g").distinct()
+    cg = word_gram_index(corpus, id_col, text_col, n, hash_grams)
+    return (
+        cg.join(F.broadcast(ev), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -314,25 +378,7 @@ def ngram_jaccard_pairs(
     DF-cap pruning; denominators keep the full gram sets, so capped
     Jaccard is a lower bound and pairs below threshold only by a capped
     stop-gram are the accepted approximation)."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    mk = (
-        (lambda c: F.xxhash64(c))
-        if hash_grams
-        else (lambda c: c.cast("string"))
-    )
-    grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.when(F.size(words) < n, F.array(mk(F.col(text_col)))).otherwise(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(words) - n),
-                        lambda i: mk(F.array_join(F.slice(words, i + 1, n), " ")),
-                    )
-                )
-            )
-        ).alias("g"),
-    )
+    grams = word_gram_index(docs, id_col, text_col, n, hash_grams)
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     joinable = grams
     if max_gram_doc_freq is not None:

@@ -102,3 +102,33 @@ def test_embedding_near_dups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in DD.embedding_near_dups(df, threshold=0.99).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_decontaminate_flags_overlap_and_broadcasts(spark):
+    """A corpus doc containing an eval doc's 3-gram is flagged with the
+    right overlap count; clean docs are not; the eval gram side is
+    broadcast (no shuffle join against the tiny benchmark set)."""
+    ev = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta y"),   # shares 2 distinct 3-grams+
+            (2, "alpha beta nope gamma delta"),  # shares 0 full 3-grams
+            (3, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.decontaminate(corpus, ev, n=3, min_shared=1, hash_grams=False)
+    got = {r["id"]: r["n_shared"] for r in out.collect()}
+    assert got == {1: 2}  # "alpha beta gamma", "beta gamma delta"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # anti-join removal keeps exactly the clean docs
+    clean = corpus.join(
+        DD.decontaminate(corpus, ev, n=3, min_shared=1, hash_grams=False)
+        .withColumnRenamed("id", "doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
