@@ -1662,6 +1662,40 @@ GROUP BY cg.id HAVING count(*) >= 2 ORDER BY doc_id
 """
 
 
+def _q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair resolution (dedup.connected_components): min-label
+    propagation turns the Jaccard pair list into (doc, cluster) — the
+    actionable form of fuzzy dedup (keep min-id doc per cluster).  One
+    join+groupBy per round over the PAIR set (metadata-scale next to
+    the corpus), early-stopped on convergence; the DuckDB oracle
+    replays connectivity with a recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, threshold=0.3, hash_grams=False, max_gram_doc_freq=50
+    )
+    return (
+        DD.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DOC_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE pairs AS ("
+    + _SQL_DOC_JACCARD  # the Jaccard oracle verbatim as the edge source
+    + """),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT DISTINCT s AS n, s AS m FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+)
+SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS component
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _shipped(flagship),
@@ -1711,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mix_rebalance": _shipped(_q_doc_mix_rebalance),
         "doc_quality_buckets": _shipped(_q_doc_quality_buckets),
         "doc_decontaminate": _shipped(_q_doc_decontaminate),
+        "doc_dedup_clusters": _shipped(_q_doc_dedup_clusters),
     }
 
 
@@ -1763,4 +1798,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_mix_rebalance": _SQL_DOC_MIX_REBALANCE,
         "doc_quality_buckets": _SQL_DOC_QUALITY_BUCKETS.format(score=_SQL_QUALITY_SCORE),
         "doc_decontaminate": _SQL_DOC_DECONTAMINATE,
+        "doc_dedup_clusters": _SQL_DOC_DEDUP_CLUSTERS,
     }

@@ -436,3 +436,52 @@ def embedding_near_dups(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: (node, component) where
+    component = min node id reachable — the step that turns a pair list
+    into an actionable dedup decision (keep the canonical min-id doc
+    per cluster, drop the rest).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels, via one join + one groupBy per
+    round over the (small) edge set — the standard Spark formulation of
+    iterative graph connectivity.  Rounds needed = graph diameter
+    (near-dup clusters are shallow; ``max_iter`` bounds pathological
+    chains).  Early-stops when a round changes nothing; each round's
+    convergence check is a count on the label frame (metadata-scale
+    next to the corpus — edges are pairs, not documents)."""
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    labels = und.select(F.col("s").alias("n")).distinct().withColumn("comp", F.col("n"))
+    for _ in range(max_iter):
+        neigh_min = (
+            und.join(labels.withColumnRenamed("n", "d").withColumnRenamed("comp", "dc"), "d")
+            .groupBy("s")
+            .agg(F.min("dc").alias("nc"))
+            .withColumnRenamed("s", "n")
+        )
+        new_labels = (
+            labels.join(neigh_min, "n", "left")
+            .select("n", F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "n")
+            .where(F.col("a.comp") != F.col("b.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("id"), F.col("comp").alias("component"))

@@ -132,3 +132,13 @@ def test_decontaminate_flags_overlap_and_broadcasts(spark):
         "left_anti",
     )
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A transitive chain merges into one component labeled by its min
+    node; disjoint edges stay separate; isolated nodes are absent."""
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 12), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in DD.connected_components(edges).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20}
