@@ -1696,6 +1696,33 @@ FROM reach GROUP BY n ORDER BY doc_id
 )
 
 
+def _q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (aggregates.profile_table): one
+    partial-aggregated scan produces non-null/distinct/min/max for
+    every column — the pre-training sanity sweep.  Exact distinct here
+    (string-cast parity with the oracle); approx_count_distinct is the
+    sketch path at scale."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return AG.profile_table(ev, ["event_id", "user_id", "event_type"]).orderBy("col_name")
+
+
+_SQL_EVENTS_PROFILE = """
+WITH n AS (SELECT count(*) AS n_rows FROM events)
+SELECT col_name, n_rows, n_nonnull, n_distinct, min_s, max_s FROM n, (
+  SELECT 'event_id' AS col_name, count(event_id) AS n_nonnull,
+         count(DISTINCT event_id) AS n_distinct,
+         CAST(min(event_id) AS VARCHAR) AS min_s, CAST(max(event_id) AS VARCHAR) AS max_s
+  FROM events
+  UNION ALL
+  SELECT 'event_type', count(event_type), count(DISTINCT event_type),
+         CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'user_id', count(user_id), count(DISTINCT user_id),
+         CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events
+) ORDER BY col_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _shipped(flagship),
@@ -1746,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_buckets": _shipped(_q_doc_quality_buckets),
         "doc_decontaminate": _shipped(_q_doc_decontaminate),
         "doc_dedup_clusters": _shipped(_q_doc_dedup_clusters),
+        "events_profile": _shipped(_q_events_profile),
     }
 
 
@@ -1799,4 +1827,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_buckets": _SQL_DOC_QUALITY_BUCKETS.format(score=_SQL_QUALITY_SCORE),
         "doc_decontaminate": _SQL_DOC_DECONTAMINATE,
         "doc_dedup_clusters": _SQL_DOC_DEDUP_CLUSTERS,
+        "events_profile": _SQL_EVENTS_PROFILE,
     }

@@ -130,3 +130,37 @@ def windowed_stats(
         .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), *by,
                 *[F.col(a) for a in (["n", "total"] if value_col else ["n"])])
     )
+
+
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
+                  exact_distinct: bool = True) -> DataFrame:
+    """Per-column data-quality profile in ONE aggregate pass: non-null
+    count, distinct count, min, max (stringified for a uniform schema),
+    one output row per column.
+
+    The whole profile is a single partial-aggregated scan regardless of
+    column count (every per-column aggregate lands in the same agg node
+    → one shuffle of one row per partition).  ``exact_distinct=False``
+    swaps count_distinct for approx_count_distinct (HLL sketch,
+    mergeable) — the 100 TB setting where exact distinct's per-column
+    expand would be the cost."""
+    cols = list(cols or df.columns)
+    distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            distinct_fn(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`" for c in cols
+    )
+    return one.select(
+        F.col("_rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n_nonnull, n_distinct, min_s, max_s)"
+        ),
+    ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")

@@ -83,3 +83,23 @@ def test_approx_sketches_near_exact(spark, sf_dir):
     a = ev.agg(F.approx_count_distinct("user_id")).collect()[0][0]
     e = ev.select("user_id").distinct().count()
     assert abs(a - e) / e < 0.05
+
+
+def test_profile_table_one_pass(spark, sf_dir):
+    """Profile values are right, and the whole multi-column profile is
+    ONE aggregate over ONE scan (no per-column jobs)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prof = AG.profile_table(ev, ["event_type", "user_id"])
+    rows = {r["col_name"]: r for r in prof.collect()}
+    assert rows["event_type"]["n_rows"] == ev.count()
+    assert rows["event_type"]["n_distinct"] == ev.select("event_type").distinct().count()
+    assert rows["user_id"]["n_nonnull"] == ev.where(F.col("user_id").isNotNull()).count()
+    assert rows["user_id"]["min_s"] == str(ev.agg(F.min("user_id")).collect()[0][0])
+    # AdaptiveSparkPlan.toString prints final AND initial plans — count
+    # scans in the final section only
+    plan = prof._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    # sketch variant runs and bounds the exact distinct
+    approx = {r["col_name"]: r["n_distinct"]
+              for r in AG.profile_table(ev, ["user_id"], exact_distinct=False).collect()}
+    assert abs(approx["user_id"] / rows["user_id"]["n_distinct"] - 1) < 0.1
