@@ -164,8 +164,12 @@ def token_entropy(tokens: pd.Series) -> pd.Series:
         if arr is None or len(arr) == 0:
             return 0.0
         a = np.asarray(arr)
-        counts = np.bincount(a)
-        p = counts[counts > 0] / len(a)
+        # unique, not bincount: bincount raises on negative values and
+        # allocates O(max_token) (a single corrupt token near 2^31 would
+        # OOM the worker) — decode_tokens reinterprets arbitrary bytes,
+        # so out-of-vocab values must degrade gracefully, not kill tasks
+        _, counts = np.unique(a, return_counts=True)
+        p = counts / len(a)
         return float(-(p * np.log(p)).sum())
 
     return tokens.map(ent)

@@ -37,7 +37,18 @@ def shard_correlation_join(
     them via watermark lag — the reference has no analogous guarantee at
     all (processing-time only, SURVEY T4)."""
     s = sequences.withWatermark("ts", f"{watermark_s} seconds").alias("s")
-    h = shards.withWatermark("ts", f"{watermark_s} seconds").alias("h")
+    # Project the shard side to scalars BEFORE the watermark/join: only
+    # part_len (8 B) is needed downstream, and the stream-stream join
+    # keeps both sides in state for up to watermark+range — shipping the
+    # fat tokens_part array through the shuffle and state store would be
+    # a ~500x state blowup (the tokens-never-cross-a-shuffle invariant).
+    h = (
+        shards.select(
+            "doc_id", "shard_id", "ts", F.size("tokens_part").alias("part_len")
+        )
+        .withWatermark("ts", f"{watermark_s} seconds")
+        .alias("h")
+    )
     cond = (
         (F.col("s.doc_id") == F.col("h.doc_id"))
         & (F.col("h.ts") >= F.col("s.ts") - F.expr(f"interval {range_s} seconds"))
@@ -48,6 +59,6 @@ def shard_correlation_join(
         F.col("s.source").alias("source"),
         F.col("s.ts").alias("seq_ts"),
         F.col("h.shard_id").alias("shard_id"),
-        F.size("h.tokens_part").alias("part_len"),
+        F.col("h.part_len").alias("part_len"),
         F.col("h.ts").alias("shard_ts"),
     )

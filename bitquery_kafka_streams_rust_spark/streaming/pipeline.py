@@ -141,6 +141,13 @@ def start_pipeline(
     )
     rollup_q = None
     if with_rollup:
+        # NOTE: the rollup is a SECOND streaming query with its own scan
+        # and its own dedup state — Structured Streaming queries cannot
+        # share a source subplan, and cascading off the committed parquet
+        # output would double-read replayed epochs (overwritten part
+        # files get new names; only an ACID table sink like Iceberg makes
+        # the cascade exactly-once).  Pass with_rollup=False where the
+        # windowed aggregate isn't needed (bench and the profiler do).
         rollup = build_window_rollup(build_event_stream(spark, input_dir, cfg), cfg)
         rollup_q = (
             rollup.writeStream.foreachBatch(

@@ -38,7 +38,19 @@ class CircuitBreakerSink:
     closes again on success.
 
     Driver-side (one instance per query), so plain attributes suffice —
-    no atomics needed, unlike the reference."""
+    no atomics needed, unlike the reference.
+
+    Deployment contract: a raised sink exception FAILS the streaming
+    query (Spark submits no further epochs), so consecutive-failure
+    accounting across epochs requires the instance to outlive query
+    restarts — compose as ``CircuitBreakerSink(RetryingSink(sink))``
+    inside a supervisor loop that restarts the query from its
+    checkpoint and reuses this object (restart-from-checkpoint replays
+    the failed epoch idempotently; see ``ExactlyOnceParquetSink``).
+    Within one epoch, ``RetryingSink`` is what absorbs transient
+    failures; the breaker's job is to stop a restart-storm against a
+    down dependency — exactly the reference's split
+    (``retry_handler.rs`` vs ``circuit_breaker.rs``)."""
 
     CLOSED, OPEN, HALF_OPEN = "closed", "open", "half_open"
 

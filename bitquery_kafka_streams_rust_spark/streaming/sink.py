@@ -34,8 +34,25 @@ class ExactlyOnceParquetSink:
     def __init__(self, out_dir: str, lineage: bool = True):
         self.out_dir = out_dir
         self.lineage_dir = os.path.join(out_dir, "_lineage")
+        # The manifest writer uses driver-local filesystem IO; on an
+        # object-store URI (s3://, gs://, hdfs://...) os/glob would
+        # silently write manifests to a bogus LOCAL path — disable with
+        # a warning instead.  Production object-store deployments get
+        # lineage from the table format itself (Iceberg snapshot
+        # manifests carry the same per-file rows/bounds); the data
+        # write below handles URIs fine either way.
+        if "://" in out_dir and lineage:
+            import warnings
+
+            warnings.warn(
+                f"lineage manifests need a local filesystem path; disabled for {out_dir!r} "
+                "(use an Iceberg/table-format sink for object-store lineage)",
+                stacklevel=2,
+            )
+            lineage = False
         self.lineage = lineage
-        os.makedirs(self.lineage_dir, exist_ok=True)
+        if lineage:
+            os.makedirs(self.lineage_dir, exist_ok=True)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # the writer-level partitionOverwriteMode option governs this
@@ -78,11 +95,14 @@ class ExactlyOnceParquetSink:
                 )
         except Exception:  # footer read is best-effort; totals are authoritative
             pass
+        mn, mx = totals.get("min_ts"), totals.get("max_ts")
         manifest = {
             "batch_id": batch_id,
             "rows": int(totals.get("rows", sum(f["rows"] for f in files))),
-            "min_ts": str(totals.get("min_ts", "")),
-            "max_ts": str(totals.get("max_ts", "")),
+            # empty-batch epochs observe NULL bounds — keep the empty-
+            # string sentinel rather than serializing the string "None"
+            "min_ts": "" if mn is None else str(mn),
+            "max_ts": "" if mx is None else str(mx),
             "files": files,
         }
         tmp = os.path.join(self.lineage_dir, f".batch_{batch_id}.json.tmp")

@@ -47,18 +47,22 @@ def _track(
     else:
         n_seen, sum_tok, n_sessions, last_epoch = 0, 0, 0, None
 
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    # A group's micro-batch may span several Arrow chunks in shuffle
+    # order; gap counting is order-sensitive, so sort the WHOLE batch,
+    # not each chunk (per-chunk sort over-/under-counts sessions when a
+    # boundary falls between chunks).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         # epoch seconds, unit-independent (arrives as datetime64[us]/ndarray)
         ts = (pd.to_datetime(pd.Series(pdf["ts"])) - pd.Timestamp("1970-01-01")) / pd.Timedelta(seconds=1)
         n_seen += len(pdf)
         sum_tok += int(pdf["n_tok"].sum())
-        if len(ts):
-            prev = pd.concat([pd.Series([last_epoch]), ts[:-1]], ignore_index=True)
-            gaps = (ts.reset_index(drop=True) - prev) > gap_s
-            gaps.iloc[0] = bool(last_epoch is None or gaps.iloc[0])
-            n_sessions += int(gaps.sum())
-            last_epoch = float(ts.iloc[-1])
+        prev = pd.concat([pd.Series([last_epoch]), ts[:-1]], ignore_index=True)
+        gaps = (ts.reset_index(drop=True) - prev) > gap_s
+        gaps.iloc[0] = bool(last_epoch is None or gaps.iloc[0])
+        n_sessions += int(gaps.sum())
+        last_epoch = float(ts.iloc[-1])
 
     state.update((n_seen, sum_tok, n_sessions, last_epoch))
     yield pd.DataFrame(

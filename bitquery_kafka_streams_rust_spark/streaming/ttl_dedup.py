@@ -47,8 +47,9 @@ class TtlDedupProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         first = None
         for pdf in rows:
-            if first is None and len(pdf):
+            if len(pdf):
                 first = pdf.iloc[:1]
+                break  # later chunks are duplicates — skip deserializing them
         if first is None:
             return
         if not self.seen.exists():  # expired or never seen → admit + remember
@@ -87,8 +88,9 @@ def ttl_dedup_stream_compat(
     def fn(key_tuple, pdfs, state):
         first = None
         for pdf in pdfs:
-            if first is None and len(pdf):
+            if len(pdf):
                 first = pdf.iloc[:1]
+                break  # later chunks are duplicates — skip deserializing them
         if first is None:
             return
         now_ms = state.getCurrentProcessingTimeMs()
