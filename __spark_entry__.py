@@ -1058,6 +1058,149 @@ FROM sel WHERE j IS NOT NULL
 """
 
 
+def _q_block_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 first-successful-transaction extraction over the nested
+    BlockMessage fixture (parse_block_message_content,
+    consumer.rs:267-304): first tx (by position) with success=true,
+    unwrap_or("unknown") fee_payer, blocks with no successful tx emit
+    nothing.  filter+try_element_at inside the scan stage — no shuffle."""
+    from bitquery_kafka_streams_rust_spark.operators.extract import extract_transaction
+
+    blocks = datagen.blocks_view(spark, sf_dir)
+    return extract_transaction(blocks).select(
+        "block_id", "slot", "signature", "signer", "fee", "trades_count", "logs_count"
+    )
+
+
+# mirrors datagen.blocks_view: success(j) = (c+j) % 3 != 0, so the first
+# successful j is 0 unless c % 3 = 0 (then 1), bounded by n_tx = c % 5
+_SQL_BLOCK_TX = """
+WITH t AS (
+  SELECT doc_id AS c, doc_id % 5 AS n_tx FROM documents
+), sel AS (
+  SELECT c,
+         CASE WHEN n_tx > 0 AND c % 3 <> 0 THEN 0
+              WHEN n_tx > 1 AND (c + 1) % 3 <> 0 THEN 1
+              ELSE NULL END AS j
+  FROM t
+)
+SELECT c AS block_id, c * 10 AS slot,
+       'sig' || c || '_' || j AS signature,
+       CASE WHEN (c + j) % 7 = 0 THEN 'unknown'
+            ELSE 'p' || c || '_' || j END AS signer,
+       c * 10 + j AS fee,
+       CAST((c + 2 * j) % 3 AS INTEGER) AS trades_count,
+       CAST((c + j) % 4 AS INTEGER) AS logs_count
+FROM sel WHERE j IS NOT NULL
+"""
+
+
+def _q_dex_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 first-dex-trade extraction (parse_dex_message_content,
+    consumer.rs:348-413): first tx WITH trades, its first trade,
+    "unknown" defaults for absent program/account sub-fields."""
+    from bitquery_kafka_streams_rust_spark.operators.extract import extract_dex_trade
+
+    blocks = datagen.blocks_view(spark, sf_dir)
+    return extract_dex_trade(blocks).select(
+        "block_id", "slot", "signature", "program_id", "market_address",
+        "amount_base", "amount_quote", "maker", "taker", "fee", "royalty",
+    )
+
+
+# trades(j) = (c+2j) % 3, so the first trade-bearing j is 0 unless
+# c % 3 = 0 (then 1); trade fields at k = 0 (gate = c + j)
+_SQL_DEX_TRADE = """
+WITH t AS (
+  SELECT doc_id AS c, doc_id % 5 AS n_tx FROM documents
+), sel AS (
+  SELECT c,
+         CASE WHEN n_tx > 0 AND c % 3 <> 0 THEN 0
+              WHEN n_tx > 1 AND (c + 2) % 3 <> 0 THEN 1
+              ELSE NULL END AS j
+  FROM t
+)
+SELECT c AS block_id, c * 10 AS slot,
+       'sig' || c || '_' || j AS signature,
+       CASE WHEN (c + j) % 11 = 0 THEN 'unknown'
+            ELSE 'prog' || (c % 10) END AS program_id,
+       'mkt' || ((c + j) % 8) AS market_address,
+       c * 100 + j * 10 AS amount_base,
+       (c * 100 + j * 10) * 2 AS amount_quote,
+       CASE WHEN (c + j) % 13 = 0 THEN 'unknown'
+            ELSE 'b' || ((c + j) % 50) END AS maker,
+       's' || ((c + j) % 50) AS taker,
+       (c + j) % 100 AS fee,
+       (c + j) % 7 AS royalty
+FROM sel WHERE j IS NOT NULL
+"""
+
+
+def _q_events_usd_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 derived USD column (amount * price, 0 when price <= 0 —
+    dex_processor.rs:85) + P6 CASE tier classification
+    (dex_processor.rs:144-148), price taken from the dynamic JSON props
+    (P4 accessor): per-tier counts and USD volume."""
+    from bitquery_kafka_streams_rust_spark.operators import extract as EX
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    priced = ev.select(
+        F.col("value").alias("amount_base"),
+        (EX.json_double("props", "k")).alias("price"),
+    )
+    usd = priced.select(EX.usd_value())
+    return (
+        usd.select(EX.value_tier("usd").alias("tier"), "usd")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), F.round(F.sum("usd"), 4).alias("sum_usd"))
+        .orderBy("tier")
+    )
+
+
+_SQL_EVENTS_USD_TIERS = """
+WITH u AS (
+  SELECT CASE WHEN CAST(props->>'$.k' AS DOUBLE) > 0
+              THEN value * CAST(props->>'$.k' AS DOUBLE)
+              ELSE 0.0 END AS usd
+  FROM events
+)
+SELECT CASE WHEN usd > 10000 THEN 'huge' WHEN usd > 5000 THEN 'large'
+            WHEN usd > 1000 THEN 'big' ELSE 'normal' END AS tier,
+       count(*) AS n, round(sum(usd), 4) AS sum_usd
+FROM u GROUP BY tier ORDER BY tier
+"""
+
+
+def _q_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 end-to-end without the spark-protobuf jar: the nested
+    TokenBlockMessage fixture is serialized to REAL proto3 wire bytes
+    (sources/protowire.py, field numbers from
+    schemas/token_block_message.proto) as Kafka-shaped (key, value)
+    records, decoded back by the generic wire-format parser, and fed to
+    the P2 extractor — the reference's topic → protobuf decode → extract
+    front door (src/consumer.rs:213-230,306-346) as one runnable plan.
+    The oracle is the same arithmetic as token_transfer_extract: a green
+    row certifies the decode is lossless."""
+    from bitquery_kafka_streams_rust_spark.operators.extract import extract_token_transfer
+    from bitquery_kafka_streams_rust_spark.sources import protowire as PW
+
+    blocks = datagen.token_blocks_view(spark, sf_dir)
+    prepped = blocks.select(
+        F.col("block_id").alias("key"),
+        F.struct(
+            F.col("slot").alias("slot"),
+            F.unix_timestamp("ts").alias("timestamp"),
+        ).alias("header"),
+        "transactions",
+    )
+    wire = PW.encode_frame(prepped, PW.TOKEN_BLOCK_MESSAGE, key_col="key")
+    decoded = PW.token_blocks_from_wire(wire)
+    return extract_token_transfer(decoded).select(
+        "block_id", "slot", "signature", "from_account", "to_account",
+        "mint", "amount", "decimals",
+    )
+
+
 def _q_seq_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 vectorized custom predicate: Arrow-batched numpy entropy over
     the token arrays gates low-information sequences; per-source counts."""
@@ -1366,9 +1509,11 @@ cents AS (
 assigned AS (
   SELECT e.vec_id, e.v, c.cent_id,
          row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, c.cent_vec) /
+             -- round(…, 9) mirrors ivf_topk's rounded cell assignment
+             -- (near-tie centroids must not flip between engines)
+             ORDER BY round(list_dot_product(e.v, c.cent_vec) /
                       (sqrt(list_dot_product(e.v, e.v)) *
-                       sqrt(list_dot_product(c.cent_vec, c.cent_vec))) DESC,
+                       sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 9) DESC,
                       c.cent_id ASC) AS cr
   FROM e CROSS JOIN cents c
 ),
@@ -1551,11 +1696,11 @@ def _q_doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate computes per-source keep fractions toward a uniform mix
     under a char budget; the corpus pass applies them as the zero-shuffle
     hash filter.  Aggregate-then-broadcast — the collect is n_strata
-    rows, never data."""
+    rows, never data.  ``target_shares=None`` derives the uniform
+    shares inside that one metadata aggregate (no separate
+    distinct-sources corpus pass)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sources = [r["source"] for r in docs.select("source").distinct().collect()]
-    shares = {s: 1.0 for s in sources}
-    kept = SAMP.rebalance_to_mix(docs, shares, total_budget=70000)
+    kept = SAMP.rebalance_to_mix(docs, None, total_budget=70000)
     return (
         kept.groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
@@ -1580,21 +1725,21 @@ GROUP BY d.source ORDER BY d.source
 
 
 def _q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum binning: quality-score quartiles via ntile — the
-    global-ranking window op (§2.8 family) the curriculum scheduler
-    needs.  Single-partition window on a 2-double projection (score +
-    id), never on the documents themselves; at 10^12 rows swap ntile
-    for approx percentile cutoffs + a map-side bucket join — same
-    contract, no global sort."""
-    from pyspark.sql import Window
-
+    """Curriculum binning via the SCALE plan
+    (sampling.quality_buckets_hist): fixed-width histogram (one
+    partial-aggregated metadata pass) → integer cutoff bins → map-side
+    bucket CASE.  No global sort / single-partition window anywhere —
+    the plan that survives 10^12 rows, and the plan the audit now
+    enforces (audit_plans.py flags single-partition WindowExec).  The
+    oracle inlines the identical bin/cutoff arithmetic; exact ntile
+    stays pinned to this path by
+    test_quality_buckets_hist_tracks_exact_ntile."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = docs.select(
         "doc_id", TX.quality_score(F.col("text")).alias("quality")
     )
-    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("bucket", F.ntile(4).over(w))
+        SAMP.quality_buckets_hist(scored, "quality", n_buckets=4, resolution=4096)
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1605,6 +1750,11 @@ def _q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mirrors quality_buckets_hist: bin = least(floor(q*4096), 4095); cutoff
+# bin b = first bin where cumulative count >= ceil(b*N/4) (integer
+# arithmetic); bucket = smallest b with bin <= cut_b.  The histogram/
+# cutoff CTEs run over <= 4097 METADATA rows, the corpus passes are
+# map-side — the same shape as the Spark plan.
 _SQL_DOC_QUALITY_BUCKETS = r"""
 WITH raw AS (
   SELECT doc_id,
@@ -1618,13 +1768,31 @@ WITH raw AS (
   SELECT doc_id,
          {score} AS quality
   FROM raw
-), b AS (
-  SELECT quality, ntile(4) OVER (ORDER BY quality ASC, doc_id ASC) AS bucket
+), binned AS (
+  SELECT quality,
+         CASE WHEN quality IS NULL THEN -1
+              ELSE least(CAST(floor(quality * 4096) AS INTEGER), 4095) END AS bin
   FROM scored
+), hist AS (
+  SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+         (SELECT count(*) FROM binned) AS n
+  FROM hist
+), cuts AS (
+  SELECT min(CASE WHEN cum >= (1 * n + 3) // 4 THEN bin END) AS c1,
+         min(CASE WHEN cum >= (2 * n + 3) // 4 THEN bin END) AS c2,
+         min(CASE WHEN cum >= (3 * n + 3) // 4 THEN bin END) AS c3
+  FROM cum
+), assigned AS (
+  SELECT quality,
+         CASE WHEN bin <= c1 THEN 1 WHEN bin <= c2 THEN 2
+              WHEN bin <= c3 THEN 3 ELSE 4 END AS bucket
+  FROM binned, cuts
 )
 SELECT bucket, count(*) AS n_docs, round(min(quality), 6) AS min_q,
        round(max(quality), 6) AS max_q
-FROM b GROUP BY bucket ORDER BY bucket
+FROM assigned GROUP BY bucket ORDER BY bucket
 """
 
 
@@ -1755,6 +1923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _shipped(_q_doc_fingerprint),
         "doc_ngram_jaccard": _shipped(_q_doc_jaccard),
         "token_transfer_extract": _shipped(_q_token_transfer),
+        "protobuf_decode_extract": _shipped(_q_protobuf_decode),
+        "block_tx_extract": _shipped(_q_block_tx),
+        "dex_trade_extract": _shipped(_q_dex_trade),
+        "events_usd_tiers": _shipped(_q_events_usd_tiers),
         "seq_entropy_filter": _shipped(_q_seq_entropy),
         "seq_chunking": _shipped(_q_seq_chunking),
         "seq_packing": _shipped(_q_seq_packing),
@@ -1809,6 +1981,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_ngram_jaccard": _SQL_DOC_JACCARD,
         "token_transfer_extract": _SQL_TOKEN_TRANSFER,
+        # decode must be lossless: the wire round-trip reproduces the
+        # exact token_transfer_extract output, so it shares that oracle
+        "protobuf_decode_extract": _SQL_TOKEN_TRANSFER,
+        "block_tx_extract": _SQL_BLOCK_TX,
+        "dex_trade_extract": _SQL_DEX_TRADE,
+        "events_usd_tiers": _SQL_EVENTS_USD_TIERS,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

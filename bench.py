@@ -56,6 +56,21 @@ ROCKSDB_PROVIDER = (
 )
 
 
+def _progress_durations(query) -> dict[str, int]:
+    """Sum the per-epoch ``durationMs`` phases (addBatch = micro-batch
+    execution incl. state commit inside tasks, walCommit/commitOffsets =
+    checkpoint bookkeeping, queryPlanning, getBatch/latestOffset =
+    source admission) across the run — the stage attribution the
+    scaling analysis needs."""
+    agg: dict[str, int] = {}
+    for p in query.recentProgress:
+        if not isinstance(p, dict):  # StreamingQueryProgress object
+            p = json.loads(p.json)
+        for k, v in (p.get("durationMs") or {}).items():
+            agg[k] = agg.get(k, 0) + int(v)
+    return agg
+
+
 def _stream_scaling(input_dir: str, levels: list[int]) -> dict:
     """Measure the exactly-once pipeline at each parallelism level.
 
@@ -96,21 +111,27 @@ def _stream_scaling(input_dir: str, levels: list[int]) -> dict:
     scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix="bench_stream_", dir=scratch_root)
 
-    parts = max(levels)  # one plan for every run
+    main_parts = max(levels)  # one plan for every headline run
+    sweep_parts = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEP_PARTS", "8"))
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    sweep_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEP_RUNS", "2"))
     # pin BOTH provider classes explicitly: relying on the session
     # default would let a stray SPARK_GRAFT_STATE_PROVIDER override
     # mislabel the published rocksdb numbers
     providers = [("heap", HEAP_PROVIDER), ("rocksdb", ROCKSDB_PROVIDER)]
 
-    # Every (provider, level) CELL runs once per round, cells interleaved
-    # inside the round: this sandbox's noise comes in multi-minute bursts
-    # (single-run walls have been observed 3x apart), so interleaving +
-    # best-of-N keeps a burst from systematically poisoning one cell.
-    schedule: list[tuple[str, dict, int, bool]] = [
-        ("warm", {}, levels[-1], True)
+    # Every (provider, level[, parts]) CELL runs once per round, cells
+    # interleaved inside the round: this sandbox's noise comes in
+    # multi-minute bursts (single-run walls have been observed 3x apart),
+    # so interleaving + best-of-N keeps a burst from systematically
+    # poisoning one cell.  The first `sweep_rounds` rounds ALSO run each
+    # cell at `sweep_parts` state partitions — same cores, fewer state
+    # stores — to isolate the per-partition fixed state-commit cost from
+    # row-proportional compute (the residual-gap attribution).
+    schedule: list[tuple[str, dict, int, int, bool]] = [
+        ("warm", {}, levels[-1], main_parts, True)
     ]
-    for _ in range(rounds):
+    for rnd in range(rounds):
         for prov_name, prov_class in providers:
             extra = (
                 {"spark.sql.streaming.stateStore.providerClass": prov_class}
@@ -118,13 +139,16 @@ def _stream_scaling(input_dir: str, levels: list[int]) -> dict:
                 else {}
             )
             for c in levels:
-                schedule.append((prov_name, extra, c, False))
+                schedule.append((prov_name, extra, c, main_parts, False))
+                if rnd < sweep_rounds and sweep_parts != main_parts:
+                    schedule.append((prov_name, extra, c, sweep_parts, False))
 
-    walls: dict[tuple[str, int], list[float]] = {}
+    walls: dict[tuple[str, int, int], list[float]] = {}
+    breakdown: dict[tuple[str, int, int], dict[str, int]] = {}
     cpu_cal: dict[int, float] = {}
     n_input = n_out = None
     run_id = 0
-    for prov_name, extra, cores, is_warm in schedule:
+    for prov_name, extra, cores, parts, is_warm in schedule:
         spark = get_spark(
             app_name=f"bench-{prov_name}-{cores}-{run_id}",
             master=f"local[{cores}]",
@@ -150,9 +174,13 @@ def _stream_scaling(input_dir: str, levels: list[int]) -> dict:
         t0 = time.time()
         rp.process_all()
         wall = time.time() - t0
+        durations = _progress_durations(rp.events_query)
         rp.stop()
         if not is_warm:
-            walls.setdefault((prov_name, cores), []).append(wall)
+            cell = (prov_name, cores, parts)
+            if cell not in walls or wall < min(walls[cell]):
+                breakdown[cell] = durations  # breakdown of the BEST run
+            walls.setdefault(cell, []).append(wall)
             # CPU-scaling calibration in the SAME context: pure codegen
             # compute with no I/O — measures this sandbox's achievable
             # parallel ceiling (a shared-memory VM, not a real cluster)
@@ -170,21 +198,31 @@ def _stream_scaling(input_dir: str, levels: list[int]) -> dict:
         shutil.rmtree(f"{tmp}/out_{run_id}", ignore_errors=True)
         run_id += 1
     shutil.rmtree(tmp, ignore_errors=True)
-    return {
-        prov_name: [
-            {
-                "cores": c,
-                "input_rows": n_input,
-                "output_rows": n_out,
-                "wall_s": round(min(walls[(prov_name, c)]), 3),
-                "all_walls_s": [round(w, 3) for w in walls[(prov_name, c)]],
-                "seq_per_s": round(n_input / min(walls[(prov_name, c)]), 1),
-                "cpu_calibration_s": round(cpu_cal[c], 3),
-            }
-            for c in levels
-        ]
+
+    def _cell(prov_name: str, c: int, parts: int) -> dict:
+        key = (prov_name, c, parts)
+        return {
+            "cores": c,
+            "state_parts": parts,
+            "input_rows": n_input,
+            "output_rows": n_out,
+            "wall_s": round(min(walls[key]), 3),
+            "all_walls_s": [round(w, 3) for w in walls[key]],
+            "seq_per_s": round(n_input / min(walls[key]), 1),
+            "cpu_calibration_s": round(cpu_cal[c], 3),
+            "duration_ms": breakdown.get(key, {}),
+        }
+
+    out = {
+        prov_name: [_cell(prov_name, c, main_parts) for c in levels]
         for prov_name, _ in providers
     }
+    if sweep_parts != main_parts:
+        out["parts_sweep"] = {
+            prov_name: [_cell(prov_name, c, sweep_parts) for c in levels]
+            for prov_name, _ in providers
+        }
+    return out
 
 
 def main() -> None:
@@ -277,6 +315,12 @@ def main() -> None:
                 "4n_cores": {"cores": levels[1], **{k: r_4n[k] for k in ("wall_s", "seq_per_s")}},
                 "scaling_efficiency": round((r_4n["seq_per_s"] / r_n["seq_per_s"]) / ratio, 3),
             },
+            "duration_ms_best_run": {
+                prov: {str(cell["cores"]): cell.get("duration_ms", {}) for cell in cells}
+                for prov, cells in stream_res.items()
+                if prov != "parts_sweep"
+            },
+            "state_parts_sweep": stream_res.get("parts_sweep", {}),
         },
     }
 
@@ -285,6 +329,54 @@ def main() -> None:
 
     shutil.rmtree(in_dir, ignore_errors=True)
     print(json.dumps(result))
+
+
+_PHASES = ["triggerExecution", "addBatch", "getBatch", "latestOffset",
+           "queryPlanning", "walCommit", "commitOffsets"]
+
+
+def _phase_and_sweep_sections(s: dict) -> list[str]:
+    """Render (a) the per-phase durationMs table of each provider's BEST
+    run at both core counts — attributing the wall to named phases —
+    and (b) the state-partitions sweep (8 vs 32 stores, same cores)
+    that isolates the per-partition fixed commit cost."""
+    lines: list[str] = []
+    dur = s.get("duration_ms_best_run") or {}
+    if dur:
+        lines += [
+            "### Phase attribution (durationMs of the best run, summed over epochs)\n",
+            "`addBatch` = micro-batch execution (scan+dedup state commit inside\n"
+            "tasks); `walCommit`/`commitOffsets` = checkpoint bookkeeping;\n"
+            "`queryPlanning` pays the fixed Catalyst cost per epoch.\n",
+            "| provider·cores | " + " | ".join(_PHASES) + " |",
+            "|---|" + "---|" * len(_PHASES),
+        ]
+        for prov, per_cores in sorted(dur.items()):
+            for cores, d in sorted(per_cores.items(), key=lambda kv: int(kv[0])):
+                row = " | ".join(str(d.get(p, "-")) for p in _PHASES)
+                lines.append(f"| {prov}·{cores} | {row} |")
+        lines.append("")
+    sweep = s.get("state_parts_sweep") or {}
+    if sweep:
+        main_parts = s.get("shuffle_partitions")
+        lines += [
+            "### State-partition sweep (fixed commit cost isolation)\n",
+            f"Same input and cores, state/shuffle partitions {main_parts} (headline)\n"
+            "vs the sweep below: the wall delta at equal cores bounds the\n"
+            "per-partition serial state-commit overhead (row work is unchanged;\n"
+            "fewer partitions = fewer state stores to open/commit/checkpoint\n"
+            "per epoch, at the price of less shuffle parallelism).\n",
+            "| provider | cores | state parts | wall (s) | sequences/sec |",
+            "|---|---|---|---|---|",
+        ]
+        for prov, cells in sorted(sweep.items()):
+            for cell in cells:
+                lines.append(
+                    f"| {prov} | {cell['cores']} | {cell['state_parts']} |"
+                    f" {cell['wall_s']} | {cell['seq_per_s']} |"
+                )
+        lines.append("")
+    return lines
 
 
 def _write_baseline_md(r: dict) -> None:
@@ -334,6 +426,7 @@ def _write_baseline_md(r: dict) -> None:
         "fixed cost that amortizes at production state sizes and vanishes across real\n"
         "executors. Spark 4.1's per-checkpoint-file checksums multiplied commit cost\n"
         "~6x here and are disabled by default (SPARK_GRAFT_CKPT_CHECKSUM to re-enable).\n",
+        *_phase_and_sweep_sections(s),
         "## Headline batch queries (noop sink, local[{}])\n".format(CPUS),
         "| query | sec |",
         "|---|---|",

@@ -287,6 +287,83 @@ def write_sequence_batches(
     return paths
 
 
+def blocks_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested BlockMessage table (schemas.BLOCKS) derived
+    deterministically from ``documents`` — the P1/P3 extraction input
+    (``parse_block_message_content`` src/consumer.rs:267-304,
+    ``parse_dex_message_content`` src/consumer.rs:348-413).
+
+    Per block c = doc_id:
+      n_tx = c % 5 transactions; tx j: success iff (c + j) % 3 != 0,
+      fee = c*10 + j, fee_payer NULL iff (c + j) % 7 = 0 (the
+      unwrap_or branch), (c + j) % 4 log lines; tx j carries
+      (c + 2j) % 3 trades; trade k: program NULL iff (c + j + k) % 11
+      = 0, buy_amount = c*100 + j*10 + k, sell = 2x, accounts/market
+      from small modular families.  Identical arithmetic in the
+      ``_SQL_BLOCK_TX`` / ``_SQL_DEX_TRADE`` oracle CTEs
+      (__spark_entry__.py), so P1 and P3 are oracle-checkable end to
+      end.  One codegen'd projection; no Python, no shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    c = docs["doc_id"]
+    n_tx = (c % 5).cast("int")
+
+    def _trade(j, k):
+        gate = c + j.cast("long") + k.cast("long")
+        buy = c * 100 + j.cast("long") * 10 + k.cast("long")
+        return F.struct(
+            F.when(gate % 11 == 0, F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit("prog"), ((c + k.cast("long")) % 10).cast("string"))
+            ).alias("program_address"),
+            F.concat(F.lit("mkt"), ((c + j.cast("long")) % 8).cast("string")).alias(
+                "market_address"
+            ),
+            buy.alias("buy_amount"),
+            (buy * 2).alias("sell_amount"),
+            F.when(gate % 13 == 0, F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit("b"), (gate % 50).cast("string"))
+            ).alias("buy_account"),
+            F.concat(F.lit("s"), (gate % 50).cast("string")).alias("sell_account"),
+            (gate % 100).alias("fee"),
+            (gate % 7).alias("royalty"),
+        )
+
+    def _tx(j):
+        n_tr = ((c + 2 * j.cast("long")) % 3).cast("int")
+        trades = F.when(n_tr == 0, F.array()).otherwise(
+            F.transform(F.sequence(F.lit(0), n_tr - 1), lambda k: _trade(j, k))
+        )
+        n_logs = ((c + j.cast("long")) % 4).cast("int")
+        logs = F.when(n_logs == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_logs - 1),
+                lambda k: F.concat(F.lit("L"), k.cast("string")),
+            )
+        )
+        return F.struct(
+            j.cast("int").alias("idx"),
+            F.concat(
+                F.lit("sig"), c.cast("string"), F.lit("_"), j.cast("string")
+            ).alias("signature"),
+            ((c + j.cast("long")) % 3 != 0).alias("success"),
+            (c * 10 + j.cast("long")).alias("fee"),
+            F.when((c + j.cast("long")) % 7 == 0, F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit("p"), c.cast("string"), F.lit("_"), j.cast("string"))
+            ).alias("fee_payer"),
+            trades.alias("trades"),
+            logs.alias("logs"),
+        )
+
+    txs = F.when(n_tx == 0, F.array()).otherwise(
+        F.transform(F.sequence(F.lit(0), n_tx - 1), _tx)
+    )
+    return docs.select(
+        c.alias("block_id"),
+        (c * 10).alias("slot"),
+        (F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=c % 86400)).alias("ts"),
+        txs.alias("transactions"),
+    )
+
+
 def token_blocks_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested TokenBlockMessage table (schemas.TOKEN_BLOCKS) derived
     deterministically from ``documents`` — the P2 extraction input

@@ -122,6 +122,79 @@ def encode_tokens(tokens: pd.Series) -> pd.Series:
 _LZ4_PREFIX = b"\x04\x22\x4d\x18"  # LZ4 frame magic used as our envelope tag
 
 
+def _lz4_block_decompress(src: bytes, usize: int) -> bytes:
+    """Pure-Python LZ4 *block* decoder — the dependency-free fallback so
+    the D2 branch runs end-to-end without the lz4 lib.  The block format
+    is a sequence of [token][literals][offset][match]: high nibble =
+    literal length, low nibble = match length − 4, 255-bytes extend
+    either, final sequence is literals-only.  Raises on any malformed
+    structure or size mismatch (caller poison-pills / falls back)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("truncated literal length")
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("truncated literals")
+        out += src[i : i + lit]
+        i += lit
+        if i == n:
+            break  # final sequence carries no match
+        if i + 2 > n:
+            raise ValueError("truncated match offset")
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        if off == 0 or off > len(out):
+            raise ValueError("bad match offset")
+        ml = (token & 0xF) + 4
+        if token & 0xF == 15:
+            while True:
+                if i >= n:
+                    raise ValueError("truncated match length")
+                b = src[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        for _ in range(ml):  # byte-wise: overlapping copies repeat the pattern
+            out.append(out[-off])
+    if len(out) != usize:
+        raise ValueError(f"decompressed {len(out)} != declared {usize}")
+    return bytes(out)
+
+
+def _lz4_block_compress_literals(raw: bytes) -> bytes:
+    """Minimal VALID LZ4 block: one literals-only final sequence (the
+    format explicitly allows it).  Fixture-side fallback when the lz4
+    lib is absent; real lz4-lib blocks decode through the same
+    ``_lz4_block_decompress``."""
+    out = bytearray([min(len(raw), 15) << 4])
+    if len(raw) >= 15:
+        rem = len(raw) - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += raw
+    return bytes(out)
+
+
+def _lz4_decompress(body: bytes, usize: int) -> bytes:
+    if _lz4_block is not None:
+        return _lz4_block.decompress(body, uncompressed_size=usize)
+    return _lz4_block_decompress(body, usize)
+
+
 @F.pandas_udf(T.BinaryType())
 def encode_tokens_gzip(tokens: pd.Series) -> pd.Series:
     """Fixture-side gzip encoder (0x1f 0x8b wire), mirroring the
@@ -138,17 +211,17 @@ def encode_tokens_gzip(tokens: pd.Series) -> pd.Series:
 def encode_tokens_lz4(tokens: pd.Series) -> pd.Series:
     """Fixture-side LZ4 encoder: magic ∥ LE-size ∥ lz4-block, the
     reference's size-prepended layout (``compression.rs:17-40``).
-    Raises if the optional lz4 lib is absent (encode is test-only)."""
-    if _lz4_block is None:  # pragma: no cover - sandbox has no lz4
-        raise RuntimeError("lz4 library not available")
+    Uses the lz4 lib when present, else a valid literals-only block —
+    either way the decode branch round-trips it."""
 
     def enc(arr) -> bytes:
         raw = np.asarray(arr, dtype="<i4").tobytes()
-        return (
-            _LZ4_PREFIX
-            + struct.pack("<I", len(raw))
-            + _lz4_block.compress(raw, store_size=False)
+        body = (
+            _lz4_block.compress(raw, store_size=False)
+            if _lz4_block is not None
+            else _lz4_block_compress_literals(raw)
         )
+        return _LZ4_PREFIX + struct.pack("<I", len(raw)) + body
 
     return tokens.map(enc)
 
@@ -196,13 +269,17 @@ def decode_tokens(payload: pd.Series) -> pd.Series:
                     b = gzip.decompress(bytes(b))
                 except (OSError, EOFError, zlib.error):
                     pass
-            elif b[:4] == _LZ4_PREFIX:
-                # size-prepended LZ4 (compression.rs:17-40).  Without the
-                # lz4 lib a tagged payload is undecodable → poison pill.
-                if _lz4_block is None or len(b) < 8:
-                    return None
-                (usize,) = struct.unpack("<I", bytes(b[4:8]))
-                b = _lz4_block.decompress(bytes(b[8:]), uncompressed_size=usize)
+            elif b[:4] == _LZ4_PREFIX and len(b) >= 8:
+                # size-prepended LZ4 (compression.rs:17-40), decoded by
+                # the lib or the pure-Python block decoder.  A RAW
+                # payload whose first token is 0x184D2204 collides with
+                # the magic — like the gzip/zlib branches, decode failure
+                # falls back to raw instead of poison-pilling
+                try:
+                    (usize,) = struct.unpack("<I", bytes(b[4:8]))
+                    b = _lz4_decompress(bytes(b[8:]), usize)
+                except Exception:
+                    pass
             elif len(b) >= 2 and b[0] == 0x78 and b[1] in (0x01, 0x5E, 0x9C, 0xDA):
                 # zlib magic sniff; a RAW payload can start with these
                 # bytes too (first token ≡ 120 mod 256), so failure falls

@@ -71,8 +71,20 @@ def rollup_with_share(
     approx_users: bool = False,
 ) -> DataFrame:
     """A5: per-key count/volume/avg + market share (share of total
-    volume) + distinct users.  Share = window sum over the aggregated
-    frame — the second pass touches only |keys| rows."""
+    volume) + distinct users.
+
+    Share = global-window sum over the AGGREGATED frame: the window's
+    input is |keys| rows (the per-key aggregate), never the corpus —
+    the one extra exchange carries metadata-scale data, and the base
+    table is scanned exactly ONCE.  The alternatives both cost more at
+    scale: a scalar-total broadcast join re-executes the aggregation
+    from the scan (2 full passes — Catalyst constant-folds a literal
+    join key into a cross join and cannot reuse the uncached subplan),
+    and a driver-side collect of the total is the same double scan.
+    audit_plans.py allowlists exactly this window-over-aggregate shape
+    (GLOBAL_WINDOW_OK) while still failing corpus-input windows."""
+    from pyspark.sql import Window
+
     aggs = [
         F.count("*").alias("n"),
         F.round(F.sum(value_col), 4).alias("volume"),
@@ -85,14 +97,8 @@ def rollup_with_share(
             )
         )
     agg = df.groupBy(key).agg(*aggs)
-    total = F.sum("volume").over(Window_partition_all())
+    total = F.sum("volume").over(Window.partitionBy())
     return agg.withColumn("market_share", F.round(F.col("volume") / total, 6))
-
-
-def Window_partition_all():
-    from pyspark.sql import Window
-
-    return Window.partitionBy()
 
 
 def rate_per_window(df: DataFrame, ts_col: str, window_s: int, by: Sequence[str] = ()) -> DataFrame:

@@ -449,20 +449,25 @@ def connected_components(
     into an actionable dedup decision (keep the canonical min-id doc
     per cluster, drop the rest).
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors' labels, via one join + one groupBy per
-    round over the (small) edge set — the standard Spark formulation of
-    iterative graph connectivity.  Rounds needed = graph diameter
-    (near-dup clusters are shallow; ``max_iter`` bounds pathological
-    chains).  Early-stops when a round changes nothing; each round's
-    convergence check is a count on the label frame (metadata-scale
-    next to the corpus — edges are pairs, not documents)."""
+    Min-label propagation WITH pointer jumping: each round every node
+    takes (a) the min of its own and its neighbors' labels (one join +
+    one groupBy over the small edge set), then (b) its label's label
+    (path compression — labels are node ids, so one self-join chases
+    the pointer one hop).  Step (b) halves label-tree depth per round,
+    so convergence needs O(log diameter) rounds instead of diameter —
+    a 2^20-hop chain converges within the default ``max_iter=20``
+    (plain propagation silently mislabeled anything deeper than
+    max_iter).  Early-stops when a round changes nothing; raises
+    RuntimeError instead of returning silently-wrong components if the
+    cap is ever hit (each round's convergence check is a count on the
+    label frame — metadata-scale next to the corpus)."""
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
     )
     labels = und.select(F.col("s").alias("n")).distinct().withColumn("comp", F.col("n"))
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             und.join(labels.withColumnRenamed("n", "d").withColumnRenamed("comp", "dc"), "d")
@@ -470,9 +475,18 @@ def connected_components(
             .agg(F.min("dc").alias("nc"))
             .withColumnRenamed("s", "n")
         )
-        new_labels = (
+        prop = (
             labels.join(neigh_min, "n", "left")
             .select("n", F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"))
+        )
+        # pointer jump: comp(n) <- labels(comp(n)).  comp values are
+        # node ids (mins over node ids), so every pointer resolves in
+        # the PREVIOUS round's (checkpointed) label table — joining that
+        # instead of `prop` keeps prop single-evaluation per round;
+        # labels only ever decrease, hence comp2 <= comp when present.
+        hop = labels.select(F.col("n").alias("comp"), F.col("comp").alias("comp2"))
+        new_labels = prop.join(hop, "comp", "left").select(
+            "n", F.coalesce(F.col("comp2"), F.col("comp")).alias("comp")
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
         changed = (
@@ -483,5 +497,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (components deeper than 2^max_iter hops)"
+        )
     return labels.select(F.col("n").alias("id"), F.col("comp").alias("component"))

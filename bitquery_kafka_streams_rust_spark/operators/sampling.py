@@ -20,11 +20,14 @@ training pipeline downstream of it always needs three more primitives
 All three use the same portable mixing hash so any engine (the DuckDB
 oracle included) replays the exact assignment:
 
-    h(id) = (id + seed) * 2654435761 mod 2^31      (Knuth multiplicative)
+    h(id) = ((id + seed) mod 2^31) * 2654435761 mod 2^31   (Knuth mult.)
     frac(id) = h(id) / 2^31  in [0, 1)
 
-Products are BIGINT-safe for id < ~3.4e9; at larger id spaces swap the
-constant for a 64-bit mix — the structure is unchanged.
+The pre-multiply ``mod 2^31`` mask keeps the product inside int64 for
+ANY id (10^12-row id spaces included — an unmasked id ≥ ~3.47e9 would
+overflow a long under ANSI mode); for ids < 2^31 the mask is the
+identity, so the hash is bit-identical to the unmasked form the DuckDB
+oracles inline.
 """
 
 from __future__ import annotations
@@ -48,13 +51,14 @@ def hash_frac(id_col: Column, seed: int = 0, stage: int = 0) -> Column:
     A per-stage XOR salt is nonlinear w.r.t. the multiply, giving
     genuinely independent-looking fractions (measured: conditional
     rate 0.798 vs the affine case's 1.0).  ``stage=0`` is bit-identical
-    to the original hash (the DuckDB oracles inline that form)."""
+    to the original hash for ids < 2^31 (the DuckDB oracles inline that
+    form); every path masks to 31 bits BEFORE the multiply so the
+    product can never overflow a long under ANSI mode (2^31 * K <
+    2^63), regardless of id magnitude."""
     base = id_col.cast("long") + F.lit(seed)
     if stage:
-        # mask back to 31 bits after the XOR so the multiply can't
-        # overflow a long under ANSI mode (2^31 * K < 2^63)
-        base = F.pmod(base.bitwiseXOR(F.lit((stage * _STAGE_SALT) % 2**63)), F.lit(_MOD))
-    h = (base * F.lit(_KNUTH)) % F.lit(_MOD)
+        base = base.bitwiseXOR(F.lit((stage * _STAGE_SALT) % 2**63))
+    h = (F.pmod(base, F.lit(_MOD)) * F.lit(_KNUTH)) % F.lit(_MOD)
     return h.cast("double") / F.lit(float(_MOD))
 
 
@@ -213,6 +217,59 @@ def rebalance_to_mix(
     return stratified_sample_frac(
         df, w, strata_col=strata_col, id_col=id_col, seed=seed, stage=stage
     )
+
+
+def quality_buckets_hist(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 4,
+    resolution: int = 4096,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Deterministic quantile binning with NO global sort — the scale
+    path exact ntile can't take (a single-partition window over 10^12
+    rows is ~TBs through one task).
+
+    Two map-side passes: (1) a fixed-width histogram over
+    ``[lo, hi)`` — one partial-aggregated groupBy yielding ≤
+    ``resolution``+1 rows of METADATA, collected like IVF centroids /
+    mix weights (aggregate-then-broadcast, never data); (2) cumulative
+    ranks over the bins driver-side give integer cutoff bins
+    (cut_b = first bin where cum ≥ ceil(b·N/n_buckets)), inlined as a
+    CASE.  Bucket ids follow the ntile convention (1..n ascending
+    score; NULLs → bucket 1, mirroring ASC NULLS FIRST).  Unlike
+    ntile, ties at bin granularity never split: all rows in one bin get
+    one bucket — content-deterministic at any cluster size, and the
+    identical integer arithmetic replays in any engine (the DuckDB
+    oracle inlines it).  Max bucket-boundary error vs exact ntile is
+    one bin width ((hi-lo)/resolution) of score."""
+    span = hi - lo
+    raw_bin = F.least(
+        F.floor((df[score_col] - F.lit(lo)) / F.lit(span) * resolution),
+        F.lit(resolution - 1),
+    ).cast("int")
+    bin_col = F.when(df[score_col].isNull(), F.lit(-1)).otherwise(raw_bin)
+    hist = sorted(
+        (r["bin"], r["cnt"])
+        for r in df.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("cnt")).collect()
+    )
+    total = sum(c for _b, c in hist)
+    cuts: list[int] = []
+    if total:
+        targets = [(b * total + n_buckets - 1) // n_buckets for b in range(1, n_buckets)]
+        cum, t_idx = 0, 0
+        for b, c in hist:
+            cum += c
+            while t_idx < len(targets) and cum >= targets[t_idx]:
+                cuts.append(b)
+                t_idx += 1
+    if not cuts:  # empty input: no cutoffs, everything lands in bucket n
+        return df.withColumn("bucket", F.lit(None).cast("int"))
+    bucket: Column = F.lit(n_buckets)
+    for i in range(len(cuts), 0, -1):
+        bucket = F.when(bin_col <= cuts[i - 1], F.lit(i)).otherwise(bucket)
+    return df.withColumn("bucket", bucket)
 
 
 def quality_buckets_approx(

@@ -136,12 +136,17 @@ def ivf_topk(
 
     def assign(df: DataFrame, idc: str, vecc: str, probes: int) -> DataFrame:
         # per-centroid scores, sorted best-first via a (−cos, id) struct
-        # (default struct ordering), all inside the scan stage
+        # (default struct ordering), all inside the scan stage.  The
+        # cosine is ROUNDED (9 dp) before comparison: Spark's aggregate
+        # fold and another engine's dot product can differ in summation
+        # order, and an unrounded near-tie between two centroids would
+        # flip the cell assignment between engines (the repo's
+        # float-parity invariant); cent_id stays the tie-break.
         scores = F.array_sort(
             F.transform(
                 cent_arr,
                 lambda cent: F.struct(
-                    (-cosine(F.col(vecc), cent["cent_vec"])).alias("neg_cc"),
+                    (-F.round(cosine(F.col(vecc), cent["cent_vec"]), 9)).alias("neg_cc"),
                     cent["cent_id"].alias("cent_id"),
                 ),
             )

@@ -12,6 +12,10 @@ streaming DataFrame shape, so the pipeline is source-agnostic:
   so construction errors surface as a clear RuntimeError.
 - ``read_sequence_stream`` (streaming/source.py): parquet file stream —
   the sandbox stand-in exercising identical engine machinery.
+- ``protowire`` (sibling module): jar-free proto3 wire-format codec for
+  the three reference block-message shapes — the D4 decode path that
+  runs with zero external dependencies (``decode_protobuf`` below stays
+  the connector-jar production path).
 """
 
 from __future__ import annotations

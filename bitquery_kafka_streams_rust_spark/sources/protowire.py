@@ -1,0 +1,411 @@
+"""Jar-free protobuf wire-format codec (D4).
+
+The reference's front door is protobuf decode of Kafka value bytes
+(``src/consumer.rs:213-230``) against three top-level block messages:
+``TokenBlockMessage`` (``schemas/token_block_message.proto:82-85``),
+``BlockMessage`` (``schemas/block_message.proto:91-95``) and
+``DexParsedBlockMessage`` (``schemas/dex_block_message.proto:103-106``).
+Spark's own ``from_protobuf`` needs the spark-protobuf connector jar;
+this module is the dependency-free twin: a generic proto3 *wire-format*
+parser/serializer (varint + length-delimited framing — the entire
+format has five wire types) driven by declarative descriptors that
+mirror the reference protos' field numbers, so real messages produced
+by any proto3 serializer decode here and vice versa.
+
+Execution shape: ``mapInPandas`` — Arrow-batched transfer, one Python
+call per batch.  The per-row varint walk is irreducible for protobuf
+(the format is sequential by design; the reference's prost decoder does
+the same walk in Rust), so the win is batching + decoding ONLY declared
+fields: unknown field numbers are skipped via their wire type without
+materialization, exactly proto3 unknown-field semantics.  Undecodable
+payloads yield NULL rows → filtered (poison pill D5,
+``src/consumer.rs:152-158``).
+
+Scale note: decode is a map-side 1→1 stage fused into the scan (no
+shuffle); at 100 TB it parallelizes per input split like any other
+projection.  For production clusters prefer the connector jar
+(``sources.decode_protobuf``) — this path exists so the decode stage is
+runnable and testable with zero external dependencies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Union
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Descriptors
+# ---------------------------------------------------------------------------
+
+_SCALAR_SPARK = {
+    "uint32": T.IntegerType(),
+    "uint64": T.LongType(),
+    "int64": T.LongType(),
+    "bool": T.BooleanType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+_SCALAR_DEFAULT = {
+    "uint32": 0,
+    "uint64": 0,
+    "int64": 0,
+    "bool": False,
+    "string": "",
+    "bytes": b"",
+}
+
+
+class Msg:
+    """Message descriptor: field number → (name, type, repeated).
+
+    ``type`` is a scalar type name or a nested ``Msg``.  Field numbers
+    are the reference protos' — only the fields the extractors (P1-P3)
+    project are declared; the parser skips the rest by wire type."""
+
+    def __init__(self, name: str, fields: dict[int, tuple[str, Union[str, "Msg"], bool]]):
+        self.name = name
+        self.fields = fields
+
+    def spark_type(self) -> T.StructType:
+        out = []
+        for _fno, (fname, ftyp, repeated) in sorted(self.fields.items()):
+            styp: T.DataType = ftyp.spark_type() if isinstance(ftyp, Msg) else _SCALAR_SPARK[ftyp]
+            if repeated:
+                styp = T.ArrayType(styp)
+            out.append(T.StructField(fname, styp, True))
+        return T.StructType(out)
+
+
+# --- shared submessages (block_message.proto) ------------------------------
+BLOCK_HEADER = Msg("BlockHeader", {
+    1: ("slot", "uint64", False),        # block_message.proto:83
+    6: ("timestamp", "int64", False),    # block_message.proto:87
+})
+ACCOUNT = Msg("Account", {
+    1: ("address", "bytes", False),      # block_message.proto:7
+})
+TRANSACTION_STATUS = Msg("TransactionStatus", {
+    1: ("success", "bool", False),       # block_message.proto:67
+})
+TRANSACTION_HEADER = Msg("TransactionHeader", {
+    1: ("fee", "uint64", False),         # block_message.proto:41
+    2: ("fee_payer", "bytes", False),    # block_message.proto:42
+})
+
+# --- TokenBlockMessage (P2: parse_token_message_content) -------------------
+CURRENCY = Msg("Currency", {
+    2: ("decimals", "uint32", False),      # token_block_message.proto:21
+    13: ("mint_address", "bytes", False),  # token_block_message.proto:33
+})
+TRANSFER = Msg("Transfer", {
+    2: ("amount", "uint64", False),        # token_block_message.proto:53
+    3: ("sender", ACCOUNT, False),         # token_block_message.proto:55
+    4: ("receiver", ACCOUNT, False),       # token_block_message.proto:56
+    6: ("currency", CURRENCY, False),      # token_block_message.proto:59
+})
+TOKEN_TX = Msg("ParsedTokenTransaction", {
+    1: ("idx", "uint32", False),           # token_block_message.proto:71
+    2: ("signature", "bytes", False),      # token_block_message.proto:72
+    5: ("transfers", TRANSFER, True),      # token_block_message.proto:76
+})
+TOKEN_BLOCK_MESSAGE = Msg("TokenBlockMessage", {
+    1: ("header", BLOCK_HEADER, False),    # token_block_message.proto:83
+    2: ("transactions", TOKEN_TX, True),   # token_block_message.proto:84
+})
+
+# --- BlockMessage (P1: parse_block_message_content) ------------------------
+TRANSACTION = Msg("Transaction", {
+    1: ("signature", "bytes", False),      # block_message.proto:72
+    2: ("status", TRANSACTION_STATUS, False),
+    3: ("header", TRANSACTION_HEADER, False),
+    8: ("logs", "string", True),           # block_message.proto:78
+    9: ("index", "uint64", False),         # block_message.proto:79
+})
+BLOCK_MESSAGE = Msg("BlockMessage", {
+    1: ("header", BLOCK_HEADER, False),    # block_message.proto:92
+    3: ("transactions", TRANSACTION, True),
+})
+
+# --- DexParsedBlockMessage (P3: parse_dex_message_content) -----------------
+DEX_INFO = Msg("DexInfo", {
+    1: ("program_address", "bytes", False),  # dex_block_message.proto:8
+})
+DEX_MARKET = Msg("DexMarket", {
+    1: ("market_address", "bytes", False),   # dex_block_message.proto:15
+})
+DEX_TRADE_SIDE = Msg("DexTradeSide", {
+    1: ("amount", "uint64", False),          # dex_block_message.proto:73
+    3: ("account", ACCOUNT, False),          # dex_block_message.proto:76
+})
+DEX_TRADE_EVENT = Msg("DexTradeEvent", {
+    2: ("dex", DEX_INFO, False),             # dex_block_message.proto:81
+    3: ("market", DEX_MARKET, False),
+    4: ("buy", DEX_TRADE_SIDE, False),
+    5: ("sell", DEX_TRADE_SIDE, False),
+    6: ("royalty", "uint64", False),
+    7: ("fee", "uint64", False),
+})
+DEX_TX = Msg("ParsedDexTransaction", {
+    1: ("idx", "uint32", False),             # dex_block_message.proto:93
+    2: ("signature", "bytes", False),
+    5: ("trades", DEX_TRADE_EVENT, True),    # dex_block_message.proto:98
+})
+DEX_BLOCK_MESSAGE = Msg("DexParsedBlockMessage", {
+    1: ("header", BLOCK_HEADER, False),      # dex_block_message.proto:104
+    2: ("transactions", DEX_TX, True),
+})
+
+
+# ---------------------------------------------------------------------------
+# Wire-format primitives
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf, i: int) -> tuple[int, int]:
+    val = 0
+    shift = 0
+    while True:
+        if i >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _write_varint(out: bytearray, val: int) -> None:
+    if val < 0:  # int64 negatives: proto3 encodes as 10-byte two's complement
+        val &= (1 << 64) - 1
+    while True:
+        b = val & 0x7F
+        val >>= 7
+        if val:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def parse_message(buf: bytes, desc: Msg) -> dict:
+    """One wire message → dict with proto3 semantics: unknown fields
+    skipped, absent scalars filled with defaults, absent submessages
+    None, absent repeated fields []."""
+    out: dict = {}
+    i, n = 0, len(buf)
+    while i < n:
+        tag, i = _read_varint(buf, i)
+        fno, wt = tag >> 3, tag & 7
+        if wt == 0:
+            raw, i = _read_varint(buf, i)
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            if i + ln > n:
+                raise ValueError("truncated length-delimited field")
+            raw = bytes(buf[i : i + ln])
+            i += ln
+        elif wt == 5:
+            raw, i = buf[i : i + 4], i + 4
+        elif wt == 1:
+            raw, i = buf[i : i + 8], i + 8
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        fld = desc.fields.get(fno)
+        if fld is None:
+            continue
+        fname, ftyp, repeated = fld
+        if isinstance(ftyp, Msg):
+            val = parse_message(raw, ftyp)
+        elif ftyp == "string":
+            val = raw.decode("utf-8")
+        elif ftyp == "bytes":
+            val = raw
+        elif ftyp == "bool":
+            val = bool(raw)
+        elif ftyp == "int64":
+            val = raw - (1 << 64) if raw >= (1 << 63) else raw
+        else:  # uint32 / uint64 varints
+            val = raw
+        if repeated:
+            out.setdefault(fname, []).append(val)
+        else:
+            out[fname] = val
+    # proto3 defaults for declared-but-absent fields
+    for fname, ftyp, repeated in desc.fields.values():
+        if fname in out:
+            continue
+        if repeated:
+            out[fname] = []
+        elif isinstance(ftyp, Msg):
+            out[fname] = None
+        else:
+            out[fname] = _SCALAR_DEFAULT[ftyp]
+    return out
+
+
+def serialize_message(msg: dict | None, desc: Msg) -> bytes:
+    """dict → proto3 wire bytes; default-valued scalars and empty
+    repeated fields are omitted (proto3 serializer behavior), absent /
+    None submessages are omitted (explicit message presence)."""
+    out = bytearray()
+    for fno, (fname, ftyp, repeated) in sorted(desc.fields.items()):
+        val = None if msg is None else msg.get(fname)
+        if val is None:
+            continue
+        items = list(val) if repeated else [val]
+        for item in items:
+            if isinstance(ftyp, Msg):
+                if item is None:
+                    continue
+                payload = serialize_message(item, ftyp)
+                _write_varint(out, (fno << 3) | 2)
+                _write_varint(out, len(payload))
+                out += payload
+            elif ftyp in ("string", "bytes"):
+                raw = item.encode("utf-8") if isinstance(item, str) else bytes(item)
+                if not raw and not repeated:
+                    continue
+                _write_varint(out, (fno << 3) | 2)
+                _write_varint(out, len(raw))
+                out += raw
+            else:
+                iv = int(item)
+                if iv == 0 and not repeated:
+                    continue
+                _write_varint(out, (fno << 3) | 0)
+                _write_varint(out, iv)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame codec (mapInPandas)
+# ---------------------------------------------------------------------------
+
+_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.BinaryType(), True),
+    ]
+)
+
+
+def _plain(obj):
+    """Arrow hands nested structs back as Row-like/dict/ndarray mixes;
+    normalize to plain dict/list/scalars for the serializer."""
+    if obj is None:
+        return None
+    if hasattr(obj, "asDict"):
+        return {k: _plain(v) for k, v in obj.asDict().items()}
+    if isinstance(obj, dict):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)) or type(obj).__name__ == "ndarray":
+        return [_plain(x) for x in obj]
+    return obj
+
+
+def encode_frame(df: DataFrame, desc: Msg, key_col: str = "key") -> DataFrame:
+    """Fixture/producer side: rows whose columns match ``desc``'s
+    top-level fields → (key string, value wire-bytes).  ``key_col`` is
+    carried through as the Kafka record key."""
+    field_names = [fname for fname, _t, _r in desc.fields.values()]
+
+    def ser(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values = [
+                serialize_message(
+                    {f: _plain(row[f]) for f in field_names if f in row}, desc
+                )
+                for row in pdf.to_dict("records")
+            ]
+            yield pd.DataFrame({"key": pdf[key_col].astype(str), "value": values})
+
+    return df.mapInPandas(ser, _WIRE_SCHEMA)
+
+
+def decode_frame(wire: DataFrame, desc: Msg) -> DataFrame:
+    """Consumer side: (key, value) → key + ``desc``'s fields as typed
+    columns.  A row that fails to parse yields NULLs in every decoded
+    column and ``corrupt=true`` — callers filter and count the drops
+    (poison pill D5)."""
+    struct_t = desc.spark_type()
+    out_schema = T.StructType(
+        [T.StructField("key", T.StringType(), True)]
+        + list(struct_t.fields)
+        + [T.StructField("corrupt", T.BooleanType(), False)]
+    )
+    names = [f.name for f in struct_t.fields]
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, value in zip(pdf["key"], pdf["value"]):
+                try:
+                    msg = parse_message(value, desc)
+                    rows.append({"key": key, **{n: msg[n] for n in names}, "corrupt": False})
+                except Exception:
+                    rows.append({"key": key, **dict.fromkeys(names), "corrupt": True})
+            yield pd.DataFrame(rows, columns=["key", *names, "corrupt"])
+
+    return wire.mapInPandas(dec, out_schema)
+
+
+def token_blocks_from_wire(wire: DataFrame) -> DataFrame:
+    """(key, value) wire stream → the engine's TOKEN_BLOCKS shape
+    (schemas.py), ready for ``extract_token_transfer`` (P2).  Corrupt
+    payloads are dropped here (D5); timestamps travel as int64 epoch
+    seconds and are rebuilt Spark-side (timezone handled by Catalyst,
+    not Python)."""
+    dec = decode_frame(wire, TOKEN_BLOCK_MESSAGE).where(~F.col("corrupt"))
+    return dec.select(
+        F.col("key").cast("long").alias("block_id"),
+        F.col("header.slot").cast("long").alias("slot"),
+        F.timestamp_seconds(F.col("header.timestamp")).alias("ts"),
+        F.col("transactions"),
+    )
+
+
+def dex_blocks_from_wire(wire: DataFrame) -> DataFrame:
+    """(key, value) wire stream → flattened dex-trade transactions in
+    the shape ``extract_dex_trade`` (P3) consumes: reference-faithful
+    nested dex/market/buy/sell submessages projected to the engine's
+    trade columns (byte addresses hex-encoded like the reference's
+    ``hex::encode``, src/consumer.rs:377-389)."""
+    dec = decode_frame(wire, DEX_BLOCK_MESSAGE).where(~F.col("corrupt"))
+
+    def _hex(col):
+        return F.lower(F.hex(col))
+
+    txs = F.transform(
+        F.col("transactions"),
+        lambda tx: F.struct(
+            tx["idx"].alias("idx"),
+            _hex(tx["signature"]).alias("signature"),
+            F.transform(
+                tx["trades"],
+                lambda t: F.struct(
+                    _hex(t["dex"]["program_address"]).alias("program_address"),
+                    _hex(t["market"]["market_address"]).alias("market_address"),
+                    t["buy"]["amount"].alias("buy_amount"),
+                    t["sell"]["amount"].alias("sell_amount"),
+                    _hex(t["buy"]["account"]["address"]).alias("buy_account"),
+                    _hex(t["sell"]["account"]["address"]).alias("sell_account"),
+                    t["fee"].alias("fee"),
+                    t["royalty"].alias("royalty"),
+                ),
+            ).alias("trades"),
+        ),
+    )
+    return dec.select(
+        F.col("key").cast("long").alias("block_id"),
+        F.col("header.slot").cast("long").alias("slot"),
+        F.timestamp_seconds(F.col("header.timestamp")).alias("ts"),
+        txs.alias("transactions"),
+    )

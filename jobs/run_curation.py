@@ -82,13 +82,27 @@ def main(argv: list[str] | None = None) -> int:
     a = parse_args(argv)
     spark = get_spark(app_name="corpus-curation", master=a.master)
     out = curate(spark.read.parquet(a.input), a)
-    out.write.mode("overwrite").partitionBy("split").parquet(a.output)
-    stats = {
-        r["split"]: {"n_docs": r["n_docs"], "sum_chars": r["sum_chars"]}
-        for r in spark.read.parquet(a.output)
-        .groupBy("split")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
-        .collect()
+    # manifest stats ride the write itself via observe() (like the
+    # streaming sink's lineage counters) — no re-read of the exported
+    # corpus.  One observation with per-split conditional aggregates:
+    # split names are known from --splits, so this stays one pass.
+    names = sorted({s.split("=", 1)[0] for s in a.splits})
+    metrics = []
+    for nm in names:
+        is_split = F.col("split") == nm
+        metrics.append(F.sum(F.when(is_split, 1).otherwise(0)).alias(f"n_{nm}"))
+        metrics.append(
+            F.sum(F.when(is_split, F.col("n_chars")).otherwise(0)).alias(f"c_{nm}")
+        )
+    from pyspark.sql import Observation
+
+    obs = Observation("curation_manifest")
+    out.observe(obs, *metrics).write.mode("overwrite").partitionBy("split").parquet(a.output)
+    got = obs.get
+    stats = {  # `or 0`: observe yields NULL sums on an empty export
+        nm: {"n_docs": int(got[f"n_{nm}"] or 0), "sum_chars": int(got[f"c_{nm}"] or 0)}
+        for nm in names
+        if int(got[f"n_{nm}"] or 0) > 0
     }
     print(json.dumps({"output": a.output, "splits": stats}, sort_keys=True))
     return 0

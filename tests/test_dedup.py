@@ -142,3 +142,28 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["id"]: r["component"] for r in DD.connected_components(edges).collect()}
     assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-hop path (diameter > the default 20 rounds): plain min-label
+    propagation would silently mislabel the tail; pointer jumping must
+    resolve every node to component 0 well inside max_iter."""
+    n = 61
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in DD.connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Hitting max_iter without convergence must raise, never return
+    silently-wrong labels."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    try:
+        DD.connected_components(edges, max_iter=2)
+        raise AssertionError("expected RuntimeError at max_iter=2")
+    except RuntimeError as e:
+        assert "converge" in str(e)

@@ -113,6 +113,27 @@ def test_hash_frac_matches_python_replay(spark):
         assert 0.0 <= got[i] < 1.0
 
 
+def test_hash_frac_big_ids_no_ansi_overflow(spark):
+    """ids beyond 2^31 (the 10^12-row id space) must hash without ANSI
+    long overflow: the pre-multiply 31-bit mask makes the product
+    bounded, and for ids < 2^31 it is the identity (bit-compatible with
+    the unmasked oracle arithmetic — checked above)."""
+    ids = [2**31 - 1, 2**31, 2**33 + 5, 10**12, 4 * 10**12 + 7]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", SAMP.hash_frac(F.col("doc_id")).alias("f")
+        ).collect()
+    }
+    for i in ids:
+        expect = ((i % 2**31) * 2654435761 % 2**31) / 2**31
+        assert got[i] == expect
+        assert 0.0 <= got[i] < 1.0
+    # staged path too (XOR salt then mask) — no overflow either
+    df.select(SAMP.hash_frac(F.col("doc_id"), stage=3).alias("f")).collect()
+
+
 def test_mix_weights_and_rebalance(spark, sf_dir):
     """Uniform target over 20 equal strata with budget = half the corpus
     → every keep_frac ~0.5 and the kept share lands near the budget;
@@ -233,6 +254,45 @@ def test_quality_buckets_approx_tracks_exact_ntile(spark, sf_dir):
     # global sort in the physical plan (the only aggregate is the sketch)
     plan = SAMP.quality_buckets_approx(scored, "q")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Sort " not in plan
+
+
+def test_quality_buckets_hist_tracks_exact_ntile(spark, sf_dir):
+    """The histogram-cutoff binning (the CONTRACT plan since round 3)
+    agrees with exact ntile(4) except at bin-granular boundaries, and
+    its physical plan has no window / global sort at all."""
+    from pyspark.sql import Window
+
+    from bitquery_kafka_streams_rust_spark.functions import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select("doc_id", TX.quality_score(F.col("text")).alias("q"))
+    w = Window.orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    exact = {r["doc_id"]: r["b"] for r in
+             scored.withColumn("b", F.ntile(4).over(w)).select("doc_id", "b").collect()}
+    hist_df = SAMP.quality_buckets_hist(scored, "q", n_buckets=4, resolution=4096)
+    hist = {r["doc_id"]: r["bucket"] for r in hist_df.select("doc_id", "bucket").collect()}
+    assert set(hist.values()) <= {1, 2, 3, 4}
+    agree = sum(exact[d] == hist[d] for d in exact)
+    assert agree / len(exact) > 0.9
+    assert all(abs(exact[d] - hist[d]) <= 1 for d in exact)
+    # scale-plan shape: map-side CASE only — the histogram pass already
+    # ran (metadata collect), the returned plan must have no Window/Sort
+    plan = hist_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort " not in plan
+
+
+def test_quality_buckets_hist_null_and_empty(spark):
+    """NULL scores land in bucket 1 (ntile ASC NULLS FIRST convention);
+    an empty frame yields NULL buckets without error."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 0.1), (3, 0.5), (4, 0.9), (5, 0.95)],
+        "doc_id long, q double",
+    )
+    got = {r["doc_id"]: r["bucket"] for r in SAMP.quality_buckets_hist(df, "q").collect()}
+    assert got[1] == 1 and got[2] <= 2 and got[5] == 4
+    assert sorted(got.values()) == [1, 1, 2, 3, 4]
+    empty = spark.createDataFrame([], "doc_id long, q double")
+    assert SAMP.quality_buckets_hist(empty, "q").count() == 0
 
 
 def test_hash_frac_stage_decorrelates_composed_filters(spark):

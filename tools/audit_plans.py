@@ -2,14 +2,17 @@
 
 For each ``queries()`` entry (built against the given SF dir, default
 sf0.01) this prints: number of shuffle Exchanges, join strategies,
-whether any cartesian/broadcast-nested-loop join appears, and the
-parquet scans' pushed filters / read schemas (pruning evidence).
+whether any cartesian/broadcast-nested-loop join appears, whether any
+window runs on a single partition (a global sort through ONE task —
+the 10^12-row scale killer), and the parquet scans' pushed filters /
+read schemas (pruning evidence).
 
 Usage:  python tools/audit_plans.py [sf_dir] [query ...]
 
-Exit code 1 if any query has a cartesian product or a nested-loop join
-that is not in the allowlist below (pair generation must go through
-band/bucket/gram equi-joins, never O(n^2)).
+Exit code 1 if any query has a cartesian product, a nested-loop join
+not in the allowlist below (pair generation must go through
+band/bucket/gram equi-joins, never O(n^2)), or an unallowlisted
+single-partition window.
 """
 
 from __future__ import annotations
@@ -23,6 +26,33 @@ sys.path.insert(0, "/root/repo")
 # broadcast side is a handful of query vectors and the "join" is an
 # intentional scored scan (brute-force ANN baseline).
 NESTED_LOOP_OK = {"emb_cosine_topk"}
+
+# Queries where a window over Exchange SinglePartition is intended
+# because its input is an aggregated METADATA frame (|keys| / n_strata
+# rows), never the corpus: rollup_with_share's market-share sum runs
+# over the per-key aggregate (one corpus scan; the broadcast-scalar
+# alternative costs a second full scan).  Corpus-input global windows
+# (the 10^12-row scale killer) still fail the audit.
+GLOBAL_WINDOW_OK: set[str] = {"events_rollup_share"}
+
+
+def _single_partition_window(plan: str) -> bool:
+    """True when a Window/WindowGroupLimit operator's child exchange is
+    ``Exchange SinglePartition`` — the printed tree lists a node's
+    subtree below it, so the first Exchange after the window line is
+    its input distribution (Sort/Project lines may sit between)."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.search(r"\b(Window|WindowGroupLimit|RunningWindowFunction)\b", ln):
+            continue
+        for nxt in lines[i + 1:]:
+            if "Exchange" in nxt:
+                if "SinglePartition" in nxt:
+                    return True
+                break
+            if re.search(r"\b(Join|Aggregate|Scan)\b", nxt):
+                break  # left the window's input chain
+    return False
 
 
 def main() -> None:
@@ -50,12 +80,16 @@ def main() -> None:
         joins = sorted(set(re.findall(r"(\w+Join\w*)", plan)))
         cartesian = "CartesianProduct" in plan
         bnl = "BroadcastNestedLoopJoin" in plan
+        spw = _single_partition_window(plan)
         scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         n_cols = sum(s.count(":") for s in scans)
         flag = ""
         if cartesian or (bnl and name not in NESTED_LOOP_OK):
             flag = "  << CARTESIAN/NLJ"
+            bad.append(name)
+        if spw and name not in GLOBAL_WINDOW_OK:
+            flag += "  << SINGLE-PARTITION WINDOW"
             bad.append(name)
         print(
             f"{name:28s} shuffles={n_shuffle:2d} bcast={n_bcast}"
