@@ -1171,6 +1171,26 @@ FROM u GROUP BY tier ORDER BY tier
 """
 
 
+def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 threshold alerting (dex_processor.rs:156-164): rows above the
+    lowest alert threshold, tagged with the highest tier they exceed
+    (whale > 150, big > 100 on this table's value scale) — a map-side
+    filter + CASE, pushed to the scan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        AG.threshold_alerts(ev, "value", {"whale": 150.0, "big": 100.0})
+        .select("event_id", "value", "alert_tier")
+        .orderBy("event_id")
+    )
+
+
+_SQL_EVENTS_ALERTS = """
+SELECT event_id, value,
+       CASE WHEN value > 150 THEN 'whale' WHEN value > 100 THEN 'big' END AS alert_tier
+FROM events WHERE value > 100 ORDER BY event_id
+"""
+
+
 def _q_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 end-to-end without the spark-protobuf jar: the nested
     TokenBlockMessage fixture is serialized to REAL proto3 wire bytes
@@ -1927,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_tx_extract": _shipped(_q_block_tx),
         "dex_trade_extract": _shipped(_q_dex_trade),
         "events_usd_tiers": _shipped(_q_events_usd_tiers),
+        "events_alerts": _shipped(_q_events_alerts),
         "seq_entropy_filter": _shipped(_q_seq_entropy),
         "seq_chunking": _shipped(_q_seq_chunking),
         "seq_packing": _shipped(_q_seq_packing),
@@ -1987,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "block_tx_extract": _SQL_BLOCK_TX,
         "dex_trade_extract": _SQL_DEX_TRADE,
         "events_usd_tiers": _SQL_EVENTS_USD_TIERS,
+        "events_alerts": _SQL_EVENTS_ALERTS,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

@@ -103,6 +103,68 @@ def test_truncated_payload_raises():
         pass
 
 
+def test_wire_roundtrip_property():
+    """Property: serialize → parse is the identity (up to proto3
+    normalization: default scalars indistinguishable from absent,
+    None submessages preserved) for arbitrary TokenBlockMessage trees."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    accounts = st.one_of(st.none(), st.fixed_dictionaries({"address": st.binary(max_size=8)}))
+    currencies = st.one_of(
+        st.none(),
+        st.fixed_dictionaries({
+            "decimals": st.integers(0, 2**32 - 1),
+            "mint_address": st.binary(max_size=8),
+        }),
+    )
+    transfers = st.fixed_dictionaries({
+        "amount": st.integers(0, 2**63 - 1),
+        "sender": accounts,
+        "receiver": accounts,
+        "currency": currencies,
+    })
+    txs = st.fixed_dictionaries({
+        "idx": st.integers(0, 2**31 - 1),
+        "signature": st.binary(max_size=12),
+        "transfers": st.lists(transfers, max_size=3),
+    })
+    msgs = st.fixed_dictionaries({
+        "header": st.one_of(
+            st.none(),
+            st.fixed_dictionaries({
+                "slot": st.integers(0, 2**63 - 1),
+                "timestamp": st.integers(-(2**62), 2**62),
+            }),
+        ),
+        "transactions": st.lists(txs, max_size=3),
+    })
+
+    def norm(v, desc):
+        # what proto3 round-trip preserves: absent == default for scalars
+        out = {}
+        for fname, ftyp, repeated in desc.fields.values():
+            x = None if v is None else v.get(fname)
+            if repeated:
+                sub = ftyp if isinstance(ftyp, PW.Msg) else None
+                out[fname] = [norm(i, sub) if sub else i for i in (x or [])]
+            elif isinstance(ftyp, PW.Msg):
+                out[fname] = None if x is None else norm(x, ftyp)
+            else:
+                out[fname] = PW._SCALAR_DEFAULT[ftyp] if x is None else x
+        return out
+
+    @given(msgs)
+    @settings(max_examples=150, deadline=None)
+    def check(msg):
+        wire = PW.serialize_message(msg, PW.TOKEN_BLOCK_MESSAGE)
+        assert PW.parse_message(wire, PW.TOKEN_BLOCK_MESSAGE) == norm(
+            msg, PW.TOKEN_BLOCK_MESSAGE
+        )
+
+    check()
+
+
 # ---------------------------------------------------------------------------
 # DataFrame codec (mapInPandas) + extractor wiring
 # ---------------------------------------------------------------------------
@@ -196,6 +258,43 @@ def test_block_message_wire_p1(spark):
         .collect()
     )
     assert [tuple(r) for r in out] == [(1, 10, bytearray(b"t1"), 7, bytearray(b"p1"), 2)]
+
+
+def test_wire_decode_in_streaming_pipeline(spark, sf_dir, tmp_path):
+    """The reference's front door is STREAMING decode (topic → protobuf
+    → extract, consumer.rs:213-230): the wire codec must run identically
+    under Structured Streaming.  Kafka-shaped (key, value) records
+    stream from parquet → decode → P2 extract → memory sink; output
+    equals the batch extraction row-for-row."""
+    from bitquery_kafka_streams_rust_spark import datagen
+
+    blocks = datagen.token_blocks_view(spark, sf_dir).limit(60)
+    prepped = blocks.select(
+        F.col("block_id").alias("key"),
+        F.struct(
+            F.col("slot").alias("slot"), F.unix_timestamp("ts").alias("timestamp")
+        ).alias("header"),
+        "transactions",
+    )
+    wire_dir = str(tmp_path / "wire")
+    PW.encode_frame(prepped, PW.TOKEN_BLOCK_MESSAGE, key_col="key").write.parquet(wire_dir)
+
+    stream = spark.readStream.schema("key string, value binary").parquet(wire_dir)
+    out = extract_token_transfer(PW.token_blocks_from_wire(stream))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wire_stream_p2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["block_id"]: r for r in spark.sql("SELECT * FROM wire_stream_p2").collect()}
+    want = {r["block_id"]: r for r in extract_token_transfer(blocks).collect()}
+    assert len(want) > 0 and set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]
 
 
 def test_dex_message_wire_p3(spark):
