@@ -1171,6 +1171,78 @@ FROM u GROUP BY tier ORDER BY tier
 """
 
 
+def _q_topic_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 topic router (consumer.rs:213-230): Kafka-shaped records
+    tagged by a topic→source map as ONE CASE column; unknown topics are
+    dropped (skip-and-continue, consumer.rs:226-229).  Per-source
+    admission counts."""
+    from bitquery_kafka_streams_rust_spark import sources as SRC
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("topic_"), F.col("event_type")).alias("topic"), "event_id"
+    )
+    routed = SRC.route_topics(ev, {"topic_purchase": "buy", "topic_signup": "join"})
+    return (
+        routed.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TOPIC_ROUTE = """
+SELECT CASE WHEN event_type = 'purchase' THEN 'buy'
+            WHEN event_type = 'signup' THEN 'join' END AS source,
+       count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+FROM events WHERE event_type IN ('purchase', 'signup')
+GROUP BY 1 ORDER BY source
+"""
+
+
+def _q_dex_trades_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/§2.12 faithful 1→N generalization of the first-match
+    extractors (extract.explode_trades): EVERY trade of every
+    successful tx becomes a row via explode+posexplode — Spark's UDTF —
+    with ordering columns kept so "first" semantics stay reproducible.
+    The oracle unnests the identical generation arithmetic."""
+    from bitquery_kafka_streams_rust_spark.operators.extract import explode_trades
+
+    blocks = datagen.blocks_view(spark, sf_dir)
+    return explode_trades(blocks).select(
+        "block_id", "slot", "tx_idx", "signature", "trade_idx",
+        "program_id", "amount_base", "amount_quote", "fee",
+    ).orderBy("block_id", "tx_idx", "trade_idx")
+
+
+# successful txs: (c+j) % 3 != 0 for j < n_tx = c % 5; trades per tx:
+# k < (c+2j) % 3; trade fields mirror datagen.blocks_view._trade
+_SQL_DEX_TRADES_EXPLODED = """
+WITH t AS (
+  SELECT doc_id AS c, doc_id % 5 AS n_tx FROM documents
+), jx AS (
+  SELECT c, CAST(u.j AS BIGINT) AS j
+  FROM t, unnest(range(0, n_tx)) AS u(j)
+  WHERE (c + u.j) % 3 <> 0
+), kx AS (
+  SELECT c, j, CAST(v.k AS BIGINT) AS k
+  FROM jx, unnest(range(0, (c + 2 * j) % 3)) AS v(k)
+)
+SELECT c AS block_id, c * 10 AS slot,
+       CAST(j AS INTEGER) AS tx_idx,
+       'sig' || c || '_' || j AS signature,
+       CAST(k AS INTEGER) AS trade_idx,
+       CASE WHEN (c + j + k) % 11 = 0 THEN 'unknown'
+            ELSE 'prog' || ((c + k) % 10) END AS program_id,
+       c * 100 + j * 10 + k AS amount_base,
+       (c * 100 + j * 10 + k) * 2 AS amount_quote,
+       (c + j + k) % 100 AS fee
+FROM kx ORDER BY block_id, tx_idx, trade_idx
+"""
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -1948,6 +2020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dex_trade_extract": _shipped(_q_dex_trade),
         "events_usd_tiers": _shipped(_q_events_usd_tiers),
         "events_alerts": _shipped(_q_events_alerts),
+        "topic_route_counts": _shipped(_q_topic_route),
+        "dex_trades_exploded": _shipped(_q_dex_trades_exploded),
         "seq_entropy_filter": _shipped(_q_seq_entropy),
         "seq_chunking": _shipped(_q_seq_chunking),
         "seq_packing": _shipped(_q_seq_packing),
@@ -2009,6 +2083,8 @@ def oracle_sql() -> dict[str, str]:
         "dex_trade_extract": _SQL_DEX_TRADE,
         "events_usd_tiers": _SQL_EVENTS_USD_TIERS,
         "events_alerts": _SQL_EVENTS_ALERTS,
+        "topic_route_counts": _SQL_TOPIC_ROUTE,
+        "dex_trades_exploded": _SQL_DEX_TRADES_EXPLODED,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,
