@@ -324,11 +324,36 @@ def main() -> None:
         },
     }
 
+    _append_history(result)
     _write_baseline_md(result)
     import shutil
 
     shutil.rmtree(in_dir, ignore_errors=True)
     print(json.dumps(result))
+
+
+def _append_history(r: dict) -> None:
+    """One compact line per full bench session (BENCH/history.jsonl).
+
+    Rationale: this VM's noise bursts span several minutes, so even a
+    best-of-5 interleaved session lands anywhere in a ~±20% band on the
+    4N cell — the scaling-efficiency figure of a SINGLE session is not
+    comparable across rounds without the spread.  The report renders
+    recent sessions so any one run's number carries its context."""
+    os.makedirs("BENCH", exist_ok=True)
+    s = r["stream"]
+    rec = {
+        "t": int(time.time()),
+        "headline_s": r["value"],
+        "heap_n_wall": s["n_cores"]["wall_s"],
+        "heap_4n_wall": s["4n_cores"]["wall_s"],
+        "heap_4n_seq_s": s["4n_cores"]["seq_per_s"],
+        "eff": s["scaling_efficiency"],
+        "ceiling": s["sandbox_cpu_ceiling_efficiency"],
+        "vs_ceiling": s["efficiency_vs_ceiling"],
+    }
+    with open("BENCH/history.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
 
 
 _PHASES = ["triggerExecution", "addBatch", "getBatch", "latestOffset",
@@ -424,6 +449,46 @@ def _phase_and_sweep_sections(s: dict) -> list[str]:
     return lines
 
 
+def _history_section() -> list[str]:
+    path = "BENCH/history.jsonl"
+    if not os.path.exists(path):
+        return []
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+    if not rows:
+        return []
+    rows = rows[-10:]
+    lines = [
+        "### Cross-session variance (last full bench sessions, identical protocol)\n",
+        "Even best-of-5 interleaved sessions land in a ~±20% band on the 4N\n"
+        "cell (multi-minute noise bursts): read any single session's scaling\n"
+        "number with this spread in mind.\n",
+        "| session | headline (s) | heap N wall | heap 4N wall | 4N seq/s | raw eff | ceiling | eff/ceiling |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for i, h in enumerate(rows, 1):
+        lines.append(
+            f"| {i}{' (this run)' if i == len(rows) else ''} | {h['headline_s']} |"
+            f" {h['heap_n_wall']} | {h['heap_4n_wall']} | {h['heap_4n_seq_s']} |"
+            f" {h['eff']} | {h['ceiling']} | {h['vs_ceiling']} |"
+        )
+    effs = [h["eff"] for h in rows]
+    vs = [h["vs_ceiling"] for h in rows if h.get("vs_ceiling")]
+    lines += [
+        "",
+        f"Observed across sessions: raw efficiency {min(effs)}-{max(effs)}, "
+        f"efficiency-vs-ceiling {min(vs)}-{max(vs)}.\n",
+    ]
+    return lines
+
+
 def dur_headline_cells(s: dict) -> dict:
     """Headline cells per provider in the same cell-dict shape as the
     sweep (for same-cores comparisons)."""
@@ -492,6 +557,7 @@ def _write_baseline_md(r: dict) -> None:
         "executors. Spark 4.1's per-checkpoint-file checksums multiplied commit cost\n"
         "~6x here and are disabled by default (SPARK_GRAFT_CKPT_CHECKSUM to re-enable).\n",
         *_phase_and_sweep_sections(s),
+        *_history_section(),
         "## Headline batch queries (noop sink, local[{}])\n".format(CPUS),
         "| query | sec |",
         "|---|---|",
