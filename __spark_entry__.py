@@ -1243,6 +1243,38 @@ FROM kx ORDER BY block_id, tx_idx, trade_idx
 """
 
 
+def _q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern (operators/cep.py): signup FOLLOWED BY purchase
+    within 10 min per user — the carried-last-A window form (hash-
+    partitioned by user, codegen'd carry; the streaming twin keeps one
+    long of state per key and is parity-tested in tests/test_cep.py)."""
+    from bitquery_kafka_streams_rust_spark.operators import cep as CEP
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return CEP.followed_by(ev, "signup", "purchase", 600).orderBy("b_id")
+
+
+_SQL_CEP_FOLLOWED_BY = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts FROM events
+  WHERE event_type IN ('signup', 'purchase')
+), c AS (
+  SELECT user_id AS key, event_id AS b_id, ts AS b_ts, event_type,
+         max(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a_ts
+  FROM e
+)
+SELECT key, a_ts, b_id, b_ts,
+       CAST(floor(epoch(b_ts)) AS BIGINT) - CAST(floor(epoch(a_ts)) AS BIGINT)
+         AS gap_actual_s
+FROM c
+WHERE event_type = 'purchase' AND a_ts IS NOT NULL
+  AND CAST(floor(epoch(b_ts)) AS BIGINT) - CAST(floor(epoch(a_ts)) AS BIGINT) <= 600
+ORDER BY b_id
+"""
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2022,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_alerts": _shipped(_q_events_alerts),
         "topic_route_counts": _shipped(_q_topic_route),
         "dex_trades_exploded": _shipped(_q_dex_trades_exploded),
+        "cep_followed_by": _shipped(_q_cep_followed_by),
         "seq_entropy_filter": _shipped(_q_seq_entropy),
         "seq_chunking": _shipped(_q_seq_chunking),
         "seq_packing": _shipped(_q_seq_packing),
@@ -2085,6 +2118,7 @@ def oracle_sql() -> dict[str, str]:
         "events_alerts": _SQL_EVENTS_ALERTS,
         "topic_route_counts": _SQL_TOPIC_ROUTE,
         "dex_trades_exploded": _SQL_DEX_TRADES_EXPLODED,
+        "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

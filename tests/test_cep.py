@@ -1,0 +1,111 @@
+"""CEP followed-by pattern (operators/cep.py): batch-window vs
+streaming-stateful parity, strict-precedence and gap semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark.operators import cep as CEP
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ev(eid, uid, etype, secs):
+    return (eid, datetime(2024, 1, 1, 0, secs // 60, secs % 60), uid, etype, 1.0, "{}")
+
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def test_followed_by_semantics(spark):
+    rows = [
+        _ev(1, 10, "signup", 0),
+        _ev(2, 10, "purchase", 30),    # match (gap 30)
+        _ev(3, 10, "purchase", 700),   # no match: 700 > 600 after last signup
+        _ev(4, 10, "signup", 710),
+        _ev(5, 10, "purchase", 715),   # match vs the NEWER signup (gap 5)
+        _ev(6, 20, "purchase", 100),   # no match: no signup for user 20
+        _ev(7, 30, "signup", 50),      # A with no B: emits nothing
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["b_id"]: r for r in CEP.followed_by(df, "signup", "purchase", 600).collect()}
+    assert set(got) == {2, 5}
+    assert got[2]["gap_actual_s"] == 30 and got[2]["key"] == 10
+    assert got[5]["gap_actual_s"] == 5
+    assert got[5]["a_ts"] == datetime(2024, 1, 1, 0, 11, 50)
+
+
+def test_followed_by_plan_is_partitioned(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        CEP.followed_by(ev, "signup", "purchase", 600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan  # window is hash-partitioned by key
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_followed_by_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Split the events fixture into 3 time-ordered micro-batches: the
+    one-long-per-key stateful stream must emit exactly the batch-window
+    matches, including pairs that straddle a batch boundary."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    per = -(-n // 3)
+    from pyspark.sql import Window
+
+    ordered = ev.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    in_dir = str(tmp_path / "in")
+    import os
+    import time as _time
+
+    os.makedirs(in_dir)
+    base = _time.time() - 100
+    for b in range(3):
+        part = ordered.where(
+            (F.col("_rn") > b * per) & (F.col("_rn") <= (b + 1) * per)
+        ).drop("_rn")
+        p = str(tmp_path / f"stage_{b}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        import glob
+        import shutil
+
+        f = glob.glob(f"{p}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{b:02d}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (base + b * 10, base + b * 10))
+
+    stream = (
+        spark.readStream.schema(SCHEMA.replace("event_id long", "event_id long"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = CEP.followed_by_stream(stream, "signup", "purchase", 600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT key, a_ts, b_id, b_ts, gap_actual_s FROM cep_stream"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in CEP.followed_by(ev, "signup", "purchase", 600)
+        .select("key", "a_ts", "b_id", "b_ts", "gap_actual_s")
+        .collect()
+    )
+    assert len(want) > 0
+    assert got == want
