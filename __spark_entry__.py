@@ -1275,6 +1275,44 @@ ORDER BY b_id
 """
 
 
+def _q_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative CEP pattern (cep.not_followed_by): signups with NO
+    purchase by the same user within 10 min — the timeout/absence dual
+    of cep_followed_by, same one-window hash-partitioned shape."""
+    from bitquery_kafka_streams_rust_spark.operators import cep as CEP
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = CEP.not_followed_by(ev, "signup", "purchase", 600)
+    # nullable timestamp → epoch with -1 sentinel: the driver's value
+    # compare treats NaT != NaT, so NULL timestamps can never hash-match
+    return out.select(
+        "key", "a_id", "a_ts",
+        F.coalesce(F.unix_timestamp("next_b_ts"), F.lit(-1)).alias("next_b_epoch"),
+    ).orderBy("a_id")
+
+
+_SQL_CEP_NOT_FOLLOWED_BY = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts FROM events
+  WHERE event_type IN ('signup', 'purchase')
+), c AS (
+  SELECT user_id AS key, event_id AS a_id, ts AS a_ts, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b_ts
+  FROM e
+)
+SELECT key, a_id, a_ts,
+       coalesce(CAST(floor(epoch(next_b_ts)) AS BIGINT), -1) AS next_b_epoch
+FROM c
+WHERE event_type = 'signup'
+  AND (next_b_ts IS NULL
+       OR CAST(floor(epoch(next_b_ts)) AS BIGINT)
+          - CAST(floor(epoch(a_ts)) AS BIGINT) > 600)
+ORDER BY a_id
+"""
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2055,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_route_counts": _shipped(_q_topic_route),
         "dex_trades_exploded": _shipped(_q_dex_trades_exploded),
         "cep_followed_by": _shipped(_q_cep_followed_by),
+        "cep_not_followed_by": _shipped(_q_cep_not_followed_by),
         "seq_entropy_filter": _shipped(_q_seq_entropy),
         "seq_chunking": _shipped(_q_seq_chunking),
         "seq_packing": _shipped(_q_seq_packing),
@@ -2119,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
         "topic_route_counts": _SQL_TOPIC_ROUTE,
         "dex_trades_exploded": _SQL_DEX_TRADES_EXPLODED,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
+        "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

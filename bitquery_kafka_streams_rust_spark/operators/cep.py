@@ -70,6 +70,46 @@ def followed_by(
     )
 
 
+def not_followed_by(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    gap_s: float,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Negative pattern: A events with NO B event of the same key in
+    the ``gap_s`` seconds after them (strictly later in (ts, id) order)
+    → (key, a_id, a_ts, next_b_ts nullable).  The dual of
+    ``followed_by``: the NEXT B timestamp is carried backward by a
+    ``min(case …)`` over the strictly-following rows — same
+    hash-partitioned one-window shape.  In streaming this is the
+    timer/timeout pattern (emit when the watermark passes a_ts+gap);
+    the batch form is the oracle-checkable ground truth."""
+    ev = events.where(F.col(type_col).isin(type_a, type_b))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_b = F.min(F.when(F.col(type_col) == type_b, F.col(ts_col))).over(w)
+    carried = ev.withColumn("_b_ts", next_b)
+    return carried.where(
+        (F.col(type_col) == type_a)
+        & (
+            F.col("_b_ts").isNull()
+            | (F.unix_timestamp("_b_ts") - F.unix_timestamp(ts_col) > gap_s)
+        )
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("a_id"),
+        F.col(ts_col).alias("a_ts"),
+        F.col("_b_ts").alias("next_b_ts"),
+    )
+
+
 _OUT_SCHEMA = "key long, a_ts timestamp, b_id long, b_ts timestamp, gap_actual_s long"
 # exact integer microseconds — a float epoch would drift ~1 us at 2024
 # timestamps and break bit-parity with the batch form's carried a_ts

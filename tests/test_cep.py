@@ -38,6 +38,22 @@ def test_followed_by_semantics(spark):
     assert got[5]["a_ts"] == datetime(2024, 1, 1, 0, 11, 50)
 
 
+def test_not_followed_by_semantics(spark):
+    rows = [
+        _ev(1, 10, "signup", 0),
+        _ev(2, 10, "purchase", 30),    # covers signup 1
+        _ev(3, 10, "signup", 100),
+        _ev(4, 10, "purchase", 800),   # 700s after signup 3 → too late
+        _ev(5, 20, "signup", 0),       # user 20 never purchases
+        _ev(6, 30, "purchase", 0),     # B with no A: irrelevant
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["a_id"]: r for r in CEP.not_followed_by(df, "signup", "purchase", 600).collect()}
+    assert set(got) == {3, 5}
+    assert got[3]["next_b_ts"] is not None  # a late purchase exists
+    assert got[5]["next_b_ts"] is None      # none at all
+
+
 def test_followed_by_plan_is_partitioned(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     plan = (
