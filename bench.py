@@ -469,7 +469,10 @@ def _history_section() -> list[str]:
         "### Cross-session variance (last full bench sessions, identical protocol)\n",
         "Even best-of-5 interleaved sessions land in a ~±20% band on the 4N\n"
         "cell (multi-minute noise bursts): read any single session's scaling\n"
-        "number with this spread in mind.\n",
+        "number with this spread in mind.  Also note the ratio's bias across\n"
+        "code versions: kernel speedups help the CPU-bound N cell more than\n"
+        "the bus-bound 4N cell, so a FASTER engine can show a LOWER raw\n"
+        "efficiency — compare walls and seq/s alongside the ratio.\n",
         "| session | headline (s) | heap N wall | heap 4N wall | 4N seq/s | raw eff | ceiling | eff/ceiling |",
         "|---|---|---|---|---|---|---|---|",
     ]
