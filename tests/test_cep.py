@@ -63,41 +63,48 @@ def test_followed_by_plan_is_partitioned(spark, sf_dir):
     assert "SinglePartition" not in plan  # window is hash-partitioned by key
 
 
+def _write_ordered_batches(spark, ev, tmp_path, n_batches=3, sub="in"):
+    """Events split into time-ordered parquet batch files (per-key order
+    preserved across files — the stream's in-order arrival contract)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    n = ev.count()
+    per = -(-n // n_batches)
+    ordered = ev.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    in_dir = str(tmp_path / sub)
+    os.makedirs(in_dir)
+    base = _time.time() - 100
+    paths = []
+    for b in range(n_batches):
+        part = ordered.where(
+            (F.col("_rn") > b * per) & (F.col("_rn") <= (b + 1) * per)
+        ).drop("_rn")
+        p = str(tmp_path / f"{sub}_stage_{b}")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        f = glob.glob(f"{p}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{b:02d}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (base + b * 10, base + b * 10))
+        paths.append(dst)
+    return in_dir, paths
+
+
 @pytest.mark.watchdog_timeout(300)
 def test_followed_by_stream_matches_batch(spark, sf_dir, tmp_path):
     """Split the events fixture into 3 time-ordered micro-batches: the
     one-long-per-key stateful stream must emit exactly the batch-window
     matches, including pairs that straddle a batch boundary."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    n = ev.count()
-    per = -(-n // 3)
-    from pyspark.sql import Window
-
-    ordered = ev.withColumn(
-        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
-    )
-    in_dir = str(tmp_path / "in")
-    import os
-    import time as _time
-
-    os.makedirs(in_dir)
-    base = _time.time() - 100
-    for b in range(3):
-        part = ordered.where(
-            (F.col("_rn") > b * per) & (F.col("_rn") <= (b + 1) * per)
-        ).drop("_rn")
-        p = str(tmp_path / f"stage_{b}")
-        part.coalesce(1).write.mode("overwrite").parquet(p)
-        import glob
-        import shutil
-
-        f = glob.glob(f"{p}/part-*.parquet")[0]
-        dst = f"{in_dir}/b{b:02d}.parquet"
-        shutil.move(f, dst)
-        os.utime(dst, (base + b * 10, base + b * 10))
-
+    in_dir, _ = _write_ordered_batches(spark, ev, tmp_path)
     stream = (
-        spark.readStream.schema(SCHEMA.replace("event_id long", "event_id long"))
+        spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
@@ -125,3 +132,60 @@ def test_followed_by_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     assert len(want) > 0
     assert got == want
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_followed_by_stream_restart_identical(spark, sf_dir, tmp_path):
+    """T9 for the CEP stream: kill after the first micro-batch, resume
+    from checkpoint, output row set identical to an uninterrupted run
+    (the per-key last-A state survives the restart)."""
+    import os
+    import shutil
+
+    from bitquery_kafka_streams_rust_spark.streaming.sink import ExactlyOnceParquetSink
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    full_dir, paths = _write_ordered_batches(spark, ev, tmp_path, sub="full")
+    half_dir = str(tmp_path / "half")
+    os.makedirs(half_dir)
+    shutil.copy2(paths[0], os.path.join(half_dir, os.path.basename(paths[0])))
+
+    def run(in_dir, ck, out):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            CEP.followed_by_stream(stream, "signup", "purchase", 600)
+            .writeStream.foreachBatch(ExactlyOnceParquetSink(out, lineage=False))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    ck_r, out_r = str(tmp_path / "ck_r"), str(tmp_path / "out_r")
+    run(half_dir, ck_r, out_r)  # ── kill after batch 0 ──
+    for p in paths[1:]:
+        shutil.copy2(p, os.path.join(half_dir, os.path.basename(p)))
+    run(half_dir, ck_r, out_r)  # resume, same checkpoint
+
+    ck_u, out_u = str(tmp_path / "ck_u"), str(tmp_path / "out_u")
+    run(full_dir, ck_u, out_u)
+
+    from bitquery_kafka_streams_rust_spark.streaming import sink as S
+
+    def rows(out):
+        return sorted(
+            tuple(r)
+            for r in S.read_output(spark, out)
+            .select("key", "a_ts", "b_id", "b_ts", "gap_actual_s")
+            .collect()
+        )
+
+    r, u = rows(out_r), rows(out_u)
+    assert len(u) > 0
+    assert r == u
