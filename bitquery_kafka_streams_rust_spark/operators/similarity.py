@@ -85,6 +85,66 @@ def hyperplane_signature(vec: Column, n_planes: int = 12, dim: int | None = None
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    cent_rows: list,
+    n_iter: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Lloyd (k-means) refinement of sampled IVF centroids.
+
+    Each iteration: (a) map-side nearest-centroid assignment against the
+    inlined centroid literals (zero corpus shuffle), (b) element-wise
+    mean per cell via posexplode + two hash aggregations — shuffle keys
+    are (cell, pos), cardinality n_cells × dim, so partial aggregation
+    collapses the corpus map-side.  Collected rows per iteration =
+    n_cells centroid vectors (metadata, like the initial sample).
+    Means are rounded (6 dp) so the index is stable run-to-run despite
+    float summation order; empty cells keep their previous centroid.
+    Returns refined [(cent_id, [double])] — feed to ``ivf_topk`` via
+    ``n_iter`` or use standalone."""
+    cents = [(int(i), [float(x) for x in v]) for i, v in cent_rows]
+    for _ in range(n_iter):
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cent_id"),
+                    F.array(*[F.lit(x) for x in vec]).cast("array<double>").alias("cent_vec"),
+                )
+                for cid, vec in cents
+            ]
+        )
+        scores = F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda cent: F.struct(
+                    (-F.round(cosine(F.col("_v"), cent["cent_vec"]), 9)).alias("neg_cc"),
+                    cent["cent_id"].alias("cent_id"),
+                ),
+            )
+        )
+        assigned = corpus.select(F.col(vec_col).alias("_v")).select(
+            "_v", F.try_element_at(scores, F.lit(1))["cent_id"].alias("cell")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"], 6),
+                ).alias("mean_vec")
+            )
+            .collect()
+        )
+        by_cell = {int(r["cell"]): list(r["mean_vec"]) for r in means}
+        cents = [(cid, by_cell.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -93,6 +153,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate NN — the clustering-based scale
     path, complementing hyperplane LSH.
@@ -122,15 +183,22 @@ def ivf_topk(
         .limit(n_cells)
         .collect()
     )
+    cents = sorted(
+        ((int(r["cent_id"]), [float(x) for x in r["cent_vec"]]) for r in cent_rows),
+        key=lambda t: t[0],
+    )
+    if n_iter:
+        # Lloyd refinement (pytest-pinned recall; the DuckDB-oracled
+        # contract path keeps n_iter=0 so the index stays replayable as
+        # pure sampled-centroid arithmetic)
+        cents = refine_centroids(corpus, cents, n_iter, id_col, vec_col)
     cent_arr = F.array(
         *[
             F.struct(
-                F.lit(int(r["cent_id"])).alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in r["cent_vec"]])
-                .cast("array<double>")
-                .alias("cent_vec"),
+                F.lit(cid).alias("cent_id"),
+                F.array(*[F.lit(x) for x in vec]).cast("array<double>").alias("cent_vec"),
             )
-            for r in sorted(cent_rows, key=lambda r: r["cent_id"])
+            for cid, vec in cents
         ]
     )
 

@@ -15,6 +15,7 @@ training pipeline runs downstream of the streaming engine.  Stages (all
 deterministic — rerunning the job reproduces byte-identical splits):
 
     read → repetition/quality gates (map-side HOF/regexp expressions)
+         → optional exact dedup (md5 hash-groupBy, min-id winner)
          → optional domain-mix rebalance toward uniform source shares
            under a char budget (aggregate-then-broadcast hash filter)
          → train/val/test hash split (map-side, no RNG)
@@ -49,6 +50,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--budget", type=int, default=None,
                    help="total char budget; rebalances sources toward uniform shares")
     p.add_argument("--repetition-gate", action="store_true")
+    p.add_argument("--exact-dedup", action="store_true",
+                   help="drop exact-content duplicates (md5 hash-groupBy, min doc_id wins)")
     p.add_argument("--min-quality", type=float, default=None)
     p.add_argument("--shuffle", action="store_true", help="deterministic export order")
     p.add_argument("--master", default=None)
@@ -60,6 +63,13 @@ def curate(docs, a: argparse.Namespace):
         raise SystemExit("--splits requires at least one name=weight pair")
     if a.repetition_gate:
         docs = docs.where(TX.repetition_gate(F.col("text")))
+    if a.exact_dedup:
+        # min-doc_id winner per content hash: one hash-groupBy shuffle on
+        # a 16-byte key, deterministic winner → reruns reproduce splits
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(TX.fingerprint_md5(F.col("text"))).orderBy("doc_id")
+        docs = docs.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1).drop("_rk")
     if a.min_quality is not None:
         docs = docs.where(TX.quality_score(F.col("text")) >= a.min_quality)
     if a.budget is not None:

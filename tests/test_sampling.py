@@ -228,6 +228,28 @@ def test_curation_job_cli_end_to_end(spark, sf_dir, tmp_path):
     assert key(a) == key(b)
 
 
+def test_curation_cli_exact_dedup(spark, sf_dir, tmp_path):
+    """--exact-dedup drops duplicate-content docs (min doc_id wins) and
+    the export carries no duplicate texts."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    rc = J.main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--exact-dedup", "--splits", "all=1.0",
+        "--output", str(tmp_path / "d"),
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "d"))
+    n_rows = out.count()
+    n_texts = out.select("text").distinct().count()
+    assert n_rows == n_texts > 0
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert n_texts == src.select("text").distinct().count()
+
+
 def test_quality_buckets_approx_tracks_exact_ntile(spark, sf_dir):
     """The sketch-cutoff binning agrees with exact ntile(4) for ~all
     docs (only sketch-boundary docs may shift one bucket)."""

@@ -80,3 +80,52 @@ def test_hyperplane_signature_deterministic(spark):
     a = df.select(SIM.hyperplane_signature(F.col("v"), 8).alias("s")).collect()[0]["s"]
     b = df.select(SIM.hyperplane_signature(F.col("v"), 8).alias("s")).collect()[0]["s"]
     assert a == b and 0 <= a < 256
+
+
+def test_ivf_kmeans_refinement(spark, sf_dir):
+    """Lloyd refinement (similarity.refine_centroids): the k-means
+    objective (mean 1-cos to the assigned centroid) must not increase,
+    centroids must actually move, and the refined index stays
+    deterministic run-to-run (rounded means)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from bitquery_kafka_streams_rust_spark.operators.sampling import hash_frac
+
+    cent_rows = (
+        emb.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+        .orderBy(hash_frac(F.col("cent_id")).asc(), F.col("cent_id").asc())
+        .limit(8)
+        .collect()
+    )
+    cents0 = sorted(
+        ((int(r["cent_id"]), [float(x) for x in r["cent_vec"]]) for r in cent_rows),
+        key=lambda t: t[0],
+    )
+    cents2 = SIM.refine_centroids(emb, cents0, n_iter=2)
+    cents2b = SIM.refine_centroids(emb, cents0, n_iter=2)
+    assert cents2 == cents2b  # deterministic (rounded means)
+    assert cents2 != cents0   # centroids moved
+
+    def objective(cents):
+        cent_arr = F.array(*[
+            F.struct(
+                F.lit(cid).alias("cent_id"),
+                F.array(*[F.lit(x) for x in vec]).cast("array<double>").alias("cent_vec"),
+            )
+            for cid, vec in cents
+        ])
+        best = F.array_max(
+            F.transform(cent_arr, lambda c: SIM.cosine(F.col("embedding"), c["cent_vec"]))
+        )
+        return emb.agg(F.avg(F.lit(1.0) - best)).collect()[0][0]
+
+    assert objective(cents2) <= objective(cents0) + 1e-6
+
+    # refined top-k still produces k rows per query with valid schema
+    q = emb.where(F.col("vec_id") < 5)
+    out = SIM.ivf_topk(emb, q, k=5, n_cells=8, n_probe=2, n_iter=2)
+    per_q = {r["vec_id"]: 0 for r in q.select("vec_id").collect()}
+    for r in out.collect():
+        per_q[r["q_id"]] += 1
+    assert all(v == 5 for v in per_q.values())
