@@ -16,6 +16,8 @@ deterministic — rerunning the job reproduces byte-identical splits):
 
     read → repetition/quality gates (map-side HOF/regexp expressions)
          → optional exact dedup (md5 hash-groupBy, min-id winner)
+         → optional MinHash-LSH near-dedup (banded pairs → connected
+           components → keep the canonical min-id doc per cluster)
          → optional domain-mix rebalance toward uniform source shares
            under a char budget (aggregate-then-broadcast hash filter)
          → train/val/test hash split (map-side, no RNG)
@@ -52,6 +54,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--repetition-gate", action="store_true")
     p.add_argument("--exact-dedup", action="store_true",
                    help="drop exact-content duplicates (md5 hash-groupBy, min doc_id wins)")
+    p.add_argument("--near-dedup", type=float, default=None, metavar="SIM",
+                   help="drop MinHash-LSH near-duplicates at signature similarity >= SIM "
+                        "(banded candidate join -> connected components -> keep the "
+                        "min-doc_id canonical per cluster)")
     p.add_argument("--min-quality", type=float, default=None)
     p.add_argument("--shuffle", action="store_true", help="deterministic export order")
     p.add_argument("--master", default=None)
@@ -70,6 +76,24 @@ def curate(docs, a: argparse.Namespace):
 
         w = Window.partitionBy(TX.fingerprint_md5(F.col("text"))).orderBy("doc_id")
         docs = docs.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1).drop("_rk")
+    if a.near_dedup is not None:
+        # fuzzy dedup: banded-LSH candidate pairs (xxhash64 scale path)
+        # → pointer-jumping connected components over the PAIR set →
+        # anti-join the non-canonical cluster members out.  Losers per
+        # cluster = all but the min doc_id, so the result is
+        # deterministic and rerun-stable like every other stage.
+        from bitquery_kafka_streams_rust_spark.operators import dedup as DD
+
+        pairs = DD.minhash_lsh_pairs(docs, threshold=a.near_dedup)
+        losers = (
+            DD.connected_components(pairs)
+            .where(F.col("id") != F.col("component"))
+            .withColumnRenamed("id", "doc_id")
+        )
+        # plain anti-join (no broadcast hint): web-scale near-dup loser
+        # sets run to 30-50% of the corpus — AQE picks broadcast itself
+        # when the set turns out small
+        docs = docs.join(losers.select("doc_id"), "doc_id", "left_anti")
     if a.min_quality is not None:
         docs = docs.where(TX.quality_score(F.col("text")) >= a.min_quality)
     if a.budget is not None:

@@ -250,6 +250,40 @@ def test_curation_cli_exact_dedup(spark, sf_dir, tmp_path):
     assert n_texts == src.select("text").distinct().count()
 
 
+def test_curation_cli_near_dedup(spark, sf_dir, tmp_path):
+    """--near-dedup drops LSH near-duplicate cluster members (keeping
+    the min-id canonical) and reruns reproduce the identical survivor
+    set."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    from bitquery_kafka_streams_rust_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.8)
+    n_losers = (
+        DD.connected_components(pairs).where("id != component").count()
+    )
+    assert n_losers > 0  # the fixture carries near-dups by construction
+
+    args = [
+        "--input", f"{sf_dir}/documents.parquet",
+        "--near-dedup", "0.8", "--splits", "all=1.0",
+    ]
+    rc = J.main([*args, "--output", str(tmp_path / "a")])
+    assert rc == 0
+    a = spark.read.parquet(str(tmp_path / "a"))
+    assert a.count() == docs.count() - n_losers
+    rc = J.main([*args, "--output", str(tmp_path / "b")])
+    assert rc == 0
+    b = spark.read.parquet(str(tmp_path / "b"))
+    assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in b.select("doc_id").collect()
+    )
+
+
 def test_quality_buckets_approx_tracks_exact_ntile(spark, sf_dir):
     """The sketch-cutoff binning agrees with exact ntile(4) for ~all
     docs (only sketch-boundary docs may shift one bucket)."""
