@@ -1,0 +1,160 @@
+"""Tokenized training-example export job — spark-submit --py-files.
+
+    spark-submit --py-files engine.zip jobs/run_export.py \
+        --input /data/sequences --output s3a://exports/run1 \
+        --mode pack --context-len 2048 --shuffle
+
+Local smoke (this sandbox, deriving the sequences view from documents):
+
+    python jobs/run_export.py --sf-dir /root/testdata/sf0.001 \
+        --output /tmp/export --mode chunk --context-len 512
+
+The LAST stage of the training-data pipeline: where ``run_curation.py``
+curates documents, this job turns the tokenized sequences table into
+fixed-context training examples.  Stages (deterministic end to end —
+reruns produce byte-identical example sets):
+
+    read sequences → validate (length/vocab gate, poison-pills counted)
+      → dedup first-wins by (ts, doc_id)
+      → mode=chunk: sliding ≤context windows (pure Catalyst, 1→N)
+        mode=pack : greedy first-fit bins per (source, salt bucket),
+                    bins materialized by re-joining doc tokens and
+                    flattening in bin order (the only stage that ships
+                    token arrays — unavoidable: the export IS the
+                    tokens)
+      → optional deterministic shuffle order (mixing-hash range sort)
+      → parquet, ONE JSON manifest line from observe() (no re-read)
+
+Scale notes: validation/dedup shuffle ~40 B/row (checksum precomputed
+map-side is unnecessary here — tokens must reach the sink anyway, but
+dedup still keys on doc_id only); packing groups are salt-bounded; the
+bin materialization joins tokens ONCE and aggregates per bin key.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bitquery_kafka_streams_rust_spark import datagen  # noqa: E402
+from bitquery_kafka_streams_rust_spark.functions import tokens as TK  # noqa: E402
+from bitquery_kafka_streams_rust_spark.operators import dedup as DD  # noqa: E402
+from bitquery_kafka_streams_rust_spark.operators import packing as PK  # noqa: E402
+from bitquery_kafka_streams_rust_spark.operators import sampling as SAMP  # noqa: E402
+from bitquery_kafka_streams_rust_spark.session import get_spark  # noqa: E402
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="tokenized training-example export job")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="sequences parquet (doc_id, tokens, n_tok, source, ts)")
+    src.add_argument("--sf-dir", help="derive the sequences view from this testdata dir")
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", choices=["chunk", "pack"], default="chunk")
+    p.add_argument("--context-len", type=int, default=2048)
+    p.add_argument("--overlap", type=int, default=0, help="chunk mode: window overlap")
+    p.add_argument("--shuffle", action="store_true", help="deterministic export order")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def build_examples(spark, seq, a: argparse.Namespace):
+    """sequences → deduped, validated training examples
+    (example_id, tokens, n_tok, source)."""
+    valid = seq.where(TK.is_valid_sequence("tokens", "n_tok"))
+    deduped = DD.dedup_first_wins(valid, "doc_id", ["ts", "doc_id"])
+    if a.mode == "chunk":
+        chunks = PK.chunk_sequences(deduped, max_len=a.context_len, overlap=a.overlap)
+        return chunks.select(
+            F.concat("doc_id", F.lit("#"), F.col("chunk_idx").cast("string")).alias(
+                "example_id"
+            ),
+            F.col("chunk_tokens").alias("tokens"),
+            F.col("chunk_len").alias("n_tok"),
+            "source",
+        )
+    # pack: bin metadata first (bounded pandas groups), then materialize
+    # each bin by joining the member docs' tokens back and flattening in
+    # the bin's doc order
+    bins = PK.pack_sequences(deduped, context_len=a.context_len)
+    members = bins.select(
+        "source",
+        "bucket",
+        "bin_idx",
+        F.posexplode("doc_ids").alias("pos", "doc_id"),
+    )
+    joined = members.join(deduped.select("doc_id", "tokens"), "doc_id")
+    return (
+        joined.groupBy("source", "bucket", "bin_idx")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tokens"))),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            F.concat_ws("#", "source", "bucket", "bin_idx").alias("example_id"),
+            "tokens",
+            F.size("tokens").alias("n_tok"),
+            "source",
+        )
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    a = parse_args(argv)
+    spark = get_spark(app_name="training-export", master=a.master)
+    seq = (
+        spark.read.parquet(a.input)
+        if a.input
+        else datagen.sequences_view(spark, a.sf_dir)
+    )
+    out = build_examples(spark, seq, a)
+    if a.shuffle:
+        # shuffle_order's mixing hash needs an integer id: derive one
+        # from the string example_id (xxhash64 may go negative; the
+        # hash's pre-multiply pmod maps it into range)
+        out = SAMP.shuffle_order(
+            out.withColumn("_sid", F.xxhash64("example_id")),
+            id_col="_sid",
+            seed=a.seed,
+            stage=4,
+        ).drop("_sid")
+    from pyspark.sql import Observation
+
+    obs = Observation("export_manifest")
+    observed = out.observe(
+        obs,
+        F.count("*").alias("n_examples"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg(F.col("n_tok") / a.context_len), 6).alias("mean_fill"),
+    )
+    observed.write.mode("overwrite").parquet(a.output)
+    got = obs.get
+    print(
+        json.dumps(
+            {
+                "output": a.output,
+                "mode": a.mode,
+                "context_len": a.context_len,
+                "n_examples": int(got["n_examples"] or 0),
+                "total_tokens": int(got["total_tokens"] or 0),
+                "mean_fill": float(got["mean_fill"] or 0.0),
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,78 @@
+"""jobs/run_export.py: chunk/pack export correctness + determinism."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/jobs")
+
+import run_export as X  # noqa: E402
+
+from bitquery_kafka_streams_rust_spark import datagen  # noqa: E402
+from bitquery_kafka_streams_rust_spark.functions import tokens as TK  # noqa: E402
+from bitquery_kafka_streams_rust_spark.operators import dedup as DD  # noqa: E402
+
+
+def _deduped(spark, sf_dir):
+    seq = datagen.sequences_view(spark, sf_dir)
+    valid = seq.where(TK.is_valid_sequence("tokens", "n_tok"))
+    return DD.dedup_first_wins(valid, "doc_id", ["ts", "doc_id"])
+
+
+def test_export_chunk_partitions_tokens_exactly(spark, sf_dir, tmp_path):
+    rc = X.main([
+        "--sf-dir", sf_dir, "--output", str(tmp_path / "c"),
+        "--mode", "chunk", "--context-len", "512",
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "c"))
+    assert out.where(F.col("n_tok") > 512).count() == 0
+    # overlap=0 chunking partitions every non-empty doc's tokens exactly
+    want = (
+        _deduped(spark, sf_dir).where("n_tok > 0").agg(F.sum("n_tok")).collect()[0][0]
+    )
+    got = out.agg(F.sum("n_tok")).collect()[0][0]
+    assert got == want
+    # chunk content is the doc's slice (spot-check one multi-chunk doc)
+    doc = (
+        _deduped(spark, sf_dir).where("n_tok > 600")
+        .orderBy("doc_id").limit(1).collect()[0]
+    )
+    chunks = {
+        int(r["example_id"].split("#")[1]): r["tokens"]
+        for r in out.where(F.col("example_id").startswith(doc["doc_id"] + "#")).collect()
+    }
+    flat = [t for i in sorted(chunks) for t in chunks[i]]
+    assert flat == list(doc["tokens"])
+
+
+def test_export_pack_bins_and_determinism(spark, sf_dir, tmp_path):
+    args = [
+        "--sf-dir", sf_dir, "--output", str(tmp_path / "p"),
+        "--mode", "pack", "--context-len", "2048", "--shuffle",
+    ]
+    rc = X.main(args)
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "p"))
+    assert out.where(F.col("n_tok") > 2048).count() == 0
+    assert out.where(F.size("tokens") != F.col("n_tok")).count() == 0
+    # packing never drops tokens: every valid non-empty doc <= context
+    # lands in exactly one bin
+    want = (
+        _deduped(spark, sf_dir)
+        .where("n_tok > 0 AND n_tok <= 2048")
+        .agg(F.sum("n_tok"))
+        .collect()[0][0]
+    )
+    assert out.agg(F.sum("n_tok")).collect()[0][0] == want
+
+    rc = X.main([a if not a.endswith("/p") else str(tmp_path / "q") for a in args])
+    assert rc == 0
+    b = spark.read.parquet(str(tmp_path / "q"))
+    key = lambda df: sorted(
+        (r["example_id"], tuple(r["tokens"])) for r in df.collect()
+    )
+    assert key(out) == key(b)
