@@ -272,6 +272,11 @@ def simhash_near_dups(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), bits=bits, portable=portable).alias("sh"),
     )
+    # the self-join's per-side pushed predicates defeat exchange reuse,
+    # so without this the interpreted-HOF fingerprint pass runs once PER
+    # SIDE; materialized it is 16 bytes/row and computed once (measured
+    # 32 s → ~14 s at sf0.1, identical output)
+    sig = sig.localCheckpoint(eager=True)
     chunks = sig.select(
         "id",
         "sh",
@@ -389,6 +394,12 @@ def ngram_jaccard_pairs(
     Jaccard is a lower bound and pairs below threshold only by a capped
     stop-gram are the accepted approximation)."""
     grams = word_gram_index(docs, id_col, text_col, n, hash_grams)
+    # the index subplan feeds FIVE branches (per-doc sizes, the DF-cap
+    # aggregate, its semi-join probe, and both self-join sides) and
+    # regexp-split gram extraction is the dominant compute — materialize
+    # executor-local once (rows are (id, 8-byte gram hash); the string
+    # oracle path stores the gram text instead)
+    grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     joinable = grams
     if max_gram_doc_freq is not None:
