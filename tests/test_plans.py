@@ -65,3 +65,26 @@ def test_decode_stays_jvm_side(spark, sf_dir):
     plan = plans.formatted_plan(q)
     assert "EvalPython" not in plan
     assert "Batched: true" in plan  # vectorized parquet scan
+
+
+def test_minhash_band_shuffle_is_narrow(spark, sf_dir):
+    """The 64-wide MinHash signature must NOT ride the band-join or
+    pair-dedup exchanges (a dense near-dup family matches in every
+    band, multiplying shuffled bytes by bands x |sig| — the 180s -> 20s
+    regression this pins)."""
+    from bitquery_kafka_streams_rust_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = DD.minhash_lsh_pairs(docs, threshold=0.8)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # pair dedup appears as HashAggregate(keys=[id_a, id_b]); before the
+    # fix it also aggregated first(sig_a)/first(sig_b), dragging both
+    # 64-long arrays through its exchange
+    dedup_aggs = [
+        line
+        for line in plan.splitlines()
+        if "HashAggregate" in line and "id_a" in line and "id_b" in line
+    ]
+    assert dedup_aggs, "pair-dedup aggregate missing from the plan"
+    for line in dedup_aggs:
+        assert "sig" not in line, f"signature rides the pair dedup: {line[:160]}"
