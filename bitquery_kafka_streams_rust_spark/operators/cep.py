@@ -146,7 +146,11 @@ def _match(key, pdfs: Iterator[pd.DataFrame], state, type_a, type_b, gap_s):
         for pos in ok[ok].index:
             a = int(a_us.iloc[pos])
             gap = ts_us.iloc[pos] // 10**6 - a // 10**6
-            if gap <= gap_s:
+            # 0 <= gap: a straggler B older than the carried A (cross-
+            # batch disorder, outside the documented in-order contract)
+            # must not emit a pair the strictly-preceding batch window
+            # could never produce — degrade gracefully instead
+            if 0 <= gap <= gap_s:
                 rows["key"].append(key[0])
                 rows["a_ts"].append(pd.Timestamp(a, unit="us"))
                 rows["b_id"].append(int(pdf["event_id"].iloc[pos]))

@@ -264,8 +264,10 @@ def quality_buckets_hist(
             while t_idx < len(targets) and cum >= targets[t_idx]:
                 cuts.append(b)
                 t_idx += 1
-    if not cuts:  # empty input: no cutoffs, everything lands in bucket n
+    if total == 0:  # empty input: no rows to bin (bucket column typed NULL)
         return df.withColumn("bucket", F.lit(None).cast("int"))
+    if not cuts:  # n_buckets == 1: no cutoffs, everything is bucket 1
+        return df.withColumn("bucket", F.lit(1))
     bucket: Column = F.lit(n_buckets)
     for i in range(len(cuts), 0, -1):
         bucket = F.when(bin_col <= cuts[i - 1], F.lit(i)).otherwise(bucket)

@@ -213,8 +213,12 @@ def parse_message(buf: bytes, desc: Msg) -> dict:
             raw = bytes(buf[i : i + ln])
             i += ln
         elif wt == 5:
+            if i + 4 > n:
+                raise ValueError("truncated fixed32 field")
             raw, i = buf[i : i + 4], i + 4
         elif wt == 1:
+            if i + 8 > n:
+                raise ValueError("truncated fixed64 field")
             raw, i = buf[i : i + 8], i + 8
         else:
             raise ValueError(f"unsupported wire type {wt}")
@@ -222,6 +226,13 @@ def parse_message(buf: bytes, desc: Msg) -> dict:
         if fld is None:
             continue
         fname, ftyp, repeated = fld
+        # a declared field carried on the WRONG wire type must raise (→
+        # poison pill), not hand e.g. bytes to a LongType column — that
+        # would pass corrupt=false and then kill the whole query in the
+        # pandas→Arrow conversion instead of dropping one row
+        want_wt = 2 if (isinstance(ftyp, Msg) or ftyp in ("string", "bytes")) else 0
+        if wt != want_wt:
+            raise ValueError(f"field {fno} ({fname}): wire type {wt}, expected {want_wt}")
         if isinstance(ftyp, Msg):
             val = parse_message(raw, ftyp)
         elif ftyp == "string":
@@ -232,7 +243,15 @@ def parse_message(buf: bytes, desc: Msg) -> dict:
             val = bool(raw)
         elif ftyp == "int64":
             val = raw - (1 << 64) if raw >= (1 << 63) else raw
-        else:  # uint32 / uint64 varints
+        elif ftyp == "uint64":
+            # legal proto3 values above int64 range can't land in a
+            # LongType column; treat as undecodable rather than crash
+            if raw >= 1 << 63:
+                raise ValueError(f"field {fno} ({fname}): uint64 {raw} exceeds int64")
+            val = raw
+        else:  # uint32 varint into an IntegerType column
+            if raw >= 1 << 31:
+                raise ValueError(f"field {fno} ({fname}): uint32 {raw} exceeds int32")
             val = raw
         if repeated:
             out.setdefault(fname, []).append(val)

@@ -70,12 +70,14 @@ def curate(docs, a: argparse.Namespace):
     if a.repetition_gate:
         docs = docs.where(TX.repetition_gate(F.col("text")))
     if a.exact_dedup:
-        # min-doc_id winner per content hash: one hash-groupBy shuffle on
-        # a 16-byte key, deterministic winner → reruns reproduce splits
-        from pyspark.sql import Window
+        # min-doc_id winner per content hash: one shuffle on a 16-byte
+        # key, deterministic winner → reruns reproduce splits (reuses
+        # the audited first-wins operator rather than re-deriving it)
+        from bitquery_kafka_streams_rust_spark.operators import dedup as DDX
 
-        w = Window.partitionBy(TX.fingerprint_md5(F.col("text"))).orderBy("doc_id")
-        docs = docs.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1).drop("_rk")
+        docs = DDX.dedup_first_wins(
+            docs.withColumn("_fp", TX.fingerprint_md5(F.col("text"))), "_fp", ["doc_id"]
+        ).drop("_fp")
     if a.near_dedup is not None:
         # fuzzy dedup: banded-LSH candidate pairs (xxhash64 scale path)
         # → pointer-jumping connected components over the PAIR set →

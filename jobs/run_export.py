@@ -25,10 +25,16 @@ reruns produce byte-identical example sets):
       → optional deterministic shuffle order (mixing-hash range sort)
       → parquet, ONE JSON manifest line from observe() (no re-read)
 
-Scale notes: validation/dedup shuffle ~40 B/row (checksum precomputed
-map-side is unnecessary here — tokens must reach the sink anyway, but
-dedup still keys on doc_id only); packing groups are salt-bounded; the
-bin materialization joins tokens ONCE and aggregates per bin key.
+Scale notes: the dedup window is ONE full-row exchange that does carry
+the token arrays — unlike the streaming spine (which ships 40 B
+checksums because its output is counts), an export's output IS the
+tokens, so they must cross at least one boundary regardless; at 100 TB
+prefer running exports downstream of an already-deduped table and
+dropping the dedup stage.  Packing groups are salt-bounded; the bin
+materialization joins tokens ONCE and aggregates per bin key.  Pack
+mode cannot place docs longer than the context (greedy first-fit never
+splits docs) — they are COUNTED in the manifest (``n_oversize_dropped``)
+and a warning is printed; route oversize docs through ``--mode chunk``.
 """
 
 from __future__ import annotations
@@ -66,8 +72,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 
 def build_examples(spark, seq, a: argparse.Namespace):
-    """sequences → deduped, validated training examples
-    (example_id, tokens, n_tok, source)."""
+    """sequences → (examples, deduped-input) where examples is
+    (example_id, tokens, n_tok, source); the deduped frame is returned
+    so manifest accounting runs over the population the mode saw."""
     valid = seq.where(TK.is_valid_sequence("tokens", "n_tok"))
     deduped = DD.dedup_first_wins(valid, "doc_id", ["ts", "doc_id"])
     if a.mode == "chunk":
@@ -79,7 +86,7 @@ def build_examples(spark, seq, a: argparse.Namespace):
             F.col("chunk_tokens").alias("tokens"),
             F.col("chunk_len").alias("n_tok"),
             "source",
-        )
+        ), deduped
     # pack: bin metadata first (bounded pandas groups), then materialize
     # each bin by joining the member docs' tokens back and flattening in
     # the bin's doc order
@@ -107,7 +114,7 @@ def build_examples(spark, seq, a: argparse.Namespace):
             F.size("tokens").alias("n_tok"),
             "source",
         )
-    )
+    ), deduped
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -118,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         if a.input
         else datagen.sequences_view(spark, a.sf_dir)
     )
-    out = build_examples(spark, seq, a)
+    out, deduped = build_examples(spark, seq, a)
     if a.shuffle:
         # shuffle_order's mixing hash needs an integer id: derive one
         # from the string example_id (xxhash64 may go negative; the
@@ -140,6 +147,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     observed.write.mode("overwrite").parquet(a.output)
     got = obs.get
+    n_oversize = 0
+    if a.mode == "pack":
+        # pack can't place docs longer than the context (greedy
+        # first-fit never splits) — count the silent losers so the
+        # manifest is honest about coverage.  Narrow (n_tok-only) scan,
+        # separate from the export action (observe() on a multi-branch
+        # input would double-count).
+        n_oversize = deduped.where(F.col("n_tok") > a.context_len).count()
+        if n_oversize:
+            sys.stderr.write(
+                f"[run_export] WARNING: {n_oversize} docs exceed context_len="
+                f"{a.context_len} and were NOT packed; use --mode chunk for them\n"
+            )
     print(
         json.dumps(
             {
@@ -149,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
                 "n_examples": int(got["n_examples"] or 0),
                 "total_tokens": int(got["total_tokens"] or 0),
                 "mean_fill": float(got["mean_fill"] or 0.0),
+                "n_oversize_dropped": int(n_oversize),
             },
             sort_keys=True,
         )

@@ -76,3 +76,30 @@ def test_export_pack_bins_and_determinism(spark, sf_dir, tmp_path):
         (r["example_id"], tuple(r["tokens"])) for r in df.collect()
     )
     assert key(out) == key(b)
+
+
+def test_export_pack_counts_oversize_drops(spark, sf_dir, tmp_path, capsys):
+    """Docs longer than the context can't be packed — the manifest must
+    report them, not silently shrink coverage."""
+    import json as _json
+
+    rc = X.main([
+        "--sf-dir", sf_dir, "--output", str(tmp_path / "o"),
+        "--mode", "pack", "--context-len", "512",
+    ])
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_over = (
+        _deduped(spark, sf_dir).where("n_tok > 512").count()
+    )
+    assert n_over > 0
+    assert manifest["n_oversize_dropped"] == n_over
+    out = spark.read.parquet(str(tmp_path / "o"))
+    want = (
+        _deduped(spark, sf_dir)
+        .where("n_tok > 0 AND n_tok <= 512")
+        .agg(F.sum("n_tok"))
+        .collect()[0][0]
+    )
+    assert out.agg(F.sum("n_tok")).collect()[0][0] == want
+    assert manifest["total_tokens"] == want

@@ -87,6 +87,43 @@ def test_unknown_fields_skipped():
     assert PW.parse_message(wire, PW.BLOCK_HEADER) == {"slot": 42, "timestamp": 9}
 
 
+def test_wrong_wire_type_and_range_poison_pill():
+    """A declared field on the wrong wire type, a uint64 beyond int64,
+    or a uint32 beyond int32 must RAISE (→ poison pill) — returning the
+    raw value would pass corrupt=false and crash the Arrow conversion
+    for the whole batch instead of dropping one row."""
+    # field 1 (slot, declared uint64/varint) sent length-delimited
+    bad_wt = bytes([0x0A, 0x02]) + b"xx"
+    try:
+        PW.parse_message(bad_wt, PW.BLOCK_HEADER)
+        raise AssertionError("expected ValueError for wrong wire type")
+    except ValueError as e:
+        assert "wire type" in str(e)
+    # legal proto3 uint64 = 2^63 (varint) → exceeds LongType
+    big = bytearray([0x08])
+    PW._write_varint(big, 1 << 63)
+    try:
+        PW.parse_message(bytes(big), PW.BLOCK_HEADER)
+        raise AssertionError("expected ValueError for uint64 overflow")
+    except ValueError as e:
+        assert "int64" in str(e)
+    # uint32 = 2^31 → exceeds IntegerType (Currency.decimals, field 2)
+    big32 = bytearray([0x10])
+    PW._write_varint(big32, 1 << 31)
+    try:
+        PW.parse_message(bytes(big32), PW.CURRENCY)
+        raise AssertionError("expected ValueError for uint32 overflow")
+    except ValueError as e:
+        assert "int32" in str(e)
+    # truncated fixed64 (unknown field 9, wire type 1) raises, same as
+    # the varint/length-delimited paths
+    try:
+        PW.parse_message(bytes([0x49, 0x01, 0x02]), PW.BLOCK_HEADER)
+        raise AssertionError("expected ValueError for truncated fixed64")
+    except ValueError as e:
+        assert "fixed64" in str(e)
+
+
 def test_truncated_payload_raises():
     wire = PW.serialize_message({"slot": 300, "timestamp": 7}, PW.BLOCK_HEADER)
     for cut in (wire[:1], wire[:2] + b"\xff", wire + b"\x0a\x20"):
@@ -111,10 +148,13 @@ def test_wire_roundtrip_property():
     from hypothesis import strategies as st
 
     accounts = st.one_of(st.none(), st.fixed_dictionaries({"address": st.binary(max_size=8)}))
+    # decodable domain only: uint32 >= 2^31 / uint64 >= 2^63 are defined
+    # poison pills (they don't fit Spark's int/long columns) — covered
+    # by test_wrong_wire_type_and_range_poison_pill
     currencies = st.one_of(
         st.none(),
         st.fixed_dictionaries({
-            "decimals": st.integers(0, 2**32 - 1),
+            "decimals": st.integers(0, 2**31 - 1),
             "mint_address": st.binary(max_size=8),
         }),
     )
