@@ -1243,6 +1243,31 @@ FROM kx ORDER BY block_id, tx_idx, trade_idx
 """
 
 
+def _q_ids_base58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 base58 as a PURE Catalyst expression (encoding.base58_of_long
+    — exact-modulo digit extraction, no UDF): the reference base58-
+    encodes addresses per event (base58_cache.rs:47-103); here integer
+    ids encode JVM-side in the scan stage.  The byte-payload pandas-UDF
+    variant stays for binary addresses (test_encoding)."""
+    from bitquery_kafka_streams_rust_spark.functions import encoding as ENC
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", ENC.base58_of_long("event_id").alias("b58")
+    ).orderBy("event_id")
+
+
+_B58_ALPHA = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+_SQL_IDS_B58 = (
+    "SELECT event_id, CASE WHEN event_id = 0 THEN '1' ELSE regexp_replace("
+    + " || ".join(
+        f"substr('{_B58_ALPHA}', CAST((event_id // {58**k}) % 58 AS INTEGER) + 1, 1)"
+        for k in range(10, -1, -1)
+    )
+    + ", '^1+', '') END AS b58 FROM events ORDER BY event_id"
+)
+
+
 def _q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern (operators/cep.py): signup FOLLOWED BY purchase
     within 10 min per user — the carried-last-A window form (hash-
@@ -2092,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_alerts": _shipped(_q_events_alerts),
         "topic_route_counts": _shipped(_q_topic_route),
         "dex_trades_exploded": _shipped(_q_dex_trades_exploded),
+        "ids_base58": _shipped(_q_ids_base58),
         "cep_followed_by": _shipped(_q_cep_followed_by),
         "cep_not_followed_by": _shipped(_q_cep_not_followed_by),
         "seq_entropy_filter": _shipped(_q_seq_entropy),
@@ -2157,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
         "events_alerts": _SQL_EVENTS_ALERTS,
         "topic_route_counts": _SQL_TOPIC_ROUTE,
         "dex_trades_exploded": _SQL_DEX_TRADES_EXPLODED,
+        "ids_base58": _SQL_IDS_B58,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,

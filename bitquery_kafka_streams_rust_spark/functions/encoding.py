@@ -51,6 +51,30 @@ def _b58decode(s: str) -> bytes | None:
     return b"\x00" * pad + raw
 
 
+def base58_of_long(col: Column | str) -> Column:
+    """Base58 of a non-negative bigint as a PURE Catalyst expression —
+    no UDF, no Python (the D7 fast path for integer ids; byte-string
+    payloads keep the pandas UDF below).
+
+    Digit k (of 11 — 58^11 > 2^63 covers any long) is extracted with
+    EXACT long modulos; the one division per digit divides two numbers
+    whose quotient is exact (≤ 57), so round() recovers it despite the
+    double intermediate (a bare cast("long") would truncate q−ε to
+    q−1).  Leading zero-digits strip like the canonical encoding;
+    0 → "1".  The identical arithmetic runs in DuckDB SQL (integer `//`
+    there, no rounding needed), so the op is oracle-checkable."""
+    n = (F.col(col) if isinstance(col, str) else col).cast("long")
+    chars = []
+    for k in range(10, -1, -1):
+        hi = n % F.lit(58 ** (k + 1)) if k < 10 else n  # 58^11 > 2^63: top digit uses n
+        digit = F.round((hi - n % F.lit(58**k)) / F.lit(58**k)).cast("int")
+        chars.append(F.lit(_B58_ALPHABET).substr(digit + 1, F.lit(1)))
+    s = F.regexp_replace(F.concat(*chars), "^1+", "")
+    return F.when(n == 0, F.lit("1")).otherwise(
+        F.when(s == "", F.lit("1")).otherwise(s)
+    )
+
+
 @F.pandas_udf(T.StringType())
 def base58_encode(b: pd.Series) -> pd.Series:
     return b.map(lambda x: None if x is None else _b58encode(bytes(x)))
