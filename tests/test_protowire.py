@@ -386,3 +386,22 @@ def test_dex_message_wire_p3(spark):
     r2 = out[2]
     assert r2["program_id"] == "unknown"  # absent DexInfo → unknown
     assert (r2["amount_base"], r2["amount_quote"]) == (1, 2)
+
+
+def test_parse_message_total_on_random_bytes():
+    """Fuzz: parse_message over arbitrary byte strings either succeeds
+    or raises ValueError (the controlled poison-pill signal) — never
+    IndexError/KeyError/RecursionError, which would escape decode_frame's
+    per-row containment as a task-killing bug class."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.binary(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def check(b):
+        try:
+            PW.parse_message(b, PW.TOKEN_BLOCK_MESSAGE)
+        except ValueError:
+            pass  # includes UnicodeDecodeError (a ValueError subclass)
+
+    check()

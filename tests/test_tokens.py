@@ -171,3 +171,23 @@ def test_token_stats(spark, tok_df):
     assert st["a"]["n"] == 3 and st["a"]["min"] == 1 and st["a"]["max"] == 3
     assert abs(st["a"]["mean"] - 2.0) < 1e-9
     assert st["b"]["n"] == 0 and st["b"]["mean"] is None
+
+
+def test_lz4_decoder_total_on_random_bytes():
+    """Fuzz: the pure-Python LZ4 block decoder either round-trips or
+    raises ValueError — no IndexError/overflow class escapes (the
+    decode branch wraps it in a raw-fallback try, but an unexpected
+    exception type would mask real corruption bugs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.binary(max_size=200), st.integers(0, 512))
+    @settings(max_examples=300, deadline=None)
+    def check(b, usize):
+        try:
+            out = TK._lz4_block_decompress(b, usize)
+            assert len(out) == usize
+        except ValueError:
+            pass
+
+    check()
