@@ -2079,8 +2079,22 @@ SELECT col_name, n_rows, n_nonnull, n_distinct, min_s, max_s FROM n, (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver's correctness sweep: it records the
+    # FIRST ~50 entries only, so the least-driver-verified queries (the
+    # doc_* block added late in round 3, plus anything new this round)
+    # sit immediately after the flagship; long-green early-round queries
+    # (driver-green in r01-r03) take the tail positions.
     return {
         "flagship_pipeline": _shipped(flagship),
+        "doc_stratified_sample": _shipped(_q_doc_stratified_sample),
+        "doc_shuffle_export": _shipped(_q_doc_shuffle_export),
+        "emb_neardup_pairs": _shipped(_q_emb_neardup_pairs),
+        "doc_repetition_stats": _shipped(_q_doc_repetition_stats),
+        "doc_mix_rebalance": _shipped(_q_doc_mix_rebalance),
+        "doc_quality_buckets": _shipped(_q_doc_quality_buckets),
+        "doc_decontaminate": _shipped(_q_doc_decontaminate),
+        "doc_dedup_clusters": _shipped(_q_doc_dedup_clusters),
+        "events_profile": _shipped(_q_events_profile),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2130,15 +2144,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_ann": _shipped(_q_emb_lsh_ann),
         "emb_ivf_ann": _shipped(_q_emb_ivf_ann),
         "doc_train_split": _shipped(_q_doc_train_split),
-        "doc_stratified_sample": _shipped(_q_doc_stratified_sample),
-        "doc_shuffle_export": _shipped(_q_doc_shuffle_export),
-        "emb_neardup_pairs": _shipped(_q_emb_neardup_pairs),
-        "doc_repetition_stats": _shipped(_q_doc_repetition_stats),
-        "doc_mix_rebalance": _shipped(_q_doc_mix_rebalance),
-        "doc_quality_buckets": _shipped(_q_doc_quality_buckets),
-        "doc_decontaminate": _shipped(_q_doc_decontaminate),
-        "doc_dedup_clusters": _shipped(_q_doc_dedup_clusters),
-        "events_profile": _shipped(_q_events_profile),
     }
 
 

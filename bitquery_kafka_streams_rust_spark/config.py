@@ -19,6 +19,38 @@ class ConfigError(ValueError):
     pass
 
 
+def auto_state_partitions(
+    est_state_keys: int,
+    max_cores: int,
+    target_keys_per_store: int = 100_000,
+) -> int:
+    """Size streaming state/shuffle partitions from the expected state
+    volume instead of blindly using the core count.
+
+    Every state partition is a fixed per-epoch cost (store open +
+    commit + checkpoint) regardless of how many keys it holds; the
+    bench's state-partition sweep measured ~26-64 ms/partition/run of
+    pure commit overhead (BENCH/BASELINE.md).  For small state, fewer
+    stores win; for huge state the per-store key count must stay
+    bounded so a single store's commit/restore fits memory and time.
+
+    parts = clamp(ceil(keys / target_keys_per_store),
+                  max_cores // 4, max_cores)
+
+    - lower clamp keeps at least cores/4 partitions so task parallelism
+      never collapses below a quarter of the machine;
+    - upper clamp is the core count: more stores than cores just
+      multiplies fixed commit cost with zero extra parallelism at THIS
+      cluster size (size for the biggest planned cluster — the value is
+      latched into the streaming checkpoint at first start).
+    """
+    if max_cores <= 0:
+        raise ConfigError("max_cores must be > 0")
+    want = -(-max(est_state_keys, 1) // target_keys_per_store)  # ceil
+    lo = max(max_cores // 4, 1)
+    return max(lo, min(want, max_cores))
+
+
 @dataclass(frozen=True)
 class ProcessingConfig:
     """Reference defaults: batch 100 / 500 ms / workers=cpus / dedup 300 s
@@ -33,12 +65,18 @@ class ProcessingConfig:
     window_s: int = 600                  # tumbling stats window (A3/T5)
     shuffle_partitions: int = 32
     salt_buckets: int = 8                # skew salting (T2)
+    # Streaming state/shuffle partitions; None = keep the session's
+    # shuffle setting.  Use auto_state_partitions(...) to derive from
+    # expected state volume — latched into the checkpoint at first start.
+    state_partitions: int | None = None
 
     def validate(self) -> "ProcessingConfig":
         for name in ("batch_timeout_ms", "max_files_per_trigger",
                      "watermark_delay_s", "window_s", "shuffle_partitions", "salt_buckets"):
             if getattr(self, name) <= 0:
                 raise ConfigError(f"{name} must be > 0")
+        if self.state_partitions is not None and self.state_partitions <= 0:
+            raise ConfigError("state_partitions must be > 0 when set")
         return self
 
 

@@ -54,6 +54,30 @@ _H_PRIME = 4294967311  # > 2^32, standard MinHash universal-hash modulus
 _P31 = 2147483647  # portable-hash modulus (int64-safe in Spark AND DuckDB)
 
 
+def _materialize(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Materialize a subplan consumed by several downstream branches.
+
+    Default (``reliable=False``): ``localCheckpoint(eager=True)`` —
+    fastest (executor-local blocks, lineage truncated), measured 2-10x
+    wins on the near-dup family.  BUT localCheckpoint is non-reliable
+    by definition: on preemptible/spot executors a lost executor makes
+    the checkpointed blocks unrecoverable and FAILS the job (no lineage
+    left to recompute from).
+
+    ``reliable=True``: ``persist(DISK_ONLY)`` + count — blocks still
+    live on executor disks, but lineage is KEPT, so a lost executor's
+    blocks are recomputed instead of killing the job.  Slightly slower
+    (lineage metadata, recompute on loss); use for production runs on
+    spot/preemptible capacity."""
+    if reliable:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()  # eager: materialize before fan-out
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def _char_codes(text: Column) -> Column:
     """Character code points as array<long> (portable: ascii() agrees
     across Spark and DuckDB for the fixture's ASCII corpus)."""
@@ -136,6 +160,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     portable: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     similarity ≥ threshold.
@@ -168,7 +193,7 @@ def minhash_lsh_pairs(
     # executor-local instead of recomputing per branch (same pattern as
     # connected_components' per-round checkpoint; ~0.5 KB/row stored,
     # the volume one shuffle of it would spill anyway)
-    sig = sig.localCheckpoint(eager=True)
+    sig = _materialize(sig, reliable)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -257,6 +282,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     portable: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -276,7 +302,7 @@ def simhash_near_dups(
     # so without this the interpreted-HOF fingerprint pass runs once PER
     # SIDE; materialized it is 16 bytes/row and computed once (measured
     # 32 s → ~14 s at sf0.1, identical output)
-    sig = sig.localCheckpoint(eager=True)
+    sig = _materialize(sig, reliable)
     chunks = sig.select(
         "id",
         "sh",
@@ -376,6 +402,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     hash_grams: bool = True,
     max_gram_doc_freq: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact word n-gram Jaccard similarity for candidate pairs.
 
@@ -399,7 +426,7 @@ def ngram_jaccard_pairs(
     # regexp-split gram extraction is the dominant compute — materialize
     # executor-local once (rows are (id, 8-byte gram hash); the string
     # oracle path stores the gram text instead)
-    grams = grams.localCheckpoint(eager=True)
+    grams = _materialize(grams, reliable)
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     joinable = grams
     if max_gram_doc_freq is not None:
@@ -464,6 +491,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    reliable: bool = False,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: (node, component) where
     component = min node id reachable — the step that turns a pair list
@@ -487,6 +515,11 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
     )
+    # the edge set is consumed EVERY round (neighbor-min join) plus the
+    # initial label seed; without this the whole upstream pair plan
+    # (e.g. the full Jaccard index/self-join) re-executes per round —
+    # measured 10.6 s -> ~3 s on the doc_dedup_clusters contract query
+    und = _materialize(und, reliable)
     labels = und.select(F.col("s").alias("n")).distinct().withColumn("comp", F.col("n"))
     converged = False
     for _ in range(max_iter):
@@ -509,7 +542,7 @@ def connected_components(
         new_labels = prop.join(hop, "comp", "left").select(
             "n", F.coalesce(F.col("comp2"), F.col("comp")).alias("comp")
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        new_labels = _materialize(new_labels, reliable)  # cut lineage per round
         changed = (
             new_labels.alias("a")
             .join(labels.alias("b"), "n")

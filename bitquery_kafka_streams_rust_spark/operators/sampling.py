@@ -170,14 +170,37 @@ def mix_weights(
         F.count("*").alias("n_docs"), F.sum(size_col).alias("stratum_size")
     )
     if target_shares is None:
-        # uniform share = 1/k over the aggregate itself (k = n_strata,
-        # a metadata-size count window — the agg is tiny)
-        share: Column = F.lit(1.0) / F.count("*").over(Window.partitionBy())
-    else:
-        total = sum(target_shares.values())
-        share = F.lit(0.0)
-        for name, s in sorted(target_shares.items()):
-            share = F.when(F.col(strata_col) == name, F.lit(s / total)).otherwise(share)
+        # uniform share = 1/k where k = n_strata.  The aggregate is
+        # n_strata rows of metadata, so collect it ONCE and finish
+        # driver-side — a global window over it would execute a
+        # single-partition WindowExec that plan audits can't see (it
+        # runs during the downstream eager collect, not in the returned
+        # plan), and a scalar-subquery formulation re-evaluates the
+        # corpus aggregate twice.
+        rows = agg.collect()
+        k = max(len(rows), 1)
+        out = [
+            (
+                r[strata_col],
+                r["n_docs"],
+                r["stratum_size"],
+                round(
+                    min(1.0, float(total_budget) * (1.0 / k) / float(r["stratum_size"])),
+                    6,
+                ),
+            )
+            for r in rows
+        ]
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType(
+            list(agg.schema.fields) + [StructField("keep_frac", DoubleType(), True)]
+        )
+        return df.sparkSession.createDataFrame(out, schema)
+    total = sum(target_shares.values())
+    share: Column = F.lit(0.0)
+    for name, s in sorted(target_shares.items()):
+        share = F.when(F.col(strata_col) == name, F.lit(s / total)).otherwise(share)
     return agg.select(
         strata_col,
         "n_docs",

@@ -127,6 +127,10 @@ def refine_centroids(
         assigned = corpus.select(F.col(vec_col).alias("_v")).select(
             "_v", F.try_element_at(scores, F.lit(1))["cent_id"].alias("cell")
         )
+        # a NULL embedding yields NULL cosine → NULL cell; dropping the
+        # NULL group here keeps the collected means int()-castable
+        # (NULL vectors can't move a centroid anyway)
+        assigned = assigned.where(F.col("cell").isNotNull())
         means = (
             assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cell", "pos")

@@ -200,6 +200,13 @@ def parse_message(buf: bytes, desc: Msg) -> dict:
     skipped, absent scalars filled with defaults, absent submessages
     None, absent repeated fields []."""
     out: dict = {}
+    # proto3: a non-repeated message field split across several wire
+    # occurrences MERGES (prost semantics — concatenated partial
+    # messages are legal encodings).  Merging parsed dicts would let the
+    # later occurrence's filled-in defaults clobber earlier explicit
+    # values, so accumulate the raw payload bytes instead and parse the
+    # concatenation once — byte-concatenation IS the proto3 merge.
+    msg_bufs: dict[str, bytes] = {}
     i, n = 0, len(buf)
     while i < n:
         tag, i = _read_varint(buf, i)
@@ -234,6 +241,9 @@ def parse_message(buf: bytes, desc: Msg) -> dict:
         if wt != want_wt:
             raise ValueError(f"field {fno} ({fname}): wire type {wt}, expected {want_wt}")
         if isinstance(ftyp, Msg):
+            if not repeated:
+                msg_bufs[fname] = msg_bufs.get(fname, b"") + raw
+                continue
             val = parse_message(raw, ftyp)
         elif ftyp == "string":
             val = raw.decode("utf-8")
@@ -257,6 +267,9 @@ def parse_message(buf: bytes, desc: Msg) -> dict:
             out.setdefault(fname, []).append(val)
         else:
             out[fname] = val
+    for fname, fbuf in msg_bufs.items():
+        ftyp = next(t for (fn2, t, _rep) in desc.fields.values() if fn2 == fname)
+        out[fname] = parse_message(fbuf, ftyp)
     # proto3 defaults for declared-but-absent fields
     for fname, ftyp, repeated in desc.fields.values():
         if fname in out:

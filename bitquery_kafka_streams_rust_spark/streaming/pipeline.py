@@ -125,6 +125,15 @@ def start_pipeline(
     checkpoint-resumable (T9): restart with the same dirs continues
     from the WAL."""
     assert cfg.checkpoint_dir and cfg.output_dir, "checkpoint_dir/output_dir required"
+    if cfg.processing.state_partitions is not None:
+        # The value set here is latched into each query's checkpoint at
+        # first start (Spark pins stateful-operator partitioning for the
+        # checkpoint's lifetime) — size it for the biggest planned
+        # cluster via config.auto_state_partitions.  Session-level set is
+        # the only hook Structured Streaming exposes for this.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(cfg.processing.state_partitions)
+        )
     events = build_event_stream(spark, input_dir, cfg)
     trigger = (
         {"availableNow": True}

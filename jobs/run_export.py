@@ -25,16 +25,20 @@ reruns produce byte-identical example sets):
       → optional deterministic shuffle order (mixing-hash range sort)
       → parquet, ONE JSON manifest line from observe() (no re-read)
 
-Scale notes: the dedup window is ONE full-row exchange that does carry
-the token arrays — unlike the streaming spine (which ships 40 B
-checksums because its output is counts), an export's output IS the
-tokens, so they must cross at least one boundary regardless; at 100 TB
-prefer running exports downstream of an already-deduped table and
+Scale notes: the dedup stage is ONE partially-aggregated exchange
+(min_by): mapper-local duplicates collapse before the shuffle, so the
+exchange carries ~one token buffer per (mapper, doc) — the floor, since
+an export's output IS the tokens and they must cross at least one
+boundary wherever duplicates exist (unlike the streaming spine, whose
+output is counts and ships 40 B checksums).  At 100 TB prefer running
+exports downstream of an already-deduped table and
 dropping the dedup stage.  Packing groups are salt-bounded; the bin
 materialization joins tokens ONCE and aggregates per bin key.  Pack
 mode cannot place docs longer than the context (greedy first-fit never
 splits docs) — they are COUNTED in the manifest (``n_oversize_dropped``)
 and a warning is printed; route oversize docs through ``--mode chunk``.
+Empty docs (n_tok == 0) are likewise skipped and counted
+(``n_empty_dropped``).
 """
 
 from __future__ import annotations
@@ -50,7 +54,6 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from bitquery_kafka_streams_rust_spark import datagen  # noqa: E402
 from bitquery_kafka_streams_rust_spark.functions import tokens as TK  # noqa: E402
-from bitquery_kafka_streams_rust_spark.operators import dedup as DD  # noqa: E402
 from bitquery_kafka_streams_rust_spark.operators import packing as PK  # noqa: E402
 from bitquery_kafka_streams_rust_spark.operators import sampling as SAMP  # noqa: E402
 from bitquery_kafka_streams_rust_spark.session import get_spark  # noqa: E402
@@ -76,7 +79,23 @@ def build_examples(spark, seq, a: argparse.Namespace):
     (example_id, tokens, n_tok, source); the deduped frame is returned
     so manifest accounting runs over the population the mode saw."""
     valid = seq.where(TK.is_valid_sequence("tokens", "n_tok"))
-    deduped = DD.dedup_first_wins(valid, "doc_id", ["ts", "doc_id"])
+    # First-wins dedup WITHOUT the fat-row window: min_by aggregates
+    # with map-side partial aggregation, so duplicate rows colocated in
+    # a scan task collapse BEFORE the exchange and the shuffle carries
+    # ~one tokens buffer per (mapper, doc) — vs row_number's full-row
+    # exchange + sort, which ships EVERY duplicate's token array.  One
+    # exchange total (the unavoidable one: the export ships tokens);
+    # the narrow-dedup-then-rejoin alternative costs a second exchange
+    # for the same shuffled token volume.  Winner = min ts per doc_id,
+    # the row_number form's exact order (doc_id was both the partition
+    # key and the tiebreak, so ts alone decides; equal-ts rows are
+    # bit-identical duplicates by the fixture invariant).
+    deduped = valid.groupBy("doc_id").agg(
+        F.min("ts").alias("ts"),
+        F.min_by("source", "ts").alias("source"),
+        F.min_by("n_tok", "ts").alias("n_tok"),
+        F.min_by("tokens", "ts").alias("tokens"),
+    )
     if a.mode == "chunk":
         chunks = PK.chunk_sequences(deduped, max_len=a.context_len, overlap=a.overlap)
         return chunks.select(
@@ -147,14 +166,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     observed.write.mode("overwrite").parquet(a.output)
     got = obs.get
-    n_oversize = 0
+    n_oversize = n_empty = 0
     if a.mode == "pack":
-        # pack can't place docs longer than the context (greedy
-        # first-fit never splits) — count the silent losers so the
-        # manifest is honest about coverage.  Narrow (n_tok-only) scan,
-        # separate from the export action (observe() on a multi-branch
-        # input would double-count).
-        n_oversize = deduped.where(F.col("n_tok") > a.context_len).count()
+        # pack_greedy silently skips two doc classes: oversize (can't
+        # place without splitting — greedy first-fit never splits) and
+        # EMPTY (n_tok == 0, nothing to pack).  Count both in ONE
+        # narrow (n_tok-only) aggregate so the manifest is honest about
+        # coverage; separate from the export action (observe() on a
+        # multi-branch input would double-count).
+        drops = deduped.agg(
+            F.sum((F.col("n_tok") > a.context_len).cast("long")).alias("n_over"),
+            F.sum((F.col("n_tok") == 0).cast("long")).alias("n_empty"),
+        ).collect()[0]
+        n_oversize, n_empty = int(drops["n_over"] or 0), int(drops["n_empty"] or 0)
         if n_oversize:
             sys.stderr.write(
                 f"[run_export] WARNING: {n_oversize} docs exceed context_len="
@@ -170,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
                 "total_tokens": int(got["total_tokens"] or 0),
                 "mean_fill": float(got["mean_fill"] or 0.0),
                 "n_oversize_dropped": int(n_oversize),
+                "n_empty_dropped": int(n_empty),
             },
             sort_keys=True,
         )

@@ -189,3 +189,155 @@ def test_followed_by_stream_restart_identical(spark, sf_dir, tmp_path):
     r, u = rows(out_r), rows(out_u)
     assert len(u) > 0
     assert r == u
+
+
+def test_match_kernel_custom_column_names():
+    """The streaming kernel accepts ts/type/id column overrides like the
+    batch form (previously hardcoded: non-default schemas KeyError'd)."""
+    import pandas as pd
+
+    class _FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.get = v
+            self.exists = True
+
+    pdf = pd.DataFrame(
+        {
+            "t": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:30", "2024-01-01 00:20:00"]
+            ),
+            "etype": ["signup", "purchase", "purchase"],
+            "eid": [1, 2, 3],
+        }
+    )
+    (out,) = list(
+        CEP._match(
+            (10,), iter([pdf]), _FakeState(), "signup", "purchase", 600,
+            type_col="etype", ts_col="t", id_col="eid",
+        )
+    )
+    assert list(out["b_id"]) == [2]  # id 3 is 1200 s after the signup
+    assert list(out["gap_actual_s"]) == [30]
+
+
+def _with_flush_batches(spark, ev, tmp_path, sub="nfb"):
+    """Ordered batches + TWO far-future 'noop' flush files: flush1
+    advances the watermark past every pending deadline, flush2 gives
+    Spark the extra micro-batch in which those event-time timers fire
+    (a batch's watermark reflects data through the PREVIOUS batch)."""
+    import os
+    import time as _time
+
+    in_dir, paths = _write_ordered_batches(spark, ev, tmp_path, sub=sub)
+    far = ev.agg(F.max("ts")).collect()[0][0]
+    base = os.path.getmtime(paths[-1])
+    for i in (1, 2):
+        flush = spark.createDataFrame(
+            [(10_000_000 + i, far, -1, "noop", 0.0, "{}")], SCHEMA
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} DAYS"))
+        p = str(tmp_path / f"{sub}_flush_{i}")
+        flush.coalesce(1).write.mode("overwrite").parquet(p)
+        import glob as _glob
+        import shutil as _shutil
+
+        f = _glob.glob(f"{p}/part-*.parquet")[0]
+        dst = f"{in_dir}/z_flush{i}.parquet"
+        _shutil.move(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+        paths.append(dst)
+    return in_dir, paths
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_not_followed_by_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The event-time-timeout streaming twin must emit exactly the
+    batch form's alert set — both the no-B-ever timeouts and the
+    B-came-too-late resolutions."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir, _ = _with_flush_batches(spark, ev, tmp_path)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "300 seconds")
+    )
+    out = CEP.not_followed_by_stream(stream, "signup", "purchase", 600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nfb_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT key, a_id, a_ts FROM nfb_stream").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in CEP.not_followed_by(ev, "signup", "purchase", 600)
+        .select("key", "a_id", "a_ts")
+        .collect()
+    )
+    assert len(want) > 0
+    assert got == want
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_not_followed_by_stream_restart_identical(spark, sf_dir, tmp_path):
+    """T9 for the timeout pattern: kill after the first micro-batch,
+    resume from checkpoint — the pending-A state and its event-time
+    timer survive, final alert set identical to an uninterrupted run."""
+    import os
+    import shutil
+
+    from bitquery_kafka_streams_rust_spark.streaming import sink as S
+    from bitquery_kafka_streams_rust_spark.streaming.sink import ExactlyOnceParquetSink
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    full_dir, paths = _with_flush_batches(spark, ev, tmp_path, sub="full")
+    half_dir = str(tmp_path / "half")
+    os.makedirs(half_dir)
+    shutil.copy2(paths[0], os.path.join(half_dir, os.path.basename(paths[0])))
+
+    def run(in_dir, ck, out):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .withWatermark("ts", "300 seconds")
+        )
+        q = (
+            CEP.not_followed_by_stream(stream, "signup", "purchase", 600)
+            .writeStream.foreachBatch(ExactlyOnceParquetSink(out, lineage=False))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    ck_r, out_r = str(tmp_path / "ck_r"), str(tmp_path / "out_r")
+    run(half_dir, ck_r, out_r)  # ── kill after batch 0 ──
+    for p in paths[1:]:
+        shutil.copy2(p, os.path.join(half_dir, os.path.basename(p)))
+    run(half_dir, ck_r, out_r)  # resume, same checkpoint
+
+    ck_u, out_u = str(tmp_path / "ck_u"), str(tmp_path / "out_u")
+    run(full_dir, ck_u, out_u)
+
+    def rows(out):
+        return sorted(
+            tuple(r)
+            for r in S.read_output(spark, out).select("key", "a_id", "a_ts").collect()
+        )
+
+    resumed, uninterrupted = rows(out_r), rows(out_u)
+    assert len(uninterrupted) > 0
+    assert resumed == uninterrupted

@@ -167,3 +167,23 @@ def test_connected_components_nonconvergence_raises(spark):
         raise AssertionError("expected RuntimeError at max_iter=2")
     except RuntimeError as e:
         assert "converge" in str(e)
+
+
+def test_reliable_materialization_identical_output(spark):
+    """reliable=True swaps localCheckpoint for persist(DISK_ONLY)+count
+    (lineage kept — survives executor loss on spot capacity); output
+    must be identical to the default fast path."""
+    rows = [
+        (i, f"the quick brown fox jumps over dog number {i % 7} again and again")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.3, n=2, max_gram_doc_freq=100)
+    fast = DD.ngram_jaccard_pairs(docs, **kw)
+    rel = DD.ngram_jaccard_pairs(docs, reliable=True, **kw)
+    fast_rows = sorted(map(tuple, fast.collect()))
+    assert fast_rows == sorted(map(tuple, rel.collect()))
+    assert len(fast_rows) > 0
+    cc_fast = sorted(map(tuple, DD.connected_components(fast).collect()))
+    cc_rel = sorted(map(tuple, DD.connected_components(rel, reliable=True).collect()))
+    assert cc_fast == cc_rel and len(cc_fast) > 0

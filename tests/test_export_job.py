@@ -103,3 +103,55 @@ def test_export_pack_counts_oversize_drops(spark, sf_dir, tmp_path, capsys):
     )
     assert out.agg(F.sum("n_tok")).collect()[0][0] == want
     assert manifest["total_tokens"] == want
+
+
+def test_export_pack_counts_empty_drops_and_dedup_is_narrow(
+    spark, tmp_path, capsys
+):
+    """(a) Empty docs (n_tok == 0) are skipped by pack_greedy and must
+    be counted in the manifest alongside oversize drops.  (b) The dedup
+    stage must be a partially-aggregated min_by (mapper-local
+    duplicates collapse BEFORE the exchange), not a fat-row
+    row_number window."""
+    import json as _json
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("d1", list(range(10)), 10, "web", t0),
+        ("d1", list(range(10)), 10, "web", t0),       # bit-identical dup
+        ("d2", [], 0, "web", t0),                     # empty → counted
+        ("d3", list(range(600)), 600, "web", t0),     # oversize at 512
+        ("d4", list(range(20)), 20, "web", t0),
+    ]
+    schema = (
+        "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp"
+    )
+    seq = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "seq_in")
+    seq.write.parquet(in_dir)
+    rc = X.main([
+        "--input", in_dir, "--output", str(tmp_path / "o"),
+        "--mode", "pack", "--context-len", "512",
+    ])
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["n_empty_dropped"] == 1
+    assert manifest["n_oversize_dropped"] == 1
+    assert manifest["total_tokens"] == 30  # d1 (once) + d4
+    out = spark.read.parquet(str(tmp_path / "o"))
+    assert out.agg(F.sum("n_tok")).collect()[0][0] == 30
+
+    # plan shape: dedup = ONE exchange, partial min_by before it (the
+    # duplicate token arrays never all cross the shuffle)
+    a = X.parse_args([
+        "--input", in_dir, "--output", "x", "--mode", "chunk",
+        "--context-len", "512",
+    ])
+    _, deduped = X.build_examples(spark, spark.read.parquet(in_dir), a)
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan or "partial_min" in plan
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Window" not in plan

@@ -405,3 +405,26 @@ def test_parse_message_total_on_random_bytes():
             pass  # includes UnicodeDecodeError (a ValueError subclass)
 
     check()
+
+
+def test_split_submessage_merges_proto3():
+    """A non-repeated message field split across several wire
+    occurrences must MERGE (proto3: decoding concatenated partial
+    messages == decoding the concatenation), not last-wins-replace."""
+    h1 = bytes([0x08, 0xAC, 0x02])  # slot=300
+    h2 = bytes([0x30, 0x07])        # timestamp=7
+    msg = bytes([0x0A, len(h1)]) + h1 + bytes([0x0A, len(h2)]) + h2
+    out = PW.parse_message(msg, PW.TOKEN_BLOCK_MESSAGE)
+    assert out["header"] == {"slot": 300, "timestamp": 7}
+
+
+def test_split_submessage_scalar_last_wins():
+    """Within a merged submessage, a scalar set in BOTH occurrences
+    takes the later value; fields set only in the earlier occurrence
+    survive (the later occurrence's absent-field defaults must not
+    clobber them)."""
+    h1 = bytes([0x08, 0x05, 0x30, 0x07])  # slot=5, timestamp=7
+    h2 = bytes([0x08, 0x09])              # slot=9 — later wins
+    msg = bytes([0x0A, len(h1)]) + h1 + bytes([0x0A, len(h2)]) + h2
+    out = PW.parse_message(msg, PW.TOKEN_BLOCK_MESSAGE)
+    assert out["header"] == {"slot": 9, "timestamp": 7}

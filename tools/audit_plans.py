@@ -50,7 +50,12 @@ def _single_partition_window(plan: str) -> bool:
                 if "SinglePartition" in nxt:
                     return True
                 break
-            if re.search(r"\b(Join|Aggregate|Scan)\b", nxt):
+            # substring match on purpose: real node names have no word
+            # boundary before the token (SortMergeJoin, HashAggregate,
+            # FileScan), so \b-anchored patterns never fired and the
+            # scan could attribute a sibling subtree's Exchange to the
+            # window
+            if re.search(r"Join|Aggregate|Scan", nxt):
                 break  # left the window's input chain
     return False
 
