@@ -1338,6 +1338,50 @@ ORDER BY a_id
 """
 
 
+def _q_cep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step CEP funnel (cep.pattern_chain): view -> click ->
+    purchase per user, each step within 8 h of the previous (the
+    fixture's inter-event spacing is hours; 10-min steps match zero) — the
+    N-step generalization of cep_followed_by.  One exchange+sort total:
+    the per-step carries are stacked Window operators over the same
+    (user, ts, id) sort, each carrying max(struct(latest-step ts,
+    earlier steps)) over the strictly-preceding frame."""
+    from bitquery_kafka_streams_rust_spark.operators import cep as CEP
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return CEP.pattern_chain(
+        ev, ["view", "click", "purchase"], [28800, 28800]
+    ).orderBy("last_id")
+
+
+_SQL_CEP_CHAIN = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT *, max(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t0
+  FROM e
+), s2 AS (
+  SELECT *, max(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+                     AND CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(t0)) AS BIGINT) <= 28800
+                THEN struct_pack(ts1 := ts, ts0 := t0) END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ab
+  FROM s1
+)
+SELECT user_id AS key, ab.ts0 AS step0_ts, ab.ts1 AS step1_ts,
+       event_id AS last_id, ts AS last_ts
+FROM s2
+WHERE event_type = 'purchase' AND ab IS NOT NULL
+  AND CAST(floor(epoch(ts)) AS BIGINT)
+      - CAST(floor(epoch(ab.ts1)) AS BIGINT) <= 28800
+ORDER BY last_id
+"""
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2095,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _shipped(_q_doc_decontaminate),
         "doc_dedup_clusters": _shipped(_q_doc_dedup_clusters),
         "events_profile": _shipped(_q_events_profile),
+        "cep_chain": _shipped(_q_cep_chain),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2191,6 +2236,7 @@ def oracle_sql() -> dict[str, str]:
         "ids_base58": _SQL_IDS_B58,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
+        "cep_chain": _SQL_CEP_CHAIN,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

@@ -341,3 +341,90 @@ def test_not_followed_by_stream_restart_identical(spark, sf_dir, tmp_path):
     resumed, uninterrupted = rows(out_r), rows(out_u)
     assert len(uninterrupted) > 0
     assert resumed == uninterrupted
+
+
+def test_pattern_chain_semantics(spark):
+    rows = [
+        _ev(1, 10, "view", 0),
+        _ev(2, 10, "click", 30),      # valid A->B (30 s)
+        _ev(3, 10, "purchase", 50),   # completes: chain (0, 30, 50)
+        _ev(4, 10, "purchase", 700),  # too late after click 30 (gap 670)
+        _ev(5, 10, "view", 800),
+        _ev(6, 10, "purchase", 820),  # no click after the newer view
+        _ev(7, 10, "click", 850),     # valid vs view 800 (gap 50)
+        _ev(8, 10, "purchase", 880),  # completes: chain (800, 850, 880)
+        _ev(9, 20, "click", 10),      # click with no view: never a chain
+        _ev(10, 20, "purchase", 20),
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(
+        (r["key"], r["last_id"], r["step0_ts"].second + r["step0_ts"].minute * 60,
+         r["step1_ts"].second + r["step1_ts"].minute * 60)
+        for r in CEP.pattern_chain(ev, ["view", "click", "purchase"], [60, 60]).collect()
+    )
+    assert got == [(10, 3, 0, 30), (10, 8, 800, 850)]
+
+
+def test_pattern_chain_most_recent_prefix(spark):
+    """A later valid A->B prefix replaces an earlier one (the carried
+    struct is max by the latest step's timestamp)."""
+    rows = [
+        _ev(1, 10, "view", 0),
+        _ev(2, 10, "click", 10),
+        _ev(3, 10, "view", 20),
+        _ev(4, 10, "click", 30),     # newer valid prefix (20, 30)
+        _ev(5, 10, "purchase", 40),
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    (r,) = CEP.pattern_chain(ev, ["view", "click", "purchase"], [60, 60]).collect()
+    assert (r["step0_ts"].second, r["step1_ts"].second) == (20, 30)
+
+
+def test_pattern_chain_one_exchange(spark, sf_dir):
+    """All per-step window carries stack on ONE exchange+sort — chain
+    length must not multiply shuffles."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        CEP.pattern_chain(ev, ["view", "click", "purchase"], [600, 600])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "SinglePartition" not in plan
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_pattern_chain_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The O(steps)-state streaming twin emits exactly the batch
+    chain completions, including chains straddling batch boundaries."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir, _ = _write_ordered_batches(spark, ev, tmp_path, sub="chain")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = CEP.pattern_chain_stream(stream, ["view", "click", "purchase"], [86400, 86400])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chain_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT key, step0_ts, step1_ts, last_id, last_ts FROM chain_stream"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in CEP.pattern_chain(ev, ["view", "click", "purchase"], [86400, 86400])
+        .collect()
+    )
+    assert len(want) > 0
+    assert got == want
