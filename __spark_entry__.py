@@ -1575,6 +1575,77 @@ ORDER BY source, bucket, bin_idx
 )
 
 
+def _q_seq_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varlen-attention boundaries for packed bins
+    (packing.pack_boundaries): per-bin doc_lens + cu_seqlens =
+    [0, l0, l0+l1, ...] — the cumulative offsets block-diagonal
+    attention kernels consume.  One narrow membership explode + one
+    equi-join on (doc_id -> n_tok), prefix sum as a pure Catalyst
+    aggregate; the DuckDB oracle replays the same greedy packing and
+    derives the identical arrays."""
+    from bitquery_kafka_streams_rust_spark.functions.text import rolling_hash
+    from bitquery_kafka_streams_rust_spark.operators.packing import (
+        pack_boundaries,
+        pack_sequences,
+    )
+
+    seq = _seq(spark, sf_dir)
+    bins = pack_sequences(
+        seq, context_len=2048, salt_buckets=8, salt_expr=rolling_hash(F.col("doc_id"))
+    )
+    out = pack_boundaries(bins, seq)
+    # arrays → CSV for the driver's row-sort comparator (same convention
+    # as seq_packing's doc_list; the operator itself returns real arrays)
+    return out.select(
+        "source",
+        "bucket",
+        "bin_idx",
+        F.array_join(F.transform("doc_lens", lambda x: x.cast("string")), ",").alias(
+            "doc_lens"
+        ),
+        F.array_join(
+            F.transform("cu_seqlens", lambda x: x.cast("string")), ","
+        ).alias("cu_seqlens"),
+        "n_docs",
+        "total_tok",
+    ).orderBy("source", "bucket", "bin_idx")
+
+
+# the packing replay (identical CTE chain), then: unnest each bin's doc
+# list with position, join lengths ONCE (distinct-ed: the fixture
+# carries bit-identical duplicate doc rows), re-assemble lens in bin
+# order, prefix-sum for cu_seqlens
+_SQL_SEQ_PACK_BOUNDARIES = (
+    _SQL_SEQ_PACKING.rsplit("SELECT source, bucket", 1)[0]
+    + """, bins_u AS (
+  SELECT source, bucket, CAST(b - 1 AS BIGINT) AS bin_idx,
+         bins[CAST(b AS INTEGER)] AS docs
+  FROM final, LATERAL unnest(range(1, len(fills) + 1)) AS t(b)
+), mem AS (
+  SELECT source, bucket, bin_idx, p AS pos, docs[CAST(p AS INTEGER)] AS doc_id
+  FROM bins_u, LATERAL unnest(range(1, len(docs) + 1)) AS u(p)
+), dl AS (SELECT DISTINCT doc_id, n_tok FROM elig
+), lens AS (
+  SELECT m.source, m.bucket, m.bin_idx,
+         list(d.n_tok ORDER BY m.pos) AS doc_lens
+  FROM mem m JOIN dl d USING (doc_id)
+  GROUP BY 1, 2, 3
+)
+SELECT source, bucket, bin_idx,
+       array_to_string(doc_lens, ',') AS doc_lens,
+       array_to_string(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, len(doc_lens) + 1),
+             i -> CAST(list_sum(list_slice(doc_lens, 1, CAST(i AS INTEGER))) AS BIGINT))),
+         ',') AS cu_seqlens,
+       CAST(len(doc_lens) AS INTEGER) AS n_docs,
+       CAST(list_sum(doc_lens) AS BIGINT) AS total_tok
+FROM lens
+ORDER BY source, bucket, bin_idx
+"""
+)
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, portable-hash variant (polynomial
     shingle/band hashes → the identical pipeline runs as the DuckDB
@@ -2140,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": _shipped(_q_doc_dedup_clusters),
         "events_profile": _shipped(_q_events_profile),
         "cep_chain": _shipped(_q_cep_chain),
+        "seq_pack_boundaries": _shipped(_q_seq_pack_boundaries),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2240,6 +2312,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,
+        "seq_pack_boundaries": _SQL_SEQ_PACK_BOUNDARIES,
         "mm_feature_extract": _SQL_MM_FEATURES,
         "mm_frame_sample": _SQL_MM_FRAMES,
         "minhash_lsh_pairs": _SQL_MINHASH,

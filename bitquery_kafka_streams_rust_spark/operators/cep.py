@@ -117,8 +117,16 @@ _STATE_SCHEMA = "last_a_us long"
 
 
 def _match(key, pdfs: Iterator[pd.DataFrame], state, type_a, type_b, gap_s,
-           type_col="event_type", ts_col="ts", id_col="event_id"):
+           type_col="event_type", ts_col="ts", id_col="event_id",
+           expire=False):
     last_a_us = state.get[0] if state.exists else None
+    if expire and state.hasTimedOut:
+        # watermark passed last_a + gap: no in-watermark B can ever
+        # match this A again, so the key's state can go (semantics
+        # preserved — a B that WOULD match would be late-dropped)
+        state.remove()
+        yield pd.DataFrame({c: [] for c in ("key", "a_ts", "b_id", "b_ts", "gap_actual_s")})
+        return
     chunks = [p for p in pdfs if len(p)]
     rows = {"key": [], "a_ts": [], "b_id": [], "b_ts": [], "gap_actual_s": []}
     if chunks:
@@ -159,7 +167,17 @@ def _match(key, pdfs: Iterator[pd.DataFrame], state, type_a, type_b, gap_s,
                 rows["gap_actual_s"].append(int(gap))
         if is_a.any():
             last_a_us = int(ts_us[is_a].iloc[-1])
-    state.update((last_a_us,))
+    if expire and last_a_us is None:
+        # B-only keys carry nothing matchable: don't pin them in the
+        # store forever
+        state.remove()
+    else:
+        state.update((last_a_us,))
+        if expire:
+            deadline_ms = last_a_us // 1000 + int(gap_s * 1000) + 1
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
     yield pd.DataFrame(rows)
 
 
@@ -172,19 +190,32 @@ def followed_by_stream(
     type_col: str = "event_type",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    expire_state: bool = False,
 ) -> DataFrame:
     """Streaming twin: one float of state per key (last A epoch).
-    Column names are parameterized like the batch form's."""
+    Column names are parameterized like the batch form's.
+
+    ``expire_state=True`` (requires ``withWatermark`` upstream) evicts
+    a key's state once the watermark passes ``last_a + gap_s`` — at
+    10^12 keys the NoTimeout default retains one entry per key EVER
+    seen, which is the unbounded-state hazard; expiry is
+    semantics-preserving because a B that could still match an evicted
+    A would be dropped as watermark-late anyway."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return events.groupBy(key_col).applyInPandasWithState(
         lambda key, pdfs, state: _match(
-            key, pdfs, state, type_a, type_b, gap_s, type_col, ts_col, id_col
+            key, pdfs, state, type_a, type_b, gap_s, type_col, ts_col, id_col,
+            expire_state,
         ),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if expire_state
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -414,6 +445,7 @@ def _chain_match(
     type_col="event_type",
     ts_col="ts",
     id_col="event_id",
+    expire=False,
 ):
     """Streaming kernel for ``pattern_chain_stream``: state is one
     int64-microsecond timestamp array per key — ``prefix_us[i]`` = the
@@ -432,6 +464,15 @@ def _chain_match(
     else:
         prefix = [None] * (n - 1)
     gaps_us = [int(g * 1_000_000) for g in gaps_s]
+    if expire and state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            [],
+            columns=["key"]
+            + [f"step{i}_ts" for i in range(n - 1)]
+            + ["last_id", "last_ts"],
+        )
+        return
     cols = (
         ["key"]
         + [f"step{i}_ts" for i in range(n - 1)]
@@ -477,10 +518,35 @@ def _chain_match(
                             updates[i] = base + [us]
             for i, v in updates.items():
                 prefix[i] = v
-    flat_out: list[int] = []
-    for i in range(n - 1):
-        flat_out += prefix[i] if prefix[i] is not None else [-1] * (i + 1)
-    state.update((flat_out,))
+    if expire:
+        # a prefix ending at step i can only extend within gaps_s[i];
+        # once the watermark passes last_ts + gaps_s[i] the candidate
+        # extension would be late-dropped, so the prefix is dead weight
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us > 0:
+            for i in range(n - 1):
+                if prefix[i] is not None and prefix[i][-1] + gaps_us[i] < wm_us:
+                    prefix[i] = None
+    if expire and all(p is None for p in prefix):
+        state.remove()
+    else:
+        flat_out: list[int] = []
+        for i in range(n - 1):
+            flat_out += prefix[i] if prefix[i] is not None else [-1] * (i + 1)
+        state.update((flat_out,))
+        if expire:
+            deadline_ms = (
+                min(
+                    prefix[i][-1] + gaps_us[i]
+                    for i in range(n - 1)
+                    if prefix[i] is not None
+                )
+                // 1000
+                + 1
+            )
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
     yield pd.DataFrame(rows, columns=cols)
 
 
@@ -492,10 +558,16 @@ def pattern_chain_stream(
     type_col: str = "event_type",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    expire_state: bool = False,
 ) -> DataFrame:
     """Streaming twin of ``pattern_chain``: O(n_steps) timestamps of
     state per key, no event buffering — each arriving event either
-    extends the latest valid prefix one step or completes the chain."""
+    extends the latest valid prefix one step or completes the chain.
+
+    ``expire_state=True`` (requires ``withWatermark`` upstream) prunes
+    prefixes the watermark has made unextendable and evicts emptied
+    keys — the bounded-state mode for 10^12-key deployments; without it
+    every key ever seen keeps an entry forever."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     n = len(types)
@@ -508,10 +580,14 @@ def pattern_chain_stream(
     )
     return events.groupBy(key_col).applyInPandasWithState(
         lambda key, pdfs, state: _chain_match(
-            key, pdfs, state, types, gaps_s, type_col, ts_col, id_col
+            key, pdfs, state, types, gaps_s, type_col, ts_col, id_col, expire_state
         ),
         outputStructType=out_schema,
         stateStructType=_CHAIN_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if expire_state
+            else GroupStateTimeout.NoTimeout
+        ),
     )

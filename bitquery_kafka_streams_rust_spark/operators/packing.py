@@ -128,3 +128,51 @@ def pack_sequences(
     return df.groupBy(*keys).applyInPandas(
         lambda pdf: pack_greedy(pdf, context_len), schema=PACK_SCHEMA
     )
+
+
+def pack_boundaries(bins: DataFrame, seq: DataFrame) -> DataFrame:
+    """Per-bin attention boundaries for packed training batches.
+
+    A packed bin concatenates several documents; block-diagonal
+    ("varlen") attention kernels need the cumulative sequence offsets
+    (``cu_seqlens = [0, l0, l0+l1, …]``) to mask cross-document
+    attention.  Input: ``pack_sequences`` output (bins with ordered
+    ``doc_ids``) + the sequences table for lengths.  Output one row per
+    bin: (source, bucket, bin_idx, doc_lens, cu_seqlens, n_docs,
+    total_tok).
+
+    Plan shape: explode bin membership (narrow: ids + position), ONE
+    equi-join against the (doc_id, n_tok) projection — never the token
+    arrays — and a groupBy re-assembling per-bin arrays in bin order.
+    The prefix sum is a pure Catalyst ``aggregate`` over the ≤
+    docs-per-bin lens array (bins are context_len-bounded, so the
+    quadratic-free fold is O(docs/bin) per row)."""
+    members = bins.select(
+        "source", "bucket", "bin_idx", F.posexplode("doc_ids").alias("pos", "doc_id")
+    )
+    # dedup the length side: the sequences table may carry duplicate
+    # doc rows (bit-identical by the fixture invariant; in general
+    # n_tok must be functionally determined by doc_id) and a fan-out
+    # here would inject phantom bin members
+    lens_side = seq.select("doc_id", "n_tok").dropDuplicates(["doc_id"])
+    with_len = members.join(lens_side, "doc_id")
+    per_bin = with_len.groupBy("source", "bucket", "bin_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "n_tok"))),
+            lambda s: s["n_tok"].cast("long"),
+        ).alias("doc_lens")
+    )
+    cu = F.aggregate(
+        F.col("doc_lens"),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, x: F.concat(acc, F.array(F.try_element_at(acc, F.lit(-1)) + x)),
+    )
+    return per_bin.select(
+        "source",
+        "bucket",
+        "bin_idx",
+        "doc_lens",
+        cu.alias("cu_seqlens"),
+        F.size("doc_lens").alias("n_docs"),
+        F.try_element_at(cu, F.lit(-1)).alias("total_tok"),
+    )

@@ -25,6 +25,10 @@ reruns produce byte-identical example sets):
       → optional deterministic shuffle order (mixing-hash range sort)
       → parquet, ONE JSON manifest line from observe() (no re-read)
 
+Every example carries ``cu_seqlens`` (cumulative member-doc offsets,
+[0, l0, l0+l1, ...]) — the varlen attention boundaries block-diagonal
+kernels need for packed batches; trivial [0, n_tok] in chunk mode.
+
 Scale notes: the dedup stage is ONE partially-aggregated exchange
 (min_by): mapper-local duplicates collapse before the shuffle, so the
 exchange carries ~one token buffer per (mapper, doc) — the floor, since
@@ -76,7 +80,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 def build_examples(spark, seq, a: argparse.Namespace):
     """sequences → (examples, deduped-input) where examples is
-    (example_id, tokens, n_tok, source); the deduped frame is returned
+    (example_id, tokens, n_tok, source, cu_seqlens); the deduped frame
+    is returned
     so manifest accounting runs over the population the mode saw."""
     valid = seq.where(TK.is_valid_sequence("tokens", "n_tok"))
     # First-wins dedup WITHOUT the fat-row window: min_by aggregates
@@ -105,6 +110,11 @@ def build_examples(spark, seq, a: argparse.Namespace):
             F.col("chunk_tokens").alias("tokens"),
             F.col("chunk_len").alias("n_tok"),
             "source",
+            # schema parity with pack mode: a chunk is one doc, so its
+            # attention-boundary vector is the trivial [0, n_tok]
+            F.array(
+                F.lit(0).cast("long"), F.col("chunk_len").cast("long")
+            ).alias("cu_seqlens"),
         ), deduped
     # pack: bin metadata first (bounded pandas groups), then materialize
     # each bin by joining the member docs' tokens back and flattening in
@@ -117,22 +127,29 @@ def build_examples(spark, seq, a: argparse.Namespace):
         F.posexplode("doc_ids").alias("pos", "doc_id"),
     )
     joined = members.join(deduped.select("doc_id", "tokens"), "doc_id")
+    # ONE sorted collect per bin; tokens AND the varlen attention
+    # boundaries (cu_seqlens = prefix sums of member lengths — what
+    # block-diagonal attention kernels consume for packed batches)
+    # derive from it in a second select so the collected structs are a
+    # real column, not an aggregate expression evaluated twice
+    binned = joined.groupBy("source", "bucket", "bin_idx").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "tokens"))).alias("_ord")
+    )
     return (
-        joined.groupBy("source", "bucket", "bin_idx")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tokens"))),
-                    lambda s: s["tokens"],
-                )
-            ).alias("tokens")
-        )
-        .select(
+        binned.select(
             F.concat_ws("#", "source", "bucket", "bin_idx").alias("example_id"),
-            "tokens",
-            F.size("tokens").alias("n_tok"),
+            F.flatten(F.transform("_ord", lambda s: s["tokens"])).alias("tokens"),
+            F.aggregate(
+                F.transform("_ord", lambda s: F.size(s["tokens"]).cast("long")),
+                F.array(F.lit(0).cast("long")),
+                lambda acc, x: F.concat(
+                    acc, F.array(F.try_element_at(acc, F.lit(-1)) + x)
+                ),
+            ).alias("cu_seqlens"),
             "source",
         )
+        .withColumn("n_tok", F.size("tokens"))
+        .select("example_id", "tokens", "n_tok", "source", "cu_seqlens")
     ), deduped
 
 

@@ -428,3 +428,81 @@ def test_pattern_chain_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     assert len(want) > 0
     assert got == want
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_followed_by_stream_expire_state_parity(spark, sf_dir, tmp_path):
+    """expire_state=True (watermark-evicted last-A state — the bounded-
+    state mode for huge key spaces) must not change the emitted match
+    set on in-order input."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir, _ = _with_flush_batches(spark, ev, tmp_path, sub="fbx")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "300 seconds")
+    )
+    out = CEP.followed_by_stream(stream, "signup", "purchase", 600, expire_state=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fb_expire")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT key, a_ts, b_id, b_ts, gap_actual_s FROM fb_expire"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in CEP.followed_by(ev, "signup", "purchase", 600)
+        .select("key", "a_ts", "b_id", "b_ts", "gap_actual_s")
+        .collect()
+    )
+    assert len(want) > 0
+    assert got == want
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_pattern_chain_stream_expire_parity(spark, sf_dir, tmp_path):
+    """expire_state=True prunes watermark-dead prefixes and evicts
+    emptied keys without changing chain completions."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir, _ = _with_flush_batches(spark, ev, tmp_path, sub="chx")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "300 seconds")
+    )
+    out = CEP.pattern_chain_stream(
+        stream, ["view", "click", "purchase"], [86400, 86400], expire_state=True
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chain_expire")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT key, step0_ts, step1_ts, last_id, last_ts FROM chain_expire"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in CEP.pattern_chain(ev, ["view", "click", "purchase"], [86400, 86400])
+        .collect()
+    )
+    assert len(want) > 0
+    assert got == want

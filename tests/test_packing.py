@@ -99,3 +99,29 @@ def test_pack_salted_matches_unsalted_conservation(spark, sf_dir):
     a = salted.select(F.explode("doc_ids")).count()
     b = plain.select(F.explode("doc_ids")).count()
     assert a == b  # same docs packed, just into group-local bins
+
+def test_pack_boundaries_cu_seqlens(spark):
+    """cu_seqlens must be the exact prefix-sum of doc_lens in bin
+    order, robust to duplicate doc rows on the length side."""
+    from datetime import datetime as _dt
+
+    from bitquery_kafka_streams_rust_spark.operators.packing import pack_boundaries
+
+    t0 = _dt(2024, 1, 1)
+    rows = [
+        ("a", [1] * 100, 100, "web", t0),
+        ("b", [1] * 200, 200, "web", t0),
+        ("b", [1] * 200, 200, "web", t0),   # bit-identical duplicate row
+        ("c", [1] * 300, 300, "web", t0),
+    ]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp"
+    )
+    bins = pack_sequences(seq, context_len=1024, salt_buckets=None)
+    out = pack_boundaries(bins, seq).collect()
+    # duplicates pack as separate items -> one bin: a,b,b,c (100+200+200+300)
+    assert len(out) == 1
+    r = out[0]
+    assert list(r["doc_lens"]) == [100, 200, 200, 300]
+    assert list(r["cu_seqlens"]) == [0, 100, 300, 500, 800]
+    assert r["n_docs"] == 4 and r["total_tok"] == 800
