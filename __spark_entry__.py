@@ -1382,6 +1382,48 @@ ORDER BY last_id
 """
 
 
+def _q_seq_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level benchmark decontamination (dedup.token_decontaminate):
+    corpus sequences sharing any distinct token 8-gram with the eval
+    split (num % 97 == 0) — the post-tokenization membership test LLM
+    pipelines run (the word-gram form over raw text is
+    doc_decontaminate).  Gram hashes are computed map-side (the token
+    array never crosses a shuffle); the eval gram set broadcasts."""
+    seq = _seq(spark, sf_dir)
+    num = F.substring("doc_id", 4, 18).cast("long")
+    ev = seq.where(num % 97 == 0)
+    corpus = seq.where(num % 97 != 0)
+    out = DD.token_decontaminate(corpus, ev, n=8, min_shared=1)
+    return out.select(F.col("id").alias("doc_id"), "n_shared").orderBy("doc_id")
+
+
+_SQL_SEQ_DECONTAMINATE = (
+    _SEQ
+    + """
+, sq AS (
+  SELECT CAST(substring(doc_id, 4) AS BIGINT) AS num, doc_id, tokens, n_tok FROM seq
+), tg AS (
+  SELECT DISTINCT doc_id, num, unnest(list_distinct(
+    CASE WHEN n_tok = 0 THEN CAST([] AS BIGINT[])
+         WHEN n_tok < 8 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(tokens, t -> CAST(t AS BIGINT))),
+              (a, x) -> (a * 313 + x) % 2147483647)]
+         ELSE list_transform(range(1, n_tok - 8 + 2),
+              i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_slice(tokens, CAST(i AS INTEGER),
+                                             CAST(i + 7 AS INTEGER)),
+                                  t -> CAST(t AS BIGINT))),
+                   (a, x) -> (a * 313 + x) % 2147483647)) END)) AS g
+  FROM sq
+), ev AS (SELECT DISTINCT g FROM tg WHERE num % 97 = 0
+), cg AS (SELECT DISTINCT doc_id, g FROM tg WHERE num % 97 <> 0)
+SELECT cg.doc_id, count(*) AS n_shared
+FROM cg JOIN ev USING (g)
+GROUP BY cg.doc_id HAVING count(*) >= 1 ORDER BY doc_id
+"""
+)
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2212,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": _shipped(_q_events_profile),
         "cep_chain": _shipped(_q_cep_chain),
         "seq_pack_boundaries": _shipped(_q_seq_pack_boundaries),
+        "seq_decontaminate": _shipped(_q_seq_decontaminate),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2309,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,
+        "seq_decontaminate": _SQL_SEQ_DECONTAMINATE,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

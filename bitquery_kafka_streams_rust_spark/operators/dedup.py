@@ -93,6 +93,24 @@ def _poly_hash(arr: Column, base: int = 313, mod: int = _P31) -> Column:
     )
 
 
+def _windowed_poly(longs: Column, k: int, base: int = 313, mod: int = _P31) -> Column:
+    """Polynomial hash of every k-window of ``longs`` as array<long> —
+    h_i = sum_j longs[i+j] * base^(k-1-j) mod m, vectorized as k
+    coefficient-weighted zip_with passes over shifted slices (identical
+    values to a per-window Horner fold, ~k× fewer interpreted lambda
+    steps; see token_gram_hashes).  Assumes size(longs) >= k."""
+    coeffs = [pow(base, k - 1 - j, mod) for j in range(k)]
+    win = F.size(longs) - (k - 1)
+    acc = F.transform(F.slice(longs, 1, win), lambda x: (x * coeffs[0]) % F.lit(mod))
+
+    def _weighted(c):
+        return lambda a, x: (a + x * c) % F.lit(mod)
+
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(longs, 1 + j, win), _weighted(coeffs[j]))
+    return acc
+
+
 def _shingles(text: Column, k: int = 5, portable: bool = False) -> Column:
     """Character k-shingle hashes as array<long> (distinct).
 
@@ -103,10 +121,7 @@ def _shingles(text: Column, k: int = 5, portable: bool = False) -> Column:
     if portable:
         codes = _char_codes(text)
         sh = F.when(n < k, F.array(_poly_hash(codes))).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), n - k + 1),
-                lambda i: _poly_hash(F.slice(codes, i, F.lit(k))),
-            )
+            _windowed_poly(codes, k)
         )
     else:
         sh = F.when(n < k, F.array(F.xxhash64(text))).otherwise(
@@ -559,3 +574,80 @@ def connected_components(
             "raise max_iter (components deeper than 2^max_iter hops)"
         )
     return labels.select(F.col("n").alias("id"), F.col("comp").alias("component"))
+
+
+def token_gram_hashes(
+    tokens: Column | str, n: int = 8, base: int = 313, mod: int = _P31
+) -> Column:
+    """Distinct polynomial hashes of the token n-grams of one row, as
+    array<long> — computed MAP-SIDE so the token array itself never
+    has to cross a shuffle (only 8-byte gram hashes do; the repo-wide
+    fat-column rule).  Rows shorter than ``n`` hash the whole array as
+    one gram (the `_shingles` convention); empty rows yield no grams.
+    Portable: the DuckDB twin is
+    ``list_reduce(list_prepend(0, gram), (a,x) -> (a*base+x) % mod)``."""
+    tokens = F.col(tokens) if isinstance(tokens, str) else tokens
+    longs = F.transform(tokens, lambda t: t.cast("long"))
+    n_tok = F.size(tokens)
+    # Horner's h = sum_k t_{i+k} * base^(n-1-k) mod m, vectorized as n
+    # coefficient-weighted zip_with passes over SHIFTED slices instead
+    # of one interpreted aggregate per gram: HOF lambdas run
+    # interpreted, so the per-gram reduce is O(grams*n) lambda calls
+    # (measured ~30 s/500 docs at sf0.01) while this shape is O(n)
+    # whole-array passes (~8x fewer interpreted steps, identical
+    # values).  Coefficient products stay < 2^47: int64-safe.
+    coeffs = [pow(base, n - 1 - k, mod) for k in range(n)]
+    win = n_tok - (n - 1)  # number of grams
+    acc = F.transform(
+        F.slice(longs, 1, win), lambda x: (x * coeffs[0]) % F.lit(mod)
+    )
+    def _weighted_add(c):
+        # closure, NOT a default arg: zip_with counts lambda parameters
+        return lambda a, x: (a + x * c) % F.lit(mod)
+
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(longs, 1 + k, win), _weighted_add(coeffs[k]))
+    grams = (
+        F.when(n_tok == 0, F.array().cast("array<long>"))
+        .when(n_tok < n, F.array(_poly_hash(longs, base=base, mod=mod)))
+        .otherwise(acc)
+    )
+    return F.array_distinct(grams)
+
+
+def token_decontaminate(
+    seq: DataFrame,
+    eval_seq: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Token-level benchmark decontamination: corpus sequences sharing
+    >= ``min_shared`` distinct token n-grams with ANY eval sequence,
+    as (id, n_shared) — the form LLM pipelines actually run (word-gram
+    decontamination over raw text is ``decontaminate`` above; after
+    tokenization the membership test must happen in token space or
+    tokenizer normalization hides overlaps).
+
+    Same scale shape as the word form: the eval gram set is distinct-ed
+    and BROADCAST (benchmarks are tiny next to a 10^12-row corpus); the
+    corpus side explodes only (id, 8-byte gram hash) rows — the token
+    arrays stay in the scan stage.  (id, g) pairs are distinct-ed
+    before counting so duplicate-aliased rows and within-row repeats
+    can't inflate the overlap count."""
+    ev = (
+        eval_seq.select(
+            F.explode(token_gram_hashes(tokens_col, n)).alias("g")
+        ).distinct()
+    )
+    cg = seq.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_gram_hashes(tokens_col, n)).alias("g"),
+    ).distinct()
+    return (
+        cg.join(F.broadcast(ev), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

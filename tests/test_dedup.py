@@ -187,3 +187,51 @@ def test_reliable_materialization_identical_output(spark):
     cc_fast = sorted(map(tuple, DD.connected_components(fast).collect()))
     cc_rel = sorted(map(tuple, DD.connected_components(rel, reliable=True).collect()))
     assert cc_fast == cc_rel and len(cc_fast) > 0
+
+
+def test_token_decontaminate_semantics(spark):
+    """Corpus rows sharing a token 8-gram with any eval row are flagged
+    with the DISTINCT shared-gram count; short rows hash whole-array;
+    disjoint rows are clean."""
+    corpus = spark.createDataFrame(
+        [
+            ("c1", list(range(20))),           # shares grams 0..19 region
+            ("c2", list(range(100, 120))),     # disjoint
+            ("c3", [1, 2, 3]),                 # short: whole-array gram
+            ("c4", list(range(8)) * 2),        # within-row repeat: distinct once
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    ev = spark.createDataFrame(
+        [("e1", list(range(12))), ("e2", [1, 2, 3])],
+        "doc_id string, tokens array<int>",
+    )
+    got = {
+        r["id"]: r["n_shared"]
+        for r in DD.token_decontaminate(corpus, ev, n=8).collect()
+    }
+    # e1 grams: windows 0..4 of range(12) -> 5 grams; c1 shares all 5
+    assert got["c1"] == 5
+    assert "c2" not in got
+    assert got["c3"] == 1                      # whole-array hash matches e2
+    # c4 = [0..7,0..7]: its distinct grams include window(0..7) (shared,
+    # counted ONCE despite appearing twice) plus wrap-around grams
+    assert got["c4"] == 1
+
+
+def test_token_gram_hashes_match_reference(spark):
+    """The vectorized zip_with hashing must equal the direct polynomial
+    definition (Horner over each window)."""
+    toks = [7, 50000, 0, 313, 12345, 9, 42, 50256, 1, 2]
+    df = spark.createDataFrame([(toks,)], "tokens array<int>")
+    (row,) = df.select(DD.token_gram_hashes("tokens", n=4).alias("g")).collect()
+    M, B = 2147483647, 313
+
+    def ref(win):
+        h = 0
+        for t in win:
+            h = (h * B + t) % M
+        return h
+
+    want = sorted({ref(toks[i : i + 4]) for i in range(len(toks) - 3)})
+    assert sorted(row["g"]) == want
