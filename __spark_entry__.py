@@ -1424,6 +1424,95 @@ GROUP BY cg.doc_id HAVING count(*) >= 1 ORDER BY doc_id
 )
 
 
+def _q_seq_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching (packing.length_bucket_batches):
+    deterministic batch assignment per (source, 256-wide length bucket,
+    salt) with per-batch padding-waste stats — the offline form of
+    dynamic batching.  Salted like seq_packing so no bucket ever lands
+    in one task at scale; the salt is the portable rolling hash so the
+    DuckDB oracle replays the identical assignment."""
+    from bitquery_kafka_streams_rust_spark.functions.text import rolling_hash
+    from bitquery_kafka_streams_rust_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    seq = _seq(spark, sf_dir)
+    out = length_bucket_batches(
+        seq, batch_size=16, bucket_width=256, salt_buckets=8,
+        salt_expr=rolling_hash(F.col("doc_id")),
+    )
+    return out.orderBy("strata", "len_bucket", "salt", "batch_idx")
+
+
+_SQL_SEQ_LENGTH_BATCHES = (
+    _SEQ
+    + """
+, b AS (
+  SELECT source AS strata, doc_id AS id, CAST(n_tok AS BIGINT) AS len,
+         CAST(n_tok // 256 AS INTEGER) AS len_bucket,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(doc_id, ''), c -> CAST(ascii(c) AS BIGINT))),
+              (acc, x) -> (acc * 257 + x) % 1000000007) % 8 AS INTEGER) AS salt
+  FROM seq
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY strata, len_bucket, salt
+                               ORDER BY len, id) AS rn
+  FROM b
+)
+SELECT strata, len_bucket, salt, CAST((rn - 1) // 16 AS BIGINT) AS batch_idx,
+       count(*) AS n_seqs, max(len) AS max_len, CAST(sum(len) AS BIGINT) AS sum_len,
+       CASE WHEN count(*) * max(len) > 0
+            THEN round(1.0 - CAST(sum(len) AS DOUBLE) / (count(*) * max(len)), 6)
+            ELSE 0.0 END AS pad_frac
+FROM r
+GROUP BY strata, len_bucket, salt, CAST((rn - 1) // 16 AS BIGINT)
+ORDER BY strata, len_bucket, salt, batch_idx
+"""
+)
+
+
+def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (similarity.quantize_embeddings): per-vector scale = max|x|/127,
+    q = floor(x/scale + 0.5) clamped — the 4x storage/ANN compression
+    step.  Map-side expression work only; floor(+0.5) instead of
+    round() so tie behavior replays exactly in the DuckDB oracle."""
+    from bitquery_kafka_streams_rust_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings(emb)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "scale",
+        F.array_join(F.transform("q", lambda v: v.cast("string")), ",").alias("q"),
+        "mean_abs_err",
+    ).orderBy("vec_id")
+
+
+_SQL_EMB_QUANTIZE = """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xv
+  FROM embeddings
+), s AS (
+  SELECT vec_id, xv, list_max(list_transform(xv, v -> abs(v))) AS amax FROM x
+), q AS (
+  SELECT vec_id, xv, amax / 127 AS scale,
+         CASE WHEN amax = 0 THEN list_transform(xv, v -> 0)
+              ELSE list_transform(xv, v -> CAST(greatest(-127,
+                   least(127, floor(v / (amax / 127) + 0.5))) AS INTEGER)) END AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       array_to_string(qv, ',') AS q,
+       round(list_sum(list_transform(range(1, len(xv) + 1),
+             i -> abs(xv[CAST(i AS INTEGER)] - qv[CAST(i AS INTEGER)] * scale)))
+             / greatest(len(xv), 1), 6) AS mean_abs_err
+FROM q ORDER BY vec_id
+"""
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2255,6 +2344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_chain": _shipped(_q_cep_chain),
         "seq_pack_boundaries": _shipped(_q_seq_pack_boundaries),
         "seq_decontaminate": _shipped(_q_seq_decontaminate),
+        "seq_length_batches": _shipped(_q_seq_length_batches),
+        "emb_quantize": _shipped(_q_emb_quantize),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2353,6 +2444,8 @@ def oracle_sql() -> dict[str, str]:
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,
         "seq_decontaminate": _SQL_SEQ_DECONTAMINATE,
+        "seq_length_batches": _SQL_SEQ_LENGTH_BATCHES,
+        "emb_quantize": _SQL_EMB_QUANTIZE,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -175,4 +175,71 @@ def pack_boundaries(bins: DataFrame, seq: DataFrame) -> DataFrame:
         cu.alias("cu_seqlens"),
         F.size("doc_lens").alias("n_docs"),
         F.try_element_at(cu, F.lit(-1)).alias("total_tok"),
+    )
+
+
+def length_bucket_batches(
+    seq: DataFrame,
+    batch_size: int = 32,
+    bucket_width: int = 256,
+    salt_buckets: int | None = None,
+    salt_expr=None,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Length-bucketed inference batching: deterministic batch
+    assignment grouping similar-length sequences so per-batch padding
+    (to the batch max) stays small — the standard serving/eval batching
+    transform (dynamic batching approximates this online; offline the
+    exact grouping is a one-window pass).
+
+    Rows bucket by ``floor(len / bucket_width)`` per stratum; within a
+    bucket, ``row_number`` over (len, id) // batch_size yields the
+    batch index.  Like ``pack_sequences``, the per-key window is the
+    scale hazard (one 10^12-row bucket = one task), so ``salt_buckets``
+    splits each bucket into bounded sub-streams — batches never cross
+    salt groups, so batch identity stays deterministic; padding quality
+    is unaffected (lengths within a (bucket, salt) group still span at
+    most ``bucket_width``).  Emits per-batch stats: (strata, bucket
+    [, salt], batch_idx, n_seqs, max_len, sum_len, pad_frac) where
+    pad_frac = wasted fraction of the padded token rectangle."""
+    cols = [
+        F.col(strata_col).alias("strata"),
+        F.col(id_col).alias("id"),
+        F.col(len_col).cast("long").alias("len"),
+        F.floor(F.col(len_col).cast("long") / bucket_width).cast("int").alias(
+            "len_bucket"
+        ),
+    ]
+    keys = ["strata", "len_bucket"]
+    if salt_buckets and salt_buckets > 1:
+        # salt evaluated against the INPUT columns (salt_expr callers
+        # reference e.g. doc_id, which the projection renames)
+        salt = salt_expr if salt_expr is not None else F.xxhash64(F.col(id_col))
+        cols.append(F.pmod(salt, F.lit(salt_buckets)).cast("int").alias("salt"))
+        keys.append("salt")
+    df = seq.select(*cols)
+    w = Window.partitionBy(*keys).orderBy("len", "id")
+    df = df.withColumn(
+        "batch_idx", F.floor((F.row_number().over(w) - 1) / batch_size).cast("long")
+    )
+    padded = F.col("n_seqs") * F.col("max_len")
+    return (
+        df.groupBy(*keys, "batch_idx")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.max("len").alias("max_len"),
+            F.sum("len").alias("sum_len"),
+        )
+        .select(
+            *keys,
+            "batch_idx",
+            "n_seqs",
+            "max_len",
+            "sum_len",
+            F.round(
+                F.when(padded > 0, 1.0 - F.col("sum_len") / padded).otherwise(0.0), 6
+            ).alias("pad_frac"),
+        )
     )

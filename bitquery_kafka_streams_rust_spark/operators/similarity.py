@@ -297,3 +297,54 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "cos_sim", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of an embedding column
+    — the standard storage/ANN compression step (float32 → int8 cuts
+    the vector footprint 4×; IVF/LSH probes then run on the quantized
+    vectors).  q_i = floor(x_i / scale + 0.5) with scale =
+    max|x| / (2^(bits-1) - 1); all-zero vectors quantize to zeros with
+    scale 0.
+
+    Pure Catalyst map-side expression work (one transform for |x|, one
+    for the quantized array, one fold for the reconstruction error) —
+    no shuffle, no Python.  ``floor(x/scale + 0.5)`` instead of
+    ``round`` on purpose: identical tie behavior in every engine, so
+    the op is exactly replayable in the DuckDB oracle.  Returns
+    (id, scale, q array<int>, mean_abs_err)."""
+    qmax = (1 << (bits - 1)) - 1
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = amax / qmax
+    q = F.when(amax == 0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            x,
+            lambda v: F.greatest(
+                F.lit(-qmax), F.least(F.lit(qmax), F.floor(v / scale + 0.5))
+            ).cast("int"),
+        )
+    )
+    df2 = df.select(
+        F.col(id_col).alias("id"), x.alias("_x"), scale.alias("scale"), q.alias("q")
+    )
+    err = F.aggregate(
+        F.zip_with(
+            F.col("_x"),
+            F.col("q"),
+            lambda v, qi: F.abs(v - qi.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, e: a + e,
+    ) / F.greatest(F.size(F.col("_x")), F.lit(1))
+    return df2.select(
+        "id",
+        F.round("scale", 9).alias("scale"),
+        "q",
+        F.round(err, 6).alias("mean_abs_err"),
+    )

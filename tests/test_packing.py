@@ -125,3 +125,28 @@ def test_pack_boundaries_cu_seqlens(spark):
     assert list(r["doc_lens"]) == [100, 200, 200, 300]
     assert list(r["cu_seqlens"]) == [0, 100, 300, 500, 800]
     assert r["n_docs"] == 4 and r["total_tok"] == 800
+
+
+def test_length_bucket_batches_semantics(spark):
+    from bitquery_kafka_streams_rust_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    rows = [(f"d{i}", 100 + i, "web", T0) for i in range(5)]  # bucket 0
+    rows += [(f"e{i}", 300, "web", T0) for i in range(3)]     # bucket 1
+    rows += [("z0", 90, "api", T0)]                           # other stratum
+    seq = spark.createDataFrame(
+        rows, "doc_id string, n_tok int, source string, ts timestamp"
+    )
+    out = {
+        (r["strata"], r["len_bucket"], r["batch_idx"]): r
+        for r in length_bucket_batches(seq, batch_size=2, bucket_width=256).collect()
+    }
+    # web bucket 0: lens 100..104 -> batches [100,101],[102,103],[104]
+    b0 = out[("web", 0, 0)]
+    assert (b0["n_seqs"], b0["max_len"], b0["sum_len"]) == (2, 101, 201)
+    assert abs(b0["pad_frac"] - (1 - 201 / 202)) < 1e-6
+    assert out[("web", 0, 2)]["n_seqs"] == 1
+    assert out[("web", 0, 2)]["pad_frac"] == 0.0  # single seq pads nothing
+    assert out[("web", 1, 0)]["n_seqs"] == 2 and out[("web", 1, 1)]["n_seqs"] == 1
+    assert out[("api", 0, 0)]["n_seqs"] == 1

@@ -129,3 +129,30 @@ def test_ivf_kmeans_refinement(spark, sf_dir):
     for r in out.collect():
         per_q[r["q_id"]] += 1
     assert all(v == 5 for v in per_q.values())
+
+
+def test_quantize_embeddings_semantics(spark):
+    from bitquery_kafka_streams_rust_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),   # all-zero: scale 0, q zeros
+            (3, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["id"]: r for r in quantize_embeddings(df).collect()}
+    # id1: scale = 1/127; q = floor(x*127 + 0.5) = [127, -63, 32, 0]
+    assert list(got[1]["q"]) == [127, -63, 32, 0]
+    assert abs(got[1]["scale"] - 1 / 127) < 1e-9
+    assert list(got[2]["q"]) == [0, 0, 0, 0] and got[2]["scale"] == 0.0
+    assert got[2]["mean_abs_err"] == 0.0
+    # id3: scale = 2/127; halves round toward +inf (floor(x+0.5)):
+    # 63.5 -> 64 but -63.5 -> -63; extremes exact
+    assert list(got[3]["q"]) == [-127, 127, 64, -63]
+    # reconstruction error bounded by scale/2 per element
+    for r in got.values():
+        assert r["mean_abs_err"] <= (r["scale"] or 0) / 2 + 1e-9
