@@ -16,6 +16,8 @@ deterministic — rerunning the job reproduces byte-identical splits):
 
     read → repetition/quality gates (map-side HOF/regexp expressions)
          → optional exact dedup (md5 hash-groupBy, min-id winner)
+         → optional benchmark decontamination (drop docs overlapping an
+           eval corpus by distinct word 5-grams; broadcast gram join)
          → optional MinHash-LSH near-dedup (banded pairs → connected
            components → keep the canonical min-id doc per cluster)
          → optional domain-mix rebalance toward uniform source shares
@@ -59,6 +61,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "(banded candidate join -> connected components -> keep the "
                         "min-doc_id canonical per cluster)")
     p.add_argument("--min-quality", type=float, default=None)
+    p.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
+                   help="drop docs sharing >= --decontaminate-min-shared distinct "
+                        "word 5-grams with this eval/benchmark corpus "
+                        "(broadcast eval-gram join; see dedup.decontaminate)")
+    p.add_argument("--decontaminate-min-shared", type=int, default=2)
     p.add_argument("--shuffle", action="store_true", help="deterministic export order")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -98,6 +105,18 @@ def curate(docs, a: argparse.Namespace):
         docs = docs.join(losers.select("doc_id"), "doc_id", "left_anti")
     if a.min_quality is not None:
         docs = docs.where(TX.quality_score(F.col("text")) >= a.min_quality)
+    if a.decontaminate:
+        # benchmark decontamination BEFORE budget/split: contaminated
+        # docs must never reach any split.  Eval grams broadcast; the
+        # corpus pass is one gram explode + semi-join — cost O(corpus
+        # grams), never pairwise.
+        from bitquery_kafka_streams_rust_spark.operators import dedup as DDC
+
+        eval_docs = docs.sparkSession.read.parquet(a.decontaminate)
+        dirty = DDC.decontaminate(
+            docs, eval_docs, min_shared=a.decontaminate_min_shared
+        ).withColumnRenamed("id", "doc_id")
+        docs = docs.join(dirty.select("doc_id"), "doc_id", "left_anti")
     if a.budget is not None:
         # uniform target over observed sources (None), derived inside the
         # mix aggregate — no extra distinct-sources corpus pass.

@@ -362,3 +362,34 @@ def test_hash_frac_stage_decorrelates_composed_filters(spark):
     kept = df.where(SAMP.hash_frac(F.col("doc_id"), stage=1) < 0.3)
     cond = kept.where(SAMP.hash_frac(F.col("doc_id"), stage=2) < 0.8).count() / kept.count()
     assert abs(cond - 0.8) < 0.05
+
+
+def test_curation_cli_decontaminate(spark, sf_dir, tmp_path):
+    """--decontaminate drops exactly the docs sharing >= min-shared
+    distinct word 5-grams with the eval corpus (and nothing else)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    from bitquery_kafka_streams_rust_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # eval set = every 7th doc, written out as its own corpus
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    ev_path = str(tmp_path / "eval")
+    ev.write.parquet(ev_path)
+    rc = J.main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--decontaminate", ev_path, "--decontaminate-min-shared", "2",
+        "--splits", "all=1.0", "--output", str(tmp_path / "c"),
+    ])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "c")).collect()}
+    dirty = {
+        r["id"] for r in DD.decontaminate(docs, ev, min_shared=2).collect()
+    }
+    assert dirty, "eval docs must contaminate at least themselves"
+    assert kept == {
+        r["doc_id"] for r in docs.collect()
+    } - dirty
