@@ -1506,8 +1506,14 @@ WITH x AS (
 )
 SELECT vec_id, round(scale, 9) AS scale,
        array_to_string(qv, ',') AS q,
-       round(list_sum(list_transform(range(1, len(xv) + 1),
-             i -> abs(xv[CAST(i AS INTEGER)] - qv[CAST(i AS INTEGER)] * scale)))
+       -- list_reduce, NOT list_sum: the Spark side is a sequential
+       -- left fold, and float addition isn't associative — a reordered
+       -- sum can land a row on the 6-dp rounding boundary (seen at
+       -- sf0.1: 0.000687 vs 0.000686).  Same fold order -> bit-equal.
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, len(xv) + 1),
+                 i -> abs(xv[CAST(i AS INTEGER)] - qv[CAST(i AS INTEGER)] * scale))),
+             (a, x) -> a + x)
              / greatest(len(xv), 1), 6) AS mean_abs_err
 FROM q ORDER BY vec_id
 """

@@ -333,18 +333,22 @@ def quantize_embeddings(
     df2 = df.select(
         F.col(id_col).alias("id"), x.alias("_x"), scale.alias("scale"), q.alias("q")
     )
+    # bound refs, NOT F.col: the output select aliases round(scale,9)
+    # AS scale, and lateral-column-alias resolution would silently feed
+    # the ROUNDED scale into the error terms (caught at sf0.1: one row
+    # crossed the 6-dp rounding boundary vs the oracle)
     err = F.aggregate(
         F.zip_with(
-            F.col("_x"),
-            F.col("q"),
-            lambda v, qi: F.abs(v - qi.cast("double") * F.col("scale")),
+            df2["_x"],
+            df2["q"],
+            lambda v, qi: F.abs(v - qi.cast("double") * df2["scale"]),
         ),
         F.lit(0.0),
         lambda a, e: a + e,
-    ) / F.greatest(F.size(F.col("_x")), F.lit(1))
+    ) / F.greatest(F.size(df2["_x"]), F.lit(1))
     return df2.select(
-        "id",
-        F.round("scale", 9).alias("scale"),
-        "q",
+        df2["id"],
+        F.round(df2["scale"], 9).alias("scale"),
+        df2["q"],
         F.round(err, 6).alias("mean_abs_err"),
     )
