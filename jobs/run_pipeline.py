@@ -48,6 +48,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--window-s", type=int, default=600)
     p.add_argument("--max-files-per-trigger", type=int, default=1)
     p.add_argument("--trigger-ms", type=int, default=500)
+    p.add_argument("--state-partitions", type=int, default=None,
+                   help="streaming state/shuffle partitions (latched into the "
+                        "checkpoint at first start); default: session setting")
+    p.add_argument("--auto-state-keys", type=int, default=None, metavar="EST_KEYS",
+                   help="size state partitions from an estimated live-key count "
+                        "(config.auto_state_partitions: ceil(keys/100k) clamped "
+                        "to [cores/4, cores]); overridden by --state-partitions")
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
     p.add_argument("--continuous", action="store_true",
                    help="run until terminated (default: availableNow then exit)")
@@ -56,12 +63,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 
 def build_config(a: argparse.Namespace) -> EngineConfig:
+    state_parts = a.state_partitions
+    if state_parts is None and a.auto_state_keys is not None:
+        from bitquery_kafka_streams_rust_spark.config import auto_state_partitions
+
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        state_parts = auto_state_partitions(a.auto_state_keys, cores)
     return EngineConfig(
         processing=ProcessingConfig(
             batch_timeout_ms=a.trigger_ms,
             max_files_per_trigger=a.max_files_per_trigger,
             watermark_delay_s=a.watermark_s,
             window_s=a.window_s,
+            state_partitions=state_parts,
         ),
         filters=FilterConfig(
             source_allowlist=tuple(a.sources),

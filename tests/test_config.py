@@ -44,3 +44,21 @@ def test_engine_config_fail_fast():
     with pytest.raises(ConfigError):
         EngineConfig(filters=FilterConfig(min_n_tok=5, max_n_tok=3)).validate()
     EngineConfig().validate()
+
+
+def test_pipeline_cli_state_partition_flags():
+    """run_pipeline --auto-state-keys / --state-partitions feed
+    ProcessingConfig.state_partitions (the checkpoint-latched value)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_pipeline as RP
+
+    base = ["--input", "x", "--checkpoint", "c", "--output", "o"]
+    cfg = RP.build_config(RP.parse_args([*base, "--auto-state-keys", "600000"]))
+    assert cfg.processing.state_partitions == auto_state_partitions(600_000, 32)
+    cfg = RP.build_config(
+        RP.parse_args([*base, "--state-partitions", "16", "--auto-state-keys", "1"])
+    )
+    assert cfg.processing.state_partitions == 16  # explicit wins
+    assert RP.build_config(RP.parse_args(base)).processing.state_partitions is None
