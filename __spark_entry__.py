@@ -1424,6 +1424,67 @@ GROUP BY cg.doc_id HAVING count(*) >= 1 ORDER BY doc_id
 )
 
 
+def _q_seq_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination gate (dedup.bloom_words /
+    bloom_hit_count): the MAP-SIDE form of seq_decontaminate — the eval
+    gram set folds into a 64 Kbit Bloom filter (2048-word metadata
+    collect) and every corpus row is gated by pure expression work: no
+    join, no shuffle, no state, so the identical gate drops into the
+    STREAMING pipeline.  One-sided error: false positives over-flag
+    (the filter arithmetic is engine-portable, so the DuckDB oracle
+    builds the bit-identical filter and even the FPs match); never a
+    false negative vs the exact join form.  The hit threshold must sit
+    above the per-doc FP noise floor ~ grams_per_doc * fill_ratio^k
+    (~10 here): 16 keeps every exact-overlap doc (their runs give 19+
+    hits) while the noise tops out at 17."""
+    seq = _seq(spark, sf_dir)
+    num = F.substring("doc_id", 4, 18).cast("long")
+    ev = seq.where(num % 97 == 0)
+    corpus = seq.where(num % 97 != 0)
+    ev_grams = ev.select(F.explode(DD.token_gram_hashes("tokens", 8)).alias("g"))
+    words = DD.bloom_words(ev_grams, m_bits=1 << 16, k=4)
+    out = corpus.select(
+        "doc_id",
+        DD.bloom_hit_count(DD.token_gram_hashes("tokens", 8), words, 1 << 16, 4).alias(
+            "n_hits"
+        ),
+    ).where(F.col("n_hits") >= 16)
+    # duplicate-aliased rows produce identical (doc_id, n_hits) pairs
+    return out.distinct().orderBy("doc_id")
+
+
+# identical CTE chain as the exact oracle up to the gram index, then the
+# Bloom build (bit_or per 32-bit word over the k probe indices of every
+# eval gram) and the probe (all k bits set) — the same modular
+# arithmetic as dedup.bloom_words/bloom_hit_count, term for term
+_SQL_SEQ_DECONT_BLOOM = (
+    _SQL_SEQ_DECONTAMINATE.rsplit("), ev AS", 1)[0]
+    + """), ev_idx AS (
+  SELECT ((g * 2654435761) % 2147483647
+          + i.i * ((g * 40503 + 7919) % 2147483647)) % 65536 AS idx
+  FROM (SELECT g FROM tg WHERE num % 97 = 0) e,
+       LATERAL unnest(range(0, 4)) AS i(i)
+), wbits AS (
+  SELECT CAST(idx // 32 AS BIGINT) AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INTEGER)) AS bits
+  FROM ev_idx GROUP BY 1
+), words AS (
+  SELECT list(coalesce(b.bits, 0) ORDER BY r.w) AS ws
+  FROM (SELECT range AS w FROM range(0, 2048)) r LEFT JOIN wbits b USING (w)
+), cg AS (SELECT DISTINCT doc_id, g FROM tg WHERE num % 97 <> 0)
+SELECT doc_id, count(*) AS n_hits
+FROM cg, words
+WHERE len(list_filter(range(0, 4), i ->
+      ((ws[CAST(((g * 2654435761) % 2147483647
+                 + i * ((g * 40503 + 7919) % 2147483647)) % 65536 // 32 AS INTEGER) + 1]
+        >> CAST(((g * 2654435761) % 2147483647
+                 + i * ((g * 40503 + 7919) % 2147483647)) % 32 AS INTEGER)) & 1) = 1
+      )) = 4
+GROUP BY doc_id HAVING count(*) >= 16 ORDER BY doc_id
+"""
+)
+
+
 def _q_seq_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed inference batching (packing.length_bucket_batches):
     deterministic batch assignment per (source, 256-wide length bucket,
@@ -2350,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_chain": _shipped(_q_cep_chain),
         "seq_pack_boundaries": _shipped(_q_seq_pack_boundaries),
         "seq_decontaminate": _shipped(_q_seq_decontaminate),
+        "seq_decontaminate_bloom": _shipped(_q_seq_decontaminate_bloom),
         "seq_length_batches": _shipped(_q_seq_length_batches),
         "emb_quantize": _shipped(_q_emb_quantize),
         "seq_filter": _shipped(_q_seq_filter),
@@ -2450,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,
         "seq_decontaminate": _SQL_SEQ_DECONTAMINATE,
+        "seq_decontaminate_bloom": _SQL_SEQ_DECONT_BLOOM,
         "seq_length_batches": _SQL_SEQ_LENGTH_BATCHES,
         "emb_quantize": _SQL_EMB_QUANTIZE,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,

@@ -651,3 +651,79 @@ def token_decontaminate(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def bloom_words(
+    eval_grams: DataFrame,
+    g_col: str = "g",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> list[int]:
+    """Deterministic Bloom filter over a gram-hash column, as a dense
+    ``m_bits/64`` list of int64 words (collected — filter metadata,
+    like IVF centroids, NOT data).
+
+    Kirsch-Mitzenmacher double hashing: probe_i = (h1 + i*h2) mod m,
+    h1 = g*2654435761 mod P31, h2 = (g*40503 + 7919) mod P31 — every
+    step int64-safe and replayable in any engine, so a SQL oracle
+    builds the IDENTICAL bit array and even the false positives agree.
+    32-bit words on purpose: shiftleft(1, 63) overflows BIGINT in some
+    engines (DuckDB raises), and 1 << (idx % 32) stays unambiguous
+    everywhere.  Word bits accumulate with bit_or (idempotent —
+    duplicate grams need no distinct pass).
+
+    Size m_bits ~ 16x the expected distinct eval grams for ~0.5% FP at
+    k=4; the words list is filter metadata (m_bits/32 longs)."""
+    assert m_bits % 32 == 0 and (m_bits & (m_bits - 1)) == 0
+    g = F.col(g_col)
+    h1 = (g * 2654435761) % F.lit(_P31)
+    h2 = (g * 40503 + 7919) % F.lit(_P31)
+    idx = F.explode(
+        F.transform(F.sequence(F.lit(0), F.lit(k - 1)), lambda i: (h1 + i * h2) % m_bits)
+    ).alias("idx")
+    rows = (
+        eval_grams.select(idx)
+        .select(
+            (F.col("idx") / 32).cast("long").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("idx") % 32).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 32)
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
+    return words
+
+
+def bloom_hit_count(
+    grams: Column, words: list[int], m_bits: int | None = None, k: int = 4
+) -> Column:
+    """Count of gram hashes whose k Bloom probes all hit — pure
+    map-side Catalyst over a words literal (no join, no shuffle, no
+    state): the streaming-safe decontamination gate.  One-sided error
+    only (false positives over-flag; never misses a real overlap)."""
+    m_bits = m_bits if m_bits is not None else len(words) * 32
+    warr = F.array(*[F.lit(w).cast("long") for w in words])
+
+    def probe_all(g):
+        h1 = (g * 2654435761) % F.lit(_P31)
+        h2 = (g * 40503 + 7919) % F.lit(_P31)
+        # (x mod m) mod 32 == x mod 32 because 32 | m (m is a power of
+        # two >= 32), so the bit position skips the outer mod
+        return F.forall(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (
+                F.call_function(
+                    "shiftright",
+                    F.try_element_at(warr, (((h1 + i * h2) % m_bits) / 32).cast("int") + 1),
+                    ((h1 + i * h2) % 32).cast("int"),
+                ).bitwiseAND(F.lit(1))
+                == 1
+            ),
+        )
+
+    return F.size(F.filter(grams, probe_all))

@@ -235,3 +235,38 @@ def test_token_gram_hashes_match_reference(spark):
 
     want = sorted({ref(toks[i : i + 4]) for i in range(len(toks) - 3)})
     assert sorted(row["g"]) == want
+
+
+def test_bloom_gate_no_false_negatives_and_exact_at_low_fill(spark):
+    """The Bloom gate may over-flag but never misses: at generous m it
+    reproduces the exact join form's overlap counts row for row."""
+    corpus = spark.createDataFrame(
+        [
+            ("c1", list(range(20))),
+            ("c2", list(range(100, 120))),
+            ("c3", [1, 2, 3]),
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    ev = spark.createDataFrame(
+        [("e1", list(range(12))), ("e2", [1, 2, 3])],
+        "doc_id string, tokens array<int>",
+    )
+    ev_grams = ev.select(F.explode(DD.token_gram_hashes("tokens", 8)).alias("g"))
+    words = DD.bloom_words(ev_grams, m_bits=1 << 14, k=4)  # huge m vs 6 grams
+    got = {
+        r["doc_id"]: r["n"]
+        for r in corpus.select(
+            "doc_id",
+            DD.bloom_hit_count(DD.token_gram_hashes("tokens", 8), words, 1 << 14, 4).alias("n"),
+        ).collect()
+    }
+    exact = {
+        r["id"]: r["n_shared"]
+        for r in DD.token_decontaminate(corpus, ev, n=8).collect()
+    }
+    # no false negatives: every exact overlap is >= in the bloom counts
+    for k_, v in exact.items():
+        assert got[k_] >= v
+    # at this fill ratio (6 grams in 16 Kbit) there are no FPs either
+    assert got == {**{d: 0 for d in ("c1", "c2", "c3")}, **exact}

@@ -202,3 +202,43 @@ def test_streaming_running_counters_update_mode(spark, batch_dir, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_bloom_gate_runs_map_side_in_stream(spark, sf_dir, tmp_path):
+    """The Bloom decontamination gate is stateless expression work, so
+    it composes into a streaming query with no watermark/state — the
+    survivors must equal the batch filter's."""
+    from bitquery_kafka_streams_rust_spark import datagen
+    from bitquery_kafka_streams_rust_spark.operators import dedup as DD
+
+    seq = datagen.sequences_view(spark, sf_dir)
+    num = F.substring("doc_id", 4, 18).cast("long")
+    ev_grams = seq.where(num % 97 == 0).select(
+        F.explode(DD.token_gram_hashes("tokens", 8)).alias("g")
+    )
+    words = DD.bloom_words(ev_grams, m_bits=1 << 16, k=4)
+    in_dir = str(tmp_path / "in")
+    seq.coalesce(2).write.parquet(in_dir)
+
+    def gate(df):
+        hits = DD.bloom_hit_count(DD.token_gram_hashes("tokens", 8), words, 1 << 16, 4)
+        return df.where(num % 97 != 0).where(hits < 16).select("doc_id")
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    q = (
+        gate(stream)
+        .writeStream.format("memory")
+        .queryName("bloom_gate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM bloom_gate_stream").collect())
+    want = sorted(r["doc_id"] for r in gate(spark.read.parquet(in_dir)).collect())
+    assert len(want) > 0
+    assert got == want
