@@ -506,3 +506,59 @@ def test_pattern_chain_stream_expire_parity(spark, sf_dir, tmp_path):
     )
     assert len(want) > 0
     assert got == want
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_pattern_chain_stream_restart_identical(spark, sf_dir, tmp_path):
+    """T9 for the chain pattern: kill after the first micro-batch,
+    resume from checkpoint — the per-key prefix state survives and the
+    final completion set equals an uninterrupted run's."""
+    import os
+    import shutil
+
+    from bitquery_kafka_streams_rust_spark.streaming import sink as S
+    from bitquery_kafka_streams_rust_spark.streaming.sink import ExactlyOnceParquetSink
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    full_dir, paths = _write_ordered_batches(spark, ev, tmp_path, sub="chainfull")
+    half_dir = str(tmp_path / "chainhalf")
+    os.makedirs(half_dir)
+    shutil.copy2(paths[0], os.path.join(half_dir, os.path.basename(paths[0])))
+
+    def run(in_dir, ck, out):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            CEP.pattern_chain_stream(stream, ["view", "click", "purchase"], [86400, 86400])
+            .writeStream.foreachBatch(ExactlyOnceParquetSink(out, lineage=False))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    ck_r, out_r = str(tmp_path / "ck_cr"), str(tmp_path / "out_cr")
+    run(half_dir, ck_r, out_r)  # ── kill after batch 0 ──
+    for p in paths[1:]:
+        shutil.copy2(p, os.path.join(half_dir, os.path.basename(p)))
+    run(half_dir, ck_r, out_r)  # resume, same checkpoint
+
+    ck_u, out_u = str(tmp_path / "ck_cu"), str(tmp_path / "out_cu")
+    run(full_dir, ck_u, out_u)
+
+    def rows(out):
+        return sorted(
+            tuple(r)
+            for r in S.read_output(spark, out)
+            .select("key", "step0_ts", "step1_ts", "last_id", "last_ts")
+            .collect()
+        )
+
+    resumed, uninterrupted = rows(out_r), rows(out_u)
+    assert len(uninterrupted) > 0
+    assert resumed == uninterrupted
