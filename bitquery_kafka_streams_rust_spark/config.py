@@ -89,12 +89,26 @@ class FilterConfig:
     source_allowlist: tuple[str, ...] = ()   # empty = pass all (filters.rs:46-50)
     min_n_tok: int = 0
     max_n_tok: int | None = None
+    # Optional map-side Bloom decontamination gate (dedup.bloom_words
+    # output): rows whose token n-gram hashes score >= bloom_max_hits
+    # probable eval-set overlaps are dropped in the SCAN stage, before
+    # the dedup shuffle/state.  Pure expression work — streaming-safe.
+    bloom_gate: tuple[int, ...] | None = None   # filter words (32-bit, as int64)
+    bloom_gram_n: int = 8
+    bloom_k: int = 4
+    bloom_max_hits: int = 16
 
     def validate(self) -> "FilterConfig":
         if self.min_n_tok < 0:
             raise ConfigError("min_n_tok must be >= 0")
         if self.max_n_tok is not None and self.max_n_tok < self.min_n_tok:
             raise ConfigError("max_n_tok must be >= min_n_tok")
+        if self.bloom_gate is not None:
+            n_words = len(self.bloom_gate)
+            if n_words == 0 or (n_words & (n_words - 1)) != 0:
+                raise ConfigError("bloom_gate length must be a power of two")
+            if self.bloom_gram_n <= 0 or self.bloom_k <= 0 or self.bloom_max_hits <= 0:
+                raise ConfigError("bloom_gram_n/bloom_k/bloom_max_hits must be > 0")
         return self
 
 

@@ -46,6 +46,21 @@ def build_event_stream(
     without shipping the arrays to the sink."""
     p = cfg.processing
     stream = read_sequence_stream(spark, input_dir, p.max_files_per_trigger)
+    if cfg.filters.bloom_gate is not None:
+        # Bloom decontamination in the SCAN stage: stateless expression
+        # work over the still-present token arrays, BEFORE they are
+        # dropped and before the dedup shuffle — contaminated rows never
+        # reach state.  One-sided error (over-drops at the documented FP
+        # floor, never admits a real eval overlap).
+        from ..operators.dedup import bloom_hit_count, token_gram_hashes
+
+        f = cfg.filters
+        hits = bloom_hit_count(
+            token_gram_hashes("tokens", f.bloom_gram_n),
+            list(f.bloom_gate),
+            k=f.bloom_k,
+        )
+        stream = stream.where(hits < f.bloom_max_hits)
     # Decode stage runs MAP-SIDE, before any shuffle: validity + checksum
     # are computed in the scan stage and the fat token array is dropped
     # immediately.  The stateful dedup then shuffles ~40 B/row instead of

@@ -55,6 +55,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="size state partitions from an estimated live-key count "
                         "(config.auto_state_partitions: ceil(keys/100k) clamped "
                         "to [cores/4, cores]); overridden by --state-partitions")
+    p.add_argument("--bloom-decontaminate", default=None, metavar="EVAL_PARQUET",
+                   help="drop rows overlapping this eval sequences table by token "
+                        "8-grams, via a map-side Bloom gate built at startup "
+                        "(no join/shuffle/state; see dedup.bloom_words)")
+    p.add_argument("--bloom-bits", type=int, default=1 << 20,
+                   help="Bloom filter size in bits (~16x expected eval grams)")
+    p.add_argument("--bloom-max-hits", type=int, default=16,
+                   help="drop rows with >= this many probable-overlap grams "
+                        "(size above grams_per_doc * fill_ratio^k)")
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
     p.add_argument("--continuous", action="store_true",
                    help="run until terminated (default: availableNow then exit)")
@@ -62,7 +71,22 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
-def build_config(a: argparse.Namespace) -> EngineConfig:
+def build_config(a: argparse.Namespace, spark=None) -> EngineConfig:
+    bloom_words_t = None
+    if a.bloom_decontaminate:
+        # one startup pass over the (small) eval corpus -> filter words;
+        # the gate itself is then pure per-row expression work
+        assert spark is not None, "--bloom-decontaminate needs the session"
+        from pyspark.sql import functions as F
+
+        from bitquery_kafka_streams_rust_spark.operators.dedup import (
+            bloom_words,
+            token_gram_hashes,
+        )
+
+        ev = spark.read.parquet(a.bloom_decontaminate)
+        grams = ev.select(F.explode(token_gram_hashes("tokens", 8)).alias("g"))
+        bloom_words_t = tuple(bloom_words(grams, m_bits=a.bloom_bits, k=4))
     state_parts = a.state_partitions
     if state_parts is None and a.auto_state_keys is not None:
         from bitquery_kafka_streams_rust_spark.config import auto_state_partitions
@@ -81,6 +105,8 @@ def build_config(a: argparse.Namespace) -> EngineConfig:
             source_allowlist=tuple(a.sources),
             min_n_tok=a.min_n_tok,
             max_n_tok=a.max_n_tok,
+            bloom_gate=bloom_words_t,
+            bloom_max_hits=a.bloom_max_hits,
         ),
         checkpoint_dir=a.checkpoint,
         output_dir=a.output,
@@ -89,8 +115,8 @@ def build_config(a: argparse.Namespace) -> EngineConfig:
 
 def main(argv: list[str] | None = None) -> int:
     a = parse_args(argv)
-    cfg = build_config(a)
     spark = get_spark(app_name="sequence-pipeline", master=a.master)
+    cfg = build_config(a, spark)
     if a.metrics:
         spark.streams.addListener(JsonMetricsListener(a.metrics))
     rp = P.start_pipeline(

@@ -242,3 +242,58 @@ def test_bloom_gate_runs_map_side_in_stream(spark, sf_dir, tmp_path):
     want = sorted(r["doc_id"] for r in gate(spark.read.parquet(in_dir)).collect())
     assert len(want) > 0
     assert got == want
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_pipeline_bloom_gate_end_to_end(spark, batch_dir, tmp_path):
+    """FilterConfig.bloom_gate drops eval-overlapping rows inside the
+    exactly-once pipeline, in the scan stage: output = the normal
+    pipeline's rows minus exactly the rows the batch-side gate drops."""
+    from bitquery_kafka_streams_rust_spark.operators.dedup import (
+        bloom_hit_count,
+        bloom_words,
+        token_gram_hashes,
+    )
+
+    seq = datagen.sequences_view(spark, SF)
+    num = F.substring("doc_id", 4, 18).cast("long")
+    ev_grams = seq.where(num % 97 == 0).select(
+        F.explode(token_gram_hashes("tokens", 8)).alias("g")
+    )
+    words = bloom_words(ev_grams, m_bits=1 << 16, k=4)
+
+    base = cfg_for(tmp_path, "bloom")
+    cfg = EngineConfig(
+        processing=base.processing,
+        filters=FilterConfig(
+            source_allowlist=base.filters.source_allowlist,
+            min_n_tok=base.filters.min_n_tok,
+            bloom_gate=tuple(words),
+            bloom_max_hits=16,
+        ),
+        checkpoint_dir=base.checkpoint_dir,
+        output_dir=base.output_dir,
+    ).validate()
+    rp = P.start_pipeline(spark, batch_dir, cfg, with_rollup=False)
+    rp.process_all()
+    rp.stop()
+    got = {r["doc_id"] for r in S.read_output(spark, f"{cfg.output_dir}/events").collect()}
+
+    dirty = {
+        r["doc_id"]
+        for r in seq.select(
+            "doc_id",
+            bloom_hit_count(token_gram_hashes("tokens", 8), words, 1 << 16, 4).alias("n"),
+        )
+        .where(F.col("n") >= 16)
+        .collect()
+    }
+    clean_cfg = cfg_for(tmp_path, "nobloom")
+    rp2 = P.start_pipeline(spark, batch_dir, clean_cfg, with_rollup=False)
+    rp2.process_all()
+    rp2.stop()
+    base_ids = {
+        r["doc_id"] for r in S.read_output(spark, f"{clean_cfg.output_dir}/events").collect()
+    }
+    assert dirty & base_ids, "gate must actually drop something from the spine"
+    assert got == base_ids - dirty
