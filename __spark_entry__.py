@@ -1580,6 +1580,109 @@ FROM q ORDER BY vec_id
 """
 
 
+def _q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval join (operators/rangejoin.py): each
+    signup opens a 30-min attribution window; count/sum the purchases
+    falling inside it — ANY user's, so there is no equi key and the
+    naive plan is a BroadcastNestedLoopJoin.  The bucketed form
+    explodes each interval to its <=2 overlapping 30-min buckets and
+    equi-joins on the bucket (SMJ/SHJ, AQE-skew-safe), then refines
+    with the exact range predicate.  Reference analog: the per-key
+    recent-window correlation in dex_processor.rs, generalized to the
+    keyless distributed case."""
+    from bitquery_kafka_streams_rust_spark.operators.rangejoin import (
+        bucketed_interval_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select("ts", "value")
+    pairs = bucketed_interval_join(
+        buys, signups, point_ts="ts", start_col="start_ts", end_col="end_ts", bucket_s=1800
+    )
+    return (
+        pairs.groupBy("signup_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("signup_id")
+    )
+
+
+_SQL_EVENTS_INTERVAL_JOIN = """
+WITH s AS (
+  SELECT event_id AS signup_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+  FROM events WHERE event_type = 'signup'
+), p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+SELECT s.signup_id, count(*) AS n_purchases, round(sum(p.value), 6) AS sum_value
+FROM s JOIN p ON p.ts >= s.start_ts AND p.ts < s.end_ts
+GROUP BY s.signup_id ORDER BY s.signup_id
+"""
+
+
+def _q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (operators/sketches.py): 4x2048 sketch
+    with the portable XOR-salted Knuth hash, estimate = min over rows,
+    keep keys whose estimate >= 1.2x the mean per-key count — the
+    shuffle-skew detector (the signal operators/skew.py salts
+    against).  The sketch is O(1) mergeable state (the scalable
+    stand-in for the reference's exact in-memory counter maps); the
+    oracle inlines the identical integer hash arithmetic, so the
+    output — false-positive collisions included — is
+    bit-reproducible."""
+    from bitquery_kafka_streams_rust_spark.operators.sketches import heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return heavy_hitters(ev, "user_id", mean_ratio=1.2).orderBy("user_id")
+
+
+_SQL_EVENTS_HEAVY_HITTERS = """
+WITH total AS (SELECT count(*) AS n, count(DISTINCT user_id) AS k FROM events),
+probes AS (
+  SELECT e.user_id, j.j,
+         (((xor(e.user_id, j.j * 2654435769) % 2147483648) * 2654435761)
+          % 2147483648) % 2048 AS bucket
+  FROM events e, (VALUES (0), (1), (2), (3)) j(j)
+),
+sketch AS (SELECT j, bucket, count(*) AS cnt FROM probes GROUP BY j, bucket),
+keyprobes AS (SELECT DISTINCT user_id, j, bucket FROM probes),
+est AS (
+  SELECT k.user_id, min(s.cnt) AS est_count
+  FROM keyprobes k JOIN sketch s USING (j, bucket) GROUP BY k.user_id
+)
+SELECT user_id, est_count FROM est, total
+WHERE est_count >= 1.2 * (CAST(n AS DOUBLE) / k) ORDER BY user_id
+"""
+
+
+def _q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement
+    (sampling.weighted_sample_exact, Efraimidis-Spirakis A-ES):
+    priority = u^(1/n_chars) with u from the portable mixing hash;
+    top-25 priorities are the sample.  Plans as TakeOrderedAndProject
+    (per-partition bounded heaps, no global sort); the oracle replays
+    the identical draw by inlining the same hash + pow."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SAMP.weighted_sample_exact(docs, "n_chars", 25, id_col="doc_id", seed=71)
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+_SQL_DOC_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         pow((((doc_id + 71) % 2147483648) * 2654435761 % 2147483648)
+             / 2147483648.0, 1.0 / n_chars) AS pri
+  FROM documents WHERE n_chars > 0
+), top AS (SELECT * FROM w ORDER BY pri DESC, doc_id LIMIT 25)
+SELECT doc_id, source, n_chars FROM top ORDER BY doc_id
+"""
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2414,6 +2517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_decontaminate_bloom": _shipped(_q_seq_decontaminate_bloom),
         "seq_length_batches": _shipped(_q_seq_length_batches),
         "emb_quantize": _shipped(_q_emb_quantize),
+        "events_interval_join": _shipped(_q_events_interval_join),
+        "events_heavy_hitters": _shipped(_q_events_heavy_hitters),
+        "doc_weighted_sample": _shipped(_q_doc_weighted_sample),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2515,6 +2621,9 @@ def oracle_sql() -> dict[str, str]:
         "seq_decontaminate_bloom": _SQL_SEQ_DECONT_BLOOM,
         "seq_length_batches": _SQL_SEQ_LENGTH_BATCHES,
         "emb_quantize": _SQL_EMB_QUANTIZE,
+        "events_interval_join": _SQL_EVENTS_INTERVAL_JOIN,
+        "events_heavy_hitters": _SQL_EVENTS_HEAVY_HITTERS,
+        "doc_weighted_sample": _SQL_DOC_WEIGHTED_SAMPLE,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

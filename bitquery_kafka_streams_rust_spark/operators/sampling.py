@@ -149,6 +149,37 @@ def shuffle_order(df: DataFrame, id_col: str = "doc_id", seed: int = 0, stage: i
     return df.orderBy(hash_frac(df[id_col], seed, stage).asc(), df[id_col].asc())
 
 
+def weighted_sample_exact(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    stage: int = 0,
+) -> DataFrame:
+    """Exact-size weighted sample without replacement (Efraimidis-
+    Spirakis A-ES): each row gets priority ``u^(1/w)`` with
+    ``u = hash_frac(id)``; the k largest priorities ARE a weighted
+    sample.  Deterministic — the priority is a pure function of the
+    id, so reruns/retries/cluster sizes agree, and the DuckDB oracle
+    replays the identical draw by inlining the same hash + pow.
+
+    Scale: ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject —
+    each partition keeps its local top-k (a bounded heap, no sort
+    spill), only k rows per partition reach the driver-side merge.
+    No full shuffle, no global sort.  Rows with non-positive weight
+    are excluded (w<=0 has no sampling mass)."""
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(hash_frac(df[id_col], seed, stage), F.lit(1.0) / w)
+    return (
+        df.where(w > 0)
+        .withColumn("_ws_pri", pri)
+        .orderBy(F.col("_ws_pri").desc(), df[id_col].asc())
+        .limit(k)
+        .drop("_ws_pri")
+    )
+
+
 def mix_weights(
     df: DataFrame,
     target_shares: dict[str, float] | None,

@@ -393,3 +393,45 @@ def test_curation_cli_decontaminate(spark, sf_dir, tmp_path):
     assert kept == {
         r["doc_id"] for r in docs.collect()
     } - dirty
+
+
+def test_weighted_sample_exact_size_and_determinism(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = SAMP.weighted_sample_exact(docs, "n_chars", 20, seed=5)
+    b = SAMP.weighted_sample_exact(docs, "n_chars", 20, seed=5)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b and len(ids_a) == 20
+    # output keeps the input schema (priority column dropped)
+    assert a.columns == docs.columns
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """One row with 1000x the weight of 50 others must be drawn far
+    more often than 1/51 of the time across independent seeds (A-ES
+    inclusion probability is proportional-ish to weight for k=1)."""
+    rows = [(0, 100000)] + [(i, 100) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    hits = 0
+    for seed in range(30):
+        picked = SAMP.weighted_sample_exact(df, "w", 1, seed=seed).collect()
+        hits += picked[0]["doc_id"] == 0
+    assert hits >= 20  # uniform would give ~0.6 expected hits
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    rows = [(1, 0), (2, -5), (3, 10), (4, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = {r["doc_id"] for r in SAMP.weighted_sample_exact(df, "w", 4).collect()}
+    assert out == {3, 4}
+
+
+def test_weighted_sample_plan_is_take_ordered(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    plan = (
+        SAMP.weighted_sample_exact(docs, "n_chars", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # bounded per-partition heaps

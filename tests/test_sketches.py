@@ -1,0 +1,59 @@
+"""Count-min sketch / heavy hitters (operators/sketches.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark.operators import sketches as SK
+
+
+def _traffic(spark):
+    # key 7 is hot (60 rows), key 13 warm (30), 20 cold keys x 3 rows
+    rows = [(7,)] * 60 + [(13,)] * 30 + [(k,) for k in range(100, 120) for _ in range(3)]
+    return spark.createDataFrame(rows, "user_id long")
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(spark):
+    df = _traffic(spark)
+    exact = {r["user_id"]: r["c"] for r in df.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    sketch = SK.cms_sketch(df, "user_id", depth=4, width=2048)
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in SK.cms_estimate(df.select("user_id").distinct(), sketch, "user_id", depth=4, width=2048).collect()
+    }
+    assert set(est) == set(exact)
+    for k, c in exact.items():
+        assert est[k] >= c  # CMS one-sided error
+    # 22 keys in 4x2048 buckets: collisions are essentially impossible
+    assert est == exact
+
+
+def test_cms_narrow_width_overcounts_only(spark):
+    df = _traffic(spark)
+    exact = {r["user_id"]: r["c"] for r in df.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    sketch = SK.cms_sketch(df, "user_id", depth=2, width=4)
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in SK.cms_estimate(df.select("user_id").distinct(), sketch, "user_id", depth=2, width=4).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+    assert sum(est.values()) > sum(exact.values())  # collisions happened
+
+
+def test_heavy_hitters_superset_and_deterministic(spark):
+    df = _traffic(spark)
+    # mean = 150/22 ≈ 6.8; ratio 2 → threshold ≈ 13.6 → true HH = {7, 13}
+    a = sorted(r["user_id"] for r in SK.heavy_hitters(df, "user_id", mean_ratio=2.0).collect())
+    b = sorted(r["user_id"] for r in SK.heavy_hitters(df, "user_id", mean_ratio=2.0).collect())
+    assert a == b  # fixed salts → replayable
+    assert set(a) >= {7, 13}  # no false negatives ever
+    assert set(a) == {7, 13}  # and none of the cold keys collide at this width
+
+
+def test_cms_estimate_broadcasts_the_sketch(spark):
+    df = _traffic(spark)
+    sketch = SK.cms_sketch(df, "user_id")
+    out = SK.cms_estimate(df.select("user_id").distinct(), sketch, "user_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
