@@ -1683,6 +1683,40 @@ SELECT doc_id, source, n_chars FROM top ORDER BY doc_id
 """
 
 
+def _q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with forward fill
+    (operators/timeseries.py): dense calendar grid via per-key
+    sequence+explode (map-side after a tiny span aggregate), holes
+    carry the last observation through a BY-KEY window — the dense-grid
+    twin of the as-of join, one row per user-day between first and
+    last activity."""
+    from bitquery_kafka_streams_rust_spark.operators.timeseries import resample_ffill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = resample_ffill(ev, "user_id", "ts", "value", 86400)
+    return out.orderBy("user_id", "bucket_ts")
+
+
+_SQL_EVENTS_RESAMPLE = """
+WITH obs AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS b,
+         arg_max(value, ts) AS v
+  FROM events GROUP BY user_id, b
+), spans AS (
+  SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM spans
+)
+SELECT g.user_id,
+       g.b * 86400 AS bucket_ts,
+       last_value(o.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+ORDER BY g.user_id, bucket_ts
+"""
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2520,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _shipped(_q_events_interval_join),
         "events_heavy_hitters": _shipped(_q_events_heavy_hitters),
         "doc_weighted_sample": _shipped(_q_doc_weighted_sample),
+        "events_resample_ffill": _shipped(_q_events_resample),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2624,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": _SQL_EVENTS_INTERVAL_JOIN,
         "events_heavy_hitters": _SQL_EVENTS_HEAVY_HITTERS,
         "doc_weighted_sample": _SQL_DOC_WEIGHTED_SAMPLE,
+        "events_resample_ffill": _SQL_EVENTS_RESAMPLE,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

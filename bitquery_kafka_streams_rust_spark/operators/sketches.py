@@ -29,6 +29,13 @@ estimate join broadcasts the sketch — candidate keys never shuffle.
 Candidate generation at real scale comes from a sample or a prior
 sketch pass; the contract query uses the distinct key set since the
 fixture key space is small.
+
+Streaming: ``cms_sketch`` composes UNCHANGED into Structured Streaming
+(complete/update mode) — the streaming-aggregation state is exactly
+the depth*width counters, bounded regardless of the key cardinality
+flowing through (the property that lets a 10^12-key stream keep a
+skew/traffic profile in kilobytes of state; pinned by
+tests/test_streaming.py::test_streaming_cms_sketch_matches_batch).
 """
 
 from __future__ import annotations

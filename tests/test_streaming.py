@@ -297,3 +297,53 @@ def test_pipeline_bloom_gate_end_to_end(spark, batch_dir, tmp_path):
     }
     assert dirty & base_ids, "gate must actually drop something from the spine"
     assert got == base_ids - dirty
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_streaming_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The count-min sketch is a streaming aggregation whose state is
+    the fixed depth*width counter grid: streaming the events through
+    it must land on the identical sketch — and therefore identical
+    heavy hitters — as the batch pass."""
+    from bitquery_kafka_streams_rust_spark.operators import sketches as SK
+
+    in_dir = str(tmp_path / "in")
+    spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(2).write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        SK.cms_sketch(stream, "user_id")
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT * FROM cms_stream")
+    want = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in SK.cms_sketch(batch, "user_id").collect()
+    }
+    got = {(r["j"], r["bucket"]): r["cnt"] for r in streamed.collect()}
+    assert got == want and len(got) > 0
+
+    # heavy hitters extracted from the STREAMED sketch == batch output
+    total, n_keys = batch.groupBy().agg(
+        F.count("*").alias("t"), F.count_distinct("user_id").alias("k")
+    ).collect()[0]
+    est = SK.cms_estimate(batch.select("user_id").distinct(), streamed, "user_id")
+    from_stream = sorted(
+        r["user_id"]
+        for r in est.where(F.col("est_count") >= 1.2 * (float(total) / n_keys)).collect()
+    )
+    from_batch = sorted(
+        r["user_id"] for r in SK.heavy_hitters(batch, "user_id", mean_ratio=1.2).collect()
+    )
+    assert from_stream == from_batch
