@@ -1717,6 +1717,60 @@ ORDER BY g.user_id, bucket_ts
 """
 
 
+def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py scrub_pii): emails / IPv4s /
+    phone numbers replaced by typed placeholders, occurrence counts
+    kept per doc — the standard pre-training redaction stage, pure
+    map-side regexp work.  The fixture corpus contains no PII, so a
+    deterministic PII payload is derived from doc_id by identical
+    string arithmetic on both engines (the sequences-view convention);
+    the compare hashes the scrubbed text via md5."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    seg = lambda mod, *parts: F.when(  # noqa: E731
+        did % mod == 0, F.concat(*parts)
+    ).otherwise(F.lit(""))
+    raw = F.concat(
+        F.col("text"),
+        seg(3, F.lit(" contact u"), did.cast("string"), F.lit("@ex"),
+            (did % 10).cast("string"), F.lit(".com")),
+        seg(5, F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0."),
+            (did % 100).cast("string")),
+        seg(7, F.lit(" tel +1 555 01"),
+            F.lpad((did % 100).cast("string"), 2, "0")),
+    )
+    base = docs.select("doc_id", raw.alias("raw"))
+    return base.select(
+        "doc_id",
+        *TX.pii_counts(F.col("raw")),
+        F.md5(TX.scrub_pii(F.col("raw"))).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+_SQL_DOC_PII_SCRUB = f"""
+WITH raw AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+            || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' tel +1 555 01'
+            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END AS raw
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(raw, '{TX.PII_EMAIL}')) AS n_email,
+  len(regexp_extract_all(raw, '{TX.PII_IPV4}')) AS n_ip,
+  len(regexp_extract_all(raw, '{TX.PII_PHONE}')) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+      '{TX.PII_EMAIL}', '<EMAIL>', 'g'),
+      '{TX.PII_IPV4}', '<IP>', 'g'),
+      '{TX.PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+FROM raw ORDER BY doc_id
+"""
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2555,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": _shipped(_q_events_heavy_hitters),
         "doc_weighted_sample": _shipped(_q_doc_weighted_sample),
         "events_resample_ffill": _shipped(_q_events_resample),
+        "doc_pii_scrub": _shipped(_q_doc_pii_scrub),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2660,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": _SQL_EVENTS_HEAVY_HITTERS,
         "doc_weighted_sample": _SQL_DOC_WEIGHTED_SAMPLE,
         "events_resample_ffill": _SQL_EVENTS_RESAMPLE,
+        "doc_pii_scrub": _SQL_DOC_PII_SCRUB,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

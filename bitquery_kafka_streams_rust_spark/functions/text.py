@@ -208,3 +208,35 @@ def repetition_gate(text: Column, max_dup_word: float = 0.6, max_dup_2gram: floa
         dup_word_frac(text), dup_2gram_frac(text), top_word_frac(text),
         max_dup_word, max_dup_2gram, max_top_word,
     )
+
+
+# -- PII scrubbing (training-data redaction stage) --------------------------
+#
+# Patterns restricted to syntax whose match semantics are IDENTICAL in
+# Java regex (Spark) and RE2 (the DuckDB oracle): character classes,
+# bounded repetition, literal escapes — no lookaround, no backrefs.
+# Counts come from the ORIGINAL text; scrubbing replaces all matches
+# (Spark regexp_replace is global by default; the oracle must pass the
+# 'g' flag).  Pure map-side expression work — scales like any scan.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE = r"\+[0-9][0-9 ]{6,}[0-9]"
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """(n_email, n_ip, n_phone) occurrence counts on the raw text."""
+    return [
+        F.regexp_count(text, F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count(text, F.lit(PII_IPV4)).alias("n_ip"),
+        F.regexp_count(text, F.lit(PII_PHONE)).alias("n_phone"),
+    ]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every email/IPv4/phone match with a typed placeholder.
+    Email first: its local/domain parts may contain digit runs the
+    narrower patterns could otherwise bite into."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")

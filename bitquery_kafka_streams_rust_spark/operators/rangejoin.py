@@ -46,6 +46,7 @@ def bucketed_interval_join(
     end_col: str = "end_ts",
     bucket_s: int = 1800,
     how: str = "inner",
+    max_interval_s: int | None = None,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start_col <= point_ts < end_col`` (end-exclusive), as a bucketed
@@ -61,12 +62,69 @@ def bucketed_interval_join(
     s_epoch = F.unix_timestamp(F.col(start_col))
     e_epoch = F.unix_timestamp(F.col(end_col))
 
-    pts = points.withColumn("_rj_bucket", F.floor(p_epoch / bucket_s))
-    ivs = intervals.withColumn(
-        "_rj_bucket",
+    pts = points.withColumn("_rj_bucket_p", F.floor(p_epoch / bucket_s))
+    # drop empty/inverted intervals BEFORE the explode: they can match
+    # nothing (the refine predicate is unsatisfiable), but a corrupt
+    # end << start would make sequence() DESCEND and fan out |span|
+    # spurious candidate rows
+    ivs = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
+        "_rj_bucket_i",
         F.explode(F.sequence(F.floor(s_epoch / bucket_s), F.floor(e_epoch / bucket_s))),
     )
-    joined = pts.join(ivs, on="_rj_bucket", how="inner").where(
-        (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
+    # the range refine lives INSIDE the join condition (not a post-join
+    # filter): batch plans are identical either way (Catalyst pushes
+    # the conjuncts into the join), but Structured Streaming needs the
+    # event-time range in the condition to derive state watermarks for
+    # stream-stream cleanup
+    cond = (
+        (F.col("_rj_bucket_p") == F.col("_rj_bucket_i"))
+        & (F.col(start_col) <= F.col(point_ts))
+        & (F.col(point_ts) < F.col(end_col))
     )
-    return joined.drop("_rj_bucket")
+    if max_interval_s is not None:
+        # redundant for results (implied by ts < end <= start + max)
+        # but stated directly BETWEEN the two watermarked event-time
+        # columns, which is what streaming state cleanup can reason
+        # about; max_interval_s must bound every interval's length
+        cond = cond & (
+            F.col(point_ts)
+            < F.col(start_col) + F.expr(f"INTERVAL {int(max_interval_s)} SECONDS")
+        )
+    joined = pts.join(ivs, on=cond, how="inner")
+    return joined.drop("_rj_bucket_p", "_rj_bucket_i")
+
+
+def interval_join_stream(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_s: int = 1800,
+    watermark_s: int = 300,
+    max_interval_s: int = 1800,
+) -> DataFrame:
+    """Stream-stream form of :func:`bucketed_interval_join`.
+
+    Both inputs are streaming DataFrames; watermarks on the point's
+    event time and the interval's START bound the join state — Spark
+    derives the per-side state retention from the event-time range
+    conjuncts in the join condition, so a point's state expires once
+    the interval watermark passes ``point_ts`` (it can no longer match
+    any future interval) and vice versa.  The reference holds its
+    correlation window in consumer memory (dex_processor.rs recent-
+    event map); here the state store holds it, bounded by watermark +
+    interval length instead of a hand-tuned capacity.
+    """
+    p = points.withWatermark(point_ts, f"{watermark_s} seconds")
+    i = intervals.withWatermark(start_col, f"{watermark_s} seconds")
+    return bucketed_interval_join(
+        p,
+        i,
+        point_ts=point_ts,
+        start_col=start_col,
+        end_col=end_col,
+        bucket_s=bucket_s,
+        max_interval_s=max_interval_s,
+    )

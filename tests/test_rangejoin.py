@@ -90,3 +90,54 @@ def test_plan_is_equi_join_not_nlj(spark):
     )
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_inverted_interval_matches_nothing_and_does_not_fan_out(spark):
+    pts, _ = _frames(spark)
+    bad = spark.createDataFrame(
+        [(9, _ts(100000), _ts(0))],  # end << start: would descend 100k min
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = bucketed_interval_join(pts, bad, bucket_s=60)
+    assert out.count() == 0
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """interval_join_stream: both sides streaming, watermarked, range
+    condition inside the join — output pairs equal the batch join."""
+    from bitquery_kafka_streams_rust_spark.operators.rangejoin import (
+        interval_join_stream,
+    )
+
+    pts, ivs = _frames(spark)
+    p_dir, i_dir = str(tmp_path / "p"), str(tmp_path / "i")
+    pts.coalesce(1).write.parquet(p_dir)
+    ivs.coalesce(1).write.parquet(i_dir)
+    ps = spark.readStream.schema(pts.schema).parquet(p_dir)
+    vs = spark.readStream.schema(ivs.schema).parquet(i_dir)
+    out = interval_join_stream(
+        ps, vs, bucket_s=1800, watermark_s=300, max_interval_s=7200
+    ).select("pt_id", "iv_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rj_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        map(tuple, spark.sql("SELECT pt_id, iv_id FROM rj_stream").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            bucketed_interval_join(pts, ivs, bucket_s=1800)
+            .select("pt_id", "iv_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -67,3 +67,26 @@ def test_repetition_zero_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = docs.select(TX.dup_2gram_frac(F.col("text")).alias("d"))
     assert "Exchange" not in q._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_scrub_and_counts(spark):
+
+
+    rows = [
+        (1, "mail a.b+c@foo-bar.org and 192.168.0.1 call +1 555 0100 done"),
+        (2, "no pii here, just 1.2 numbers and an @ sign alone"),
+        (3, "two mails x@y.io z@w.co one ip 10.0.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", *TX.pii_counts(F.col("t")), TX.scrub_pii(F.col("t")).alias("s")
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[1]["s"] == "mail <EMAIL> and <IP> call <PHONE> done"
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["s"] == rows[1][1]  # untouched
+    assert (out[3]["n_email"], out[3]["n_ip"]) == (2, 1)
+    assert out[3]["s"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
