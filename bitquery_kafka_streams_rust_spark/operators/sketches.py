@@ -48,9 +48,24 @@ _MOD = 2**31
 _ROW_SALT = 0x9E3779B9
 
 
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def _key_as_long(df: DataFrame, key_col: str) -> Column:
+    """Integer view of the key for the sketch hash.  Integer keys pass
+    through unchanged (the DuckDB oracle inlines the same arithmetic on
+    them — portability holds).  Non-integer keys (e.g. the string
+    ``source`` column the skew path profiles) go through ``xxhash64``:
+    still deterministic across runs/cluster sizes, just not
+    oracle-portable — heavy-hitter detection doesn't need it to be."""
+    dt = dict(df.dtypes)[key_col]
+    col = F.col(key_col)
+    return col.cast("long") if dt in _INT_TYPES else F.xxhash64(col)
+
+
 def cms_bucket(key_col: Column, row: int, width: int) -> Column:
-    """Bucket of ``key_col`` in sketch row ``row`` (portable integer
-    arithmetic — DuckDB oracles inline the same expression)."""
+    """Bucket of integer ``key_col`` in sketch row ``row`` (portable
+    integer arithmetic — DuckDB oracles inline the same expression)."""
     base = key_col.cast("long").bitwiseXOR(F.lit(row * _ROW_SALT))
     h = F.pmod(F.pmod(base, F.lit(_MOD)) * F.lit(_KNUTH), F.lit(_MOD))
     return F.pmod(h, F.lit(width))
@@ -65,11 +80,12 @@ def cms_sketch(
     which the hash-aggregate partials collapse to depth*width before
     any shuffle.
     """
+    k = _key_as_long(df, key_col)
     rows = F.array(
         *[
             F.struct(
                 F.lit(j).alias("j"),
-                cms_bucket(F.col(key_col), j, width).alias("bucket"),
+                cms_bucket(k, j, width).alias("bucket"),
             )
             for j in range(depth)
         ]
@@ -91,6 +107,7 @@ def cms_estimate(
 ) -> DataFrame:
     """Estimated count per key: min over sketch rows of the key's
     bucket counter.  ``sketch`` is broadcast (depth*width rows)."""
+    k = _key_as_long(keys, key_col)
     probes = keys.select(
         key_col,
         F.explode(
@@ -98,7 +115,7 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        cms_bucket(F.col(key_col), j, width).alias("bucket"),
+                        cms_bucket(k, j, width).alias("bucket"),
                     )
                     for j in range(depth)
                 ]

@@ -68,3 +68,56 @@ def two_level_agg(
         *partial_aggs
     )
     return stage1.groupBy(key).agg(*final_aggs)
+
+
+def targeted_two_level_agg(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    aggs: dict[str, tuple[str, str]],
+    hot_keys: Sequence | None = None,
+    buckets: int = 8,
+    mean_ratio: float = 4.0,
+) -> DataFrame:
+    """``two_level_agg`` that salts ONLY the hot keys.
+
+    Uniform salting makes EVERY key emit up to ``buckets`` stage-1
+    partials, multiplying the stage-2 exchange by ``buckets`` — wasted
+    on the 10^9 cold keys that were never skewed.  Here cold keys get
+    salt 0 (exactly one partial each, stage 2 is a pass-through merge)
+    and only the detected hot keys fan out.
+
+    ``hot_keys`` defaults to a count-min heavy-hitter detection pass
+    (operators/sketches.py — fixed-size sketch scan + a metadata-sized
+    collect; heavy hitters are few by definition).  Pass a precomputed
+    list to skip the detection scan, e.g. from a previous batch of the
+    same stream."""
+    if hot_keys is None:
+        from bitquery_kafka_streams_rust_spark.operators.sketches import heavy_hitters
+
+        hot_keys = [r[key] for r in heavy_hitters(df, key, mean_ratio=mean_ratio).collect()]
+    hot_keys = list(hot_keys)
+    salt = (
+        F.when(F.col(key).isin(hot_keys), salt_col(id_col, buckets))
+        .otherwise(F.lit(0))
+        if hot_keys
+        else F.lit(0)
+    )
+    partial_aggs, final_aggs = [], []
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            partial_aggs.append(F.count("*").alias(f"_{name}"))
+            final_aggs.append(F.sum(f"_{name}").alias(name))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(col).alias(f"_{name}"))
+            final_aggs.append(F.sum(f"_{name}").alias(name))
+        elif fn == "min":
+            partial_aggs.append(F.min(col).alias(f"_{name}"))
+            final_aggs.append(F.min(f"_{name}").alias(name))
+        elif fn == "max":
+            partial_aggs.append(F.max(col).alias(f"_{name}"))
+            final_aggs.append(F.max(f"_{name}").alias(name))
+        else:
+            raise ValueError(f"unsupported agg {fn}")
+    stage1 = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(*partial_aggs)
+    return stage1.groupBy(key).agg(*final_aggs)

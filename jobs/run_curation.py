@@ -20,6 +20,9 @@ deterministic — rerunning the job reproduces byte-identical splits):
            eval corpus by distinct word 5-grams; broadcast gram join)
          → optional MinHash-LSH near-dedup (banded pairs → connected
            components → keep the canonical min-id doc per cluster)
+         → optional PII scrub (email/IPv4/phone → typed placeholders,
+           per-doc counts kept; last text-reading stage so hashes/
+           grams upstream see the original bytes)
          → optional domain-mix rebalance toward uniform source shares
            under a char budget (aggregate-then-broadcast hash filter)
          → train/val/test hash split (map-side, no RNG)
@@ -66,6 +69,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "word 5-grams with this eval/benchmark corpus "
                         "(broadcast eval-gram join; see dedup.decontaminate)")
     p.add_argument("--decontaminate-min-shared", type=int, default=2)
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="redact emails/IPv4s/phones to typed placeholders "
+                        "(keeps per-doc counts in pii_email/pii_ip/pii_phone)")
     p.add_argument("--shuffle", action="store_true", help="deterministic export order")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -117,6 +123,20 @@ def curate(docs, a: argparse.Namespace):
             docs, eval_docs, min_shared=a.decontaminate_min_shared
         ).withColumnRenamed("id", "doc_id")
         docs = docs.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    if a.scrub_pii:
+        # LAST text-reading stage: dedup hashes, quality scores and
+        # decontamination grams all see the ORIGINAL bytes (the eval
+        # corpus is unscrubbed — scrubbing first would break gram
+        # overlap), so adding the scrub never changes which docs
+        # survive.  Map-side regexp work only.
+        n_email, n_ip, n_phone = TX.pii_counts(F.col("text"))
+        docs = docs.select(
+            *[c for c in docs.columns if c != "text"],
+            TX.scrub_pii(F.col("text")).alias("text"),
+            n_email.alias("pii_email"),
+            n_ip.alias("pii_ip"),
+            n_phone.alias("pii_phone"),
+        )
     if a.budget is not None:
         # uniform target over observed sources (None), derived inside the
         # mix aggregate — no extra distinct-sources corpus pass.

@@ -59,6 +59,43 @@ def test_two_level_agg_equals_plain(spark, sf_dir):
     assert a == b
 
 
+def test_targeted_two_level_agg_equals_plain(spark, sf_dir):
+    """Hot-key-only salting: same answer as plain groupBy, but cold keys
+    emit exactly ONE stage-1 partial (no blanket buckets-× fan-out)."""
+    from bitquery_kafka_streams_rust_spark.datagen import sequences_view
+
+    seq = sequences_view(spark, sf_dir)
+    aggs = {"n": ("count", "*"), "s": ("sum", "n_tok")}
+    plain = seq.groupBy("source").agg(F.count("*").alias("n"), F.sum("n_tok").alias("s"))
+    b = {(r["source"], r["n"], r["s"]) for r in plain.collect()}
+
+    # auto-detected hot keys (count-min heavy hitters)
+    auto = SK.targeted_two_level_agg(seq, "source", "doc_id", aggs)
+    assert {(r["source"], r["n"], r["s"]) for r in auto.collect()} == b
+
+    # explicit hot key list (skips the detection scan)
+    hot = [r["source"] for r in seq.groupBy("source").count().orderBy(F.desc("count")).limit(1).collect()]
+    targ = SK.targeted_two_level_agg(seq, "source", "doc_id", aggs, hot_keys=hot, buckets=8)
+    assert {(r["source"], r["n"], r["s"]) for r in targ.collect()} == b
+
+    # cold keys: one partial each; only the hot key fans out
+    stage1 = (
+        seq.withColumn(
+            "_salt",
+            F.when(F.col("source").isin(hot), SK.salt_col("doc_id", 8)).otherwise(F.lit(0)),
+        )
+        .groupBy("source", "_salt")
+        .count()
+    )
+    per_key = {r["source"]: r["n"] for r in stage1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for k, n in per_key.items():
+        assert n == 1 or k in hot
+
+    # no hot keys at all -> degenerate single-level (still correct)
+    none = SK.targeted_two_level_agg(seq, "source", "doc_id", aggs, hot_keys=[])
+    assert {(r["source"], r["n"], r["s"]) for r in none.collect()} == b
+
+
 def test_windowed_stats_tumbling_vs_sliding(spark, sf_dir):
     from bitquery_kafka_streams_rust_spark.datagen import sequences_view
 

@@ -435,3 +435,38 @@ def test_weighted_sample_plan_is_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan  # bounded per-partition heaps
+
+
+def test_curation_cli_scrub_pii(spark, sf_dir, tmp_path):
+    """--scrub-pii redacts without changing which docs survive, and
+    keeps the per-doc counts."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    from bitquery_kafka_streams_rust_spark.functions import text as TX2
+
+    # inject one email into a copy of the corpus so the scrub has work
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spiked = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" mail me a@b.io")),
+        ).otherwise(F.col("text")),
+    )
+    in_path = str(tmp_path / "in")
+    spiked.write.parquet(in_path)
+    rc = J.main([
+        "--input", in_path, "--scrub-pii",
+        "--splits", "all=1.0", "--output", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {"pii_email", "pii_ip", "pii_phone"} <= set(out.columns)
+    assert out.count() == spiked.count()  # scrub never drops docs
+    scrubbed = out.where(F.col("pii_email") > 0)
+    assert scrubbed.count() == spiked.where(F.col("doc_id") % 11 == 0).count()
+    assert scrubbed.where(F.col("text").contains("a@b.io")).count() == 0
+    assert scrubbed.where(F.col("text").contains("<EMAIL>")).count() == scrubbed.count()
