@@ -22,6 +22,7 @@ from bitquery_kafka_streams_rust_spark.functions import text as TX
 from bitquery_kafka_streams_rust_spark.functions import tokens as TK
 from bitquery_kafka_streams_rust_spark.operators import aggregates as AG
 from bitquery_kafka_streams_rust_spark.operators import dedup as DD
+from bitquery_kafka_streams_rust_spark.operators import ngrams as NG
 from bitquery_kafka_streams_rust_spark.operators import sampling as SAMP
 from bitquery_kafka_streams_rust_spark.operators import similarity as SIM
 from bitquery_kafka_streams_rust_spark.operators import skew as SK
@@ -1771,6 +1772,72 @@ FROM raw ORDER BY doc_id
 """
 
 
+def _q_seq_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram count table (operators/ngrams.py) — the LM
+    count-table / contamination-index build stage.  Grams materialize
+    map-side (12-byte CSV keys cross the shuffle, never token arrays);
+    counts partial-combine so hot grams can't skew the reduce;
+    min-count prunes the Zipf tail post-aggregate; top-200 output is
+    TakeOrdered-bounded with a deterministic (count DESC, gram ASC)
+    tie-break."""
+    return NG.ngram_stats(_seq(spark, sf_dir), 3, min_count=2, top_k=200)
+
+
+_SQL_SEQ_NGRAM_STATS = (
+    _SEQ
+    + """
+, grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(tokens, CAST(i AS INTEGER) + 1,
+                                    CAST(i AS INTEGER) + 3), ',') AS gram
+  FROM seq, unnest(range(0, greatest(n_tok - 2, 0))) AS u(i)
+)
+SELECT gram, count(*) AS n_occur, count(DISTINCT doc_id) AS n_doc
+FROM grams GROUP BY gram HAVING count(*) >= 2
+ORDER BY n_occur DESC, gram LIMIT 200
+"""
+)
+
+
+def _q_seq_ngram_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-token table p(next | bigram prefix): top-3
+    continuations per prefix with >= 8 occurrences (ngrams.py).  The
+    rank window partitions by prefix (distributed; WindowGroupLimit
+    bounds the sort); probabilities round to 6 places on both engines;
+    output bounded at any SF by a deterministic (prefix_total DESC,
+    prefix, rank) TakeOrdered cut."""
+    return NG.ngram_continuations(
+        _seq(spark, sf_dir), 3, k=3, min_prefix_count=8, limit_rows=1500
+    )
+
+
+_SQL_SEQ_NGRAM_CONT = (
+    _SEQ
+    + """
+, pairs AS (
+  SELECT array_to_string(list_slice(tokens, CAST(i AS INTEGER) + 1,
+                                    CAST(i AS INTEGER) + 2), ',') AS prefix,
+         tokens[CAST(i AS INTEGER) + 3] AS next_tok
+  FROM seq, unnest(range(0, greatest(n_tok - 2, 0))) AS u(i)
+), counts AS (
+  SELECT prefix, next_tok, count(*) AS n_occur
+  FROM pairs GROUP BY prefix, next_tok
+), ranked AS (
+  SELECT prefix, next_tok, n_occur,
+         sum(n_occur) OVER (PARTITION BY prefix) AS prefix_total,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY n_occur DESC, next_tok ASC) AS rank
+  FROM counts
+)
+SELECT prefix, CAST(prefix_total AS BIGINT) AS prefix_total, next_tok, n_occur,
+       round(n_occur / prefix_total, 6) AS prob,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE prefix_total >= 8 AND rank <= 3
+ORDER BY prefix_total DESC, prefix ASC, rank ASC LIMIT 1500
+"""
+)
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2610,6 +2677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": _shipped(_q_doc_weighted_sample),
         "events_resample_ffill": _shipped(_q_events_resample),
         "doc_pii_scrub": _shipped(_q_doc_pii_scrub),
+        "seq_ngram_stats": _shipped(_q_seq_ngram_stats),
+        "seq_ngram_continuations": _shipped(_q_seq_ngram_continuations),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2716,6 +2785,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_weighted_sample": _SQL_DOC_WEIGHTED_SAMPLE,
         "events_resample_ffill": _SQL_EVENTS_RESAMPLE,
         "doc_pii_scrub": _SQL_DOC_PII_SCRUB,
+        "seq_ngram_stats": _SQL_SEQ_NGRAM_STATS,
+        "seq_ngram_continuations": _SQL_SEQ_NGRAM_CONT,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

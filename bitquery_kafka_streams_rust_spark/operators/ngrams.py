@@ -1,0 +1,177 @@
+"""Corpus n-gram statistics — the LM count-table stage.
+
+The count stage of every n-gram LM / contamination index (KenLM
+``lmplz``'s first pass, infini-gram's table build) is the canonical
+100 TB MapReduce: slide a window over every token sequence, count each
+n-gram corpus-wide, keep document frequency alongside, prune the long
+tail with a min-count cutoff.  The reference engine keeps per-key
+counters in consumer memory (``src/processors/dex_processor.rs``
+counter maps) — this is the distributed, unbounded-keyspace analog.
+
+Plan shape (the part that must survive 100 TB):
+
+- Grams are materialized MAP-SIDE from the token array (Catalyst
+  ``transform(sequence(...)) -> explode``); only the ~12-byte gram key
+  (CSV of ``n`` token ids) and the doc id cross the shuffle — never the
+  token array itself (repo invariant).
+- ``groupBy(gram)`` counts are sum-decomposable, so hash-aggregate
+  partial combine collapses each partition to one row per gram before
+  the exchange: a "the"-style hot gram contributes ONE partial per
+  partition, not 10^9 shuffle rows — reducer skew is structurally
+  impossible for the count.  Document frequency rides the standard
+  two-phase distinct rewrite on (gram, doc_id), same property.
+- The min-count cutoff runs POST-aggregate (HAVING) and is what keeps
+  the output table bounded in practice: Zipf tails mean most grams are
+  singletons, and they die here without ever being collected.
+- ``top_k`` output runs through TakeOrderedAndProject (bounded
+  per-partition heaps), never a global sort.
+
+Continuations (``ngram_continuations``) build the conditional
+next-token table p(next | prefix): per-prefix totals and ranks via a
+window PARTITIONED BY prefix (distributed; WindowGroupLimit pushes the
+rank<=k cut into the sort), prefix support cutoff first so cold
+prefixes never reach the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _gram_csv(tokens: Column, start: Column, n: int) -> Column:
+    """CSV rendering of ``tokens[start .. start+n)`` (1-based slice) —
+    the shuffle key.  CSV (not the int array) so downstream group keys
+    are flat binary comparable and the oracle comparator can sort."""
+    return F.array_join(
+        F.transform(F.slice(tokens, start, n), lambda t: t.cast("string")), ","
+    )
+
+
+def explode_ngrams(
+    seq: DataFrame,
+    n: int = 3,
+    *,
+    token_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, gram) — one row per n-gram occurrence, computed
+    map-side.  Sequences shorter than ``n`` contribute nothing.
+
+    ``sequence(0, n_tok - n)`` would DESCEND for short docs (Spark
+    infers step -1 when start > stop) — the ``when`` guard keeps the
+    degenerate case an empty array instead.
+    """
+    starts = F.when(
+        F.col(n_tok_col) >= n,
+        F.sequence(F.lit(0), F.col(n_tok_col) - n),
+    ).otherwise(F.array().cast("array<int>"))
+    return seq.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(
+            F.transform(starts, lambda i: _gram_csv(F.col(token_col), i + 1, n))
+        ).alias("gram"),
+    )
+
+
+def ngram_stats(
+    seq: DataFrame,
+    n: int = 3,
+    *,
+    min_count: int = 2,
+    top_k: int | None = 200,
+    token_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus n-gram count table: (gram, n_occur, n_doc).
+
+    ``n_occur`` is total occurrences, ``n_doc`` the document frequency
+    (docs are counted by id: bit-identical duplicate rows sharing an id
+    count once in ``n_doc``, each occurrence still counts in
+    ``n_occur`` — compose after dedup for clean-corpus counts).
+    ``top_k`` orders by (n_occur DESC, gram ASC) — fully deterministic
+    under count ties.
+    """
+    grams = explode_ngrams(
+        seq, n, token_col=token_col, n_tok_col=n_tok_col, doc_col=doc_col
+    )
+    stats = (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occur"),
+            F.countDistinct("doc_id").alias("n_doc"),
+        )
+        .where(F.col("n_occur") >= min_count)
+    )
+    if top_k is not None:
+        stats = stats.orderBy(F.desc("n_occur"), F.asc("gram")).limit(top_k)
+    return stats
+
+
+def ngram_continuations(
+    seq: DataFrame,
+    n: int = 3,
+    *,
+    k: int = 3,
+    min_prefix_count: int = 8,
+    limit_rows: int | None = None,
+    token_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Conditional next-token table: for each (n-1)-gram prefix with at
+    least ``min_prefix_count`` occurrences, the top-``k`` continuations
+    by count with their empirical probability.
+
+    Output: (prefix, prefix_total, next_tok, n_occur, prob, rank);
+    ``prob`` is rounded to 6 places (cross-engine float parity), ties
+    rank by ``next_tok`` ascending so output is deterministic.
+
+    ``limit_rows`` bounds the output INDEPENDENT of corpus scale: rows
+    ordered by (prefix_total DESC, prefix ASC, rank ASC) and cut with a
+    TakeOrdered limit — the hottest prefixes survive at any SF instead
+    of the output growing with the corpus.
+    """
+    m = n - 1
+    starts = F.when(
+        F.col(n_tok_col) >= n,
+        F.sequence(F.lit(0), F.col(n_tok_col) - n),
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = seq.select(
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    _gram_csv(F.col(token_col), i + 1, m).alias("prefix"),
+                    F.element_at(F.col(token_col), (i + n).cast("int")).alias(
+                        "next_tok"
+                    ),
+                ),
+            )
+        ).alias("pn")
+    ).select("pn.prefix", "pn.next_tok")
+    counts = pairs.groupBy("prefix", "next_tok").agg(F.count("*").alias("n_occur"))
+    w = Window.partitionBy("prefix")
+    wrank = w.orderBy(F.desc("n_occur"), F.asc("next_tok"))
+    out = (
+        counts.withColumn("prefix_total", F.sum("n_occur").over(w))
+        .where(F.col("prefix_total") >= min_prefix_count)
+        .withColumn("rank", F.row_number().over(wrank))
+        .where(F.col("rank") <= k)
+        .select(
+            "prefix",
+            "prefix_total",
+            "next_tok",
+            "n_occur",
+            F.round(F.col("n_occur") / F.col("prefix_total"), 6).alias("prob"),
+            "rank",
+        )
+    )
+    if limit_rows is not None:
+        out = out.orderBy(
+            F.desc("prefix_total"), F.asc("prefix"), F.asc("rank")
+        ).limit(limit_rows)
+    return out

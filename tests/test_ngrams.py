@@ -1,0 +1,86 @@
+"""Unit tests for operators/ngrams.py — LM n-gram count tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark.operators import ngrams as NG
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+
+
+def test_explode_ngrams_values_and_short_docs(spark):
+    df = _docs(
+        spark,
+        [
+            ("a", [1, 2, 3, 4]),   # grams: 1,2,3 / 2,3,4
+            ("b", [7, 8]),          # shorter than n: nothing
+            ("c", []),              # empty: nothing
+        ],
+    )
+    got = {(r["doc_id"], r["gram"]) for r in NG.explode_ngrams(df, 3).collect()}
+    assert got == {("a", "1,2,3"), ("a", "2,3,4")}
+
+
+def test_ngram_stats_counts_and_df(spark):
+    df = _docs(
+        spark,
+        [
+            ("a", [1, 2, 3, 1, 2, 3]),  # 1,2,3 x2 (once overlapping restart)
+            ("b", [1, 2, 3]),           # 1,2,3 x1 in a second doc
+            ("b", [1, 2, 3]),           # bit-identical duplicate row, same id
+        ],
+    )
+    rows = {
+        r["gram"]: (r["n_occur"], r["n_doc"])
+        for r in NG.ngram_stats(df, 3, min_count=1, top_k=None).collect()
+    }
+    # occurrences count every row; document frequency counts ids once
+    assert rows["1,2,3"] == (4, 2)
+    assert rows["2,3,1"] == (1, 1)
+    assert rows["3,1,2"] == (1, 1)
+
+
+def test_ngram_stats_min_count_and_topk_determinism(spark):
+    df = _docs(spark, [("a", [5, 5, 5, 5, 5]), ("b", [9, 9, 9])])
+    out = NG.ngram_stats(df, 3, min_count=2, top_k=1).collect()
+    assert [(r["gram"], r["n_occur"]) for r in out] == [("5,5,5", 3)]
+    plan = out and NG.ngram_stats(df, 3, top_k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # bounded, never a global sort
+
+
+def test_ngram_continuations_distribution(spark):
+    # prefix (1,2) continues to 3 three times and 4 once
+    df = _docs(
+        spark,
+        [
+            ("a", [1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3]),
+            ("b", [1, 2, 4]),
+        ],
+    )
+    out = NG.ngram_continuations(df, 3, k=2, min_prefix_count=1).collect()
+    by_prefix = {}
+    for r in out:
+        by_prefix.setdefault(r["prefix"], []).append(r)
+    top = sorted(by_prefix["1,2"], key=lambda r: r["rank"])
+    assert [(r["next_tok"], r["n_occur"], r["rank"]) for r in top] == [
+        (3, 3, 1),
+        (4, 1, 2),
+    ]
+    assert top[0]["prefix_total"] == 4
+    assert abs(top[0]["prob"] - 0.75) < 1e-9
+    assert abs(top[1]["prob"] - 0.25) < 1e-9
+
+
+def test_ngram_continuations_limit_rows_deterministic(spark):
+    df = _docs(spark, [("a", list(range(20))), ("b", list(range(20)))])
+    full = NG.ngram_continuations(df, 3, k=1, min_prefix_count=1).count()
+    cut = NG.ngram_continuations(df, 3, k=1, min_prefix_count=1, limit_rows=5)
+    rows = cut.collect()
+    assert full > 5 and len(rows) == 5
+    # hottest-first ordering: every kept row's total >= any dropped row's
+    assert all(r["prefix_total"] == 2 for r in rows)
