@@ -2394,6 +2394,49 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup): IVF-cell
+    clustering via the deterministic hash-sampled centroids (map-side
+    assignment, zero clustering shuffle), within-cell cosine pairs
+    only (cell occupancy bounds the quadratic), greedy min-id-wins
+    resolution — one join, no iteration.  Whole index is replayable
+    arithmetic, so the DuckDB oracle reproduces every kept/dropped
+    decision."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return DD.semantic_dedup(emb, threshold=0.35, n_cells=16).orderBy("vec_id")
+
+
+_SQL_EMB_SEMDEDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cent_vec
+  FROM e
+  ORDER BY (vec_id * 2654435761) % 2147483648 ASC, vec_id ASC
+  LIMIT 16
+),
+assigned AS (
+  SELECT e.vec_id, e.v, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, c.cent_vec) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 9) DESC,
+                      c.cent_id ASC) AS cr
+  FROM e CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, v, cent_id AS cell FROM assigned WHERE cr = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+              6) >= 0.35
+)
+SELECT c.vec_id, c.cell,
+       c.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM cells c ORDER BY vec_id
+"""
+
+
 def _q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition signals (text.dup_word_frac /
     dup_2gram_frac / top_word_frac + repetition_gate): all pure
@@ -2679,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": _shipped(_q_doc_pii_scrub),
         "seq_ngram_stats": _shipped(_q_seq_ngram_stats),
         "seq_ngram_continuations": _shipped(_q_seq_ngram_continuations),
+        "emb_semdedup": _shipped(_q_emb_semdedup),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2787,6 +2831,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": _SQL_DOC_PII_SCRUB,
         "seq_ngram_stats": _SQL_SEQ_NGRAM_STATS,
         "seq_ngram_continuations": _SQL_SEQ_NGRAM_CONT,
+        "emb_semdedup": _SQL_EMB_SEMDEDUP,
         "seq_entropy_filter": _SQL_SEQ_ENTROPY,
         "seq_chunking": _SQL_SEQ_CHUNKING,
         "seq_packing": _SQL_SEQ_PACKING,

@@ -501,6 +501,64 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings into
+    IVF cells, mark every vector that has a same-cell neighbor with
+    cosine >= ``threshold`` and a SMALLER id as a duplicate.
+
+    Shape (Abbas et al. 2023, "SemDeDup" — cluster-then-prune):
+    - Cells come from the repo's deterministic hash-sampled centroids
+      (similarity.sample_centroids — metadata collect, replayable by
+      the DuckDB oracle); assignment is pure map-side expression work
+      against the inlined centroid literals: the corpus scan never
+      shuffles for clustering.
+    - The quadratic lives INSIDE a cell only: the self-equi-join on the
+      cell id shuffles (cell, id, vec) and compares ~ (n/n_cells)^2
+      pairs per cell.  At 100 TB, size n_cells ~ corpus/target_cell
+      (the paper uses ~100k cells) — cell occupancy, not corpus size,
+      bounds the pair cost.
+    - Resolution is GREEDY MIN-ID (one join + one distinct + one
+      left-anti derived boolean), not iterative connected components:
+      drop d iff some d' < d in the same cell has cos(d, d') >=
+      threshold.  Same keep-one-per-duplicate-group guarantee for
+      chains entirely within a cell, zero iteration; the CC form
+      (embedding_near_dups + connected_components) remains available
+      when cross-cell transitivity matters.
+
+    Returns every input row as (vec_id, cell, kept) — kept=false rows
+    are the semantic duplicates to discard.
+    """
+    from .similarity import cell_scores, centroid_literal, cosine, sample_centroids
+
+    cent_arr = centroid_literal(sample_centroids(emb, n_cells, id_col, vec_col))
+    assigned = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.try_element_at(cell_scores(F.col(vec_col), cent_arr), F.lit(1))[
+            "cent_id"
+        ].alias("cell"),
+    )
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell")
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell")
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id", "cell", F.col("_dup").isNull().alias("kept")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

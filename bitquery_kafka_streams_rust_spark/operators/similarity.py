@@ -85,6 +85,59 @@ def hyperplane_signature(vec: Column, n_planes: int = 12, dim: int | None = None
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
+def sample_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list:
+    """Deterministic hash-sampled centroids: rank by the portable Knuth
+    mixing hash, take the first ``n_cells`` (TakeOrdered — a bounded
+    distributed heap, never a global sort).  Metadata-sized collect;
+    replayable by the DuckDB oracles.  Returns [(cent_id, [float])]
+    sorted by id."""
+    from .sampling import hash_frac
+
+    rows = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .orderBy(hash_frac(F.col("cent_id")).asc(), F.col("cent_id").asc())
+        .limit(n_cells)
+        .collect()
+    )
+    return sorted(
+        ((int(r["cent_id"]), [float(x) for x in r["cent_vec"]]) for r in rows),
+        key=lambda t: t[0],
+    )
+
+
+def centroid_literal(cents: list) -> Column:
+    """The collected centroids inlined as a literal struct array — the
+    IVF coarse-quantizer broadcast (n_cells small vectors, not data)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cent_id"),
+                F.array(*[F.lit(x) for x in vec]).cast("array<double>").alias("cent_vec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def cell_scores(vec: Column, cent_arr: Column) -> Column:
+    """Per-centroid scores sorted best-first via (−cos, id) struct
+    ordering, all inside the scan stage.  Cosines are ROUNDED (9 dp)
+    before comparison so a near-tie between two centroids can't flip
+    the cell between engines (float-parity invariant); cent_id is the
+    tie-break."""
+    return F.array_sort(
+        F.transform(
+            cent_arr,
+            lambda cent: F.struct(
+                (-F.round(cosine(vec, cent["cent_vec"]), 9)).alias("neg_cc"),
+                cent["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
+
+
 def refine_centroids(
     corpus: DataFrame,
     cent_rows: list,
@@ -106,24 +159,7 @@ def refine_centroids(
     ``n_iter`` or use standalone."""
     cents = [(int(i), [float(x) for x in v]) for i, v in cent_rows]
     for _ in range(n_iter):
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cent_id"),
-                    F.array(*[F.lit(x) for x in vec]).cast("array<double>").alias("cent_vec"),
-                )
-                for cid, vec in cents
-            ]
-        )
-        scores = F.array_sort(
-            F.transform(
-                cent_arr,
-                lambda cent: F.struct(
-                    (-F.round(cosine(F.col("_v"), cent["cent_vec"]), 9)).alias("neg_cc"),
-                    cent["cent_id"].alias("cent_id"),
-                ),
-            )
-        )
+        scores = cell_scores(F.col("_v"), centroid_literal(cents))
         assigned = corpus.select(F.col(vec_col).alias("_v")).select(
             "_v", F.try_element_at(scores, F.lit(1))["cent_id"].alias("cell")
         )
@@ -176,54 +212,18 @@ def ivf_topk(
     equi-join on the cell id, ranked by exact cosine.  Candidate cost
     scales with cell occupancy, not corpus size; probe>1 recovers
     boundary misses."""
-    # the shared load-bearing mixing hash (sampling.hash_frac == the
-    # (id*2654435761 % 2^31) the DuckDB oracle inlines) — monotone in
-    # the raw hash, so ordering by it picks the same centroid sample
-    from .sampling import hash_frac
-
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        .orderBy(hash_frac(F.col("cent_id")).asc(), F.col("cent_id").asc())
-        .limit(n_cells)
-        .collect()
-    )
-    cents = sorted(
-        ((int(r["cent_id"]), [float(x) for x in r["cent_vec"]]) for r in cent_rows),
-        key=lambda t: t[0],
-    )
+    cents = sample_centroids(corpus, n_cells, id_col, vec_col)
     if n_iter:
         # Lloyd refinement (pytest-pinned recall; the DuckDB-oracled
         # contract path keeps n_iter=0 so the index stays replayable as
         # pure sampled-centroid arithmetic)
         cents = refine_centroids(corpus, cents, n_iter, id_col, vec_col)
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cent_id"),
-                F.array(*[F.lit(x) for x in vec]).cast("array<double>").alias("cent_vec"),
-            )
-            for cid, vec in cents
-        ]
-    )
+    cent_arr = centroid_literal(cents)
 
     def assign(df: DataFrame, idc: str, vecc: str, probes: int) -> DataFrame:
-        # per-centroid scores, sorted best-first via a (−cos, id) struct
-        # (default struct ordering), all inside the scan stage.  The
-        # cosine is ROUNDED (9 dp) before comparison: Spark's aggregate
-        # fold and another engine's dot product can differ in summation
-        # order, and an unrounded near-tie between two centroids would
-        # flip the cell assignment between engines (the repo's
-        # float-parity invariant); cent_id stays the tie-break.
-        scores = F.array_sort(
-            F.transform(
-                cent_arr,
-                lambda cent: F.struct(
-                    (-F.round(cosine(F.col(vecc), cent["cent_vec"]), 9)).alias("neg_cc"),
-                    cent["cent_id"].alias("cent_id"),
-                ),
-            )
+        probed = df.withColumn(
+            "_cells", F.slice(cell_scores(F.col(vecc), cent_arr), 1, probes)
         )
-        probed = df.withColumn("_cells", F.slice(scores, 1, probes))
         return probed.select(
             idc, vecc, F.explode(F.col("_cells").getField("cent_id")).alias("cell")
         )

@@ -270,3 +270,30 @@ def test_bloom_gate_no_false_negatives_and_exact_at_low_fill(spark):
         assert got[k_] >= v
     # at this fill ratio (6 grams in 16 Kbit) there are no FPs either
     assert got == {**{d: 0 for d in ("c1", "c2", "c3")}, **exact}
+
+
+def test_semantic_dedup_min_id_wins(spark):
+    """Identical vectors share a cell (rounded-cosine tie breaks to the
+    same centroid); the smallest id survives, the rest are dropped."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),   # exact dup of 1
+            (3, [1.0, 0.0]),   # exact dup of 1 (chain collapses, no CC)
+            (4, [0.0, 1.0]),   # orthogonal — kept
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["kept"] for r in DD.semantic_dedup(emb, threshold=0.99, n_cells=4).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_semantic_dedup_covers_every_row_once(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = DD.semantic_dedup(emb, threshold=0.35)
+    assert out.count() == emb.count()
+    assert out.select("vec_id").distinct().count() == emb.count()
+    # dropped rows each have a smaller-id kept-or-dropped witness — at
+    # minimum the set of kept rows is nonempty and ids are preserved
+    kept = out.where(F.col("kept")).count()
+    assert 0 < kept <= emb.count()
