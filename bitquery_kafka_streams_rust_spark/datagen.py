@@ -133,10 +133,15 @@ def _spine_from_range(
     # behind the 300 s watermark regardless of epoch granularity
     day = (c / 10_000_000).cast("long") * 86400
     ts = F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=day + (c % 10_000_000) % 86400 - late)
+    # mask c to 2^31 before the K1 multiply: at >214 replicas c exceeds
+    # 2^31 and c*K1 would overflow int64 under ANSI (identity below
+    # 2^31, so replica counts <= 214 — incl. the default 120 — generate
+    # bit-identical spines to the unmasked arithmetic)
+    cm = c % F.lit(2**31)
     tokens = F.when(n_tok == 0, F.array().cast("array<int>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_tok - 1),
-            lambda i: ((c * F.lit(K1) + i.cast("long") * F.lit(K2)) % F.lit(VOCAB_SIZE)).cast("int"),
+            lambda i: ((cm * F.lit(K1) + i.cast("long") * F.lit(K2)) % F.lit(VOCAB_SIZE)).cast("int"),
         )
     )
     return rep.select(

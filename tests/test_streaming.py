@@ -347,3 +347,44 @@ def test_streaming_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
         r["user_id"] for r in SK.heavy_hitters(batch, "user_id", mean_ratio=1.2).collect()
     )
     assert from_stream == from_batch
+
+
+def test_streaming_ngram_counts_match_batch(spark, sf_dir, tmp_path):
+    """The LM n-gram count table as a streaming aggregation: grams
+    materialize map-side per micro-batch and the running groupBy holds
+    ONE counter per distinct gram — state bounded by gram vocabulary,
+    not stream length.  Streaming the corpus through must land on the
+    identical count table as the batch pass."""
+    from bitquery_kafka_streams_rust_spark.datagen import sequences_view
+    from bitquery_kafka_streams_rust_spark.operators import ngrams as NG
+
+    in_dir = str(tmp_path / "in")
+    sequences_view(spark, sf_dir).coalesce(2).write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        NG.explode_ngrams(stream, 3)
+        .groupBy("gram")
+        .count()
+        .writeStream.format("memory")
+        .queryName("ngram_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["gram"]: r["count"]
+        for r in spark.sql("SELECT * FROM ngram_stream").collect()
+    }
+    want = {
+        r["gram"]: r["n_occur"]
+        for r in NG.ngram_stats(batch, 3, min_count=1, top_k=None).collect()
+    }
+    assert len(got) > 0 and got == want
