@@ -1269,6 +1269,38 @@ _SQL_IDS_B58 = (
 )
 
 
+def _q_ids_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key as a pure Catalyst integer
+    expression (operators/layout.zorder_key): bit-interleaves two
+    bounded dimensions so range-partitioning by the key gives files
+    whose min/max stats prune on BOTH dimensions (the OPTIMIZE ZORDER
+    layout trick for the 100 TB scan path; write_zordered applies it,
+    file_stats shows the manifest).  The oracle inlines the identical
+    shift/mask arithmetic in DuckDB."""
+    from bitquery_kafka_streams_rust_spark.operators import layout as LAY
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x = F.pmod(F.col("event_id"), F.lit(1024)).cast("long")
+    y = F.pmod(F.col("user_id"), F.lit(1024)).cast("long")
+    return ev.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        LAY.zorder_key([x, y], bits=10).alias("z"),
+    ).orderBy("event_id")
+
+
+_SQL_IDS_ZORDER = (
+    "SELECT event_id, event_id % 1024 AS x, user_id % 1024 AS y, "
+    + " | ".join(
+        f"((((event_id % 1024) >> {i}) & 1) << {2 * i})"
+        f" | ((((user_id % 1024) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(10)
+    )
+    + " AS z FROM events ORDER BY event_id"
+)
+
+
 def _q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern (operators/cep.py): signup FOLLOWED BY purchase
     within 10 min per user — the carried-last-A window form (hash-
@@ -2723,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_ngram_stats": _shipped(_q_seq_ngram_stats),
         "seq_ngram_continuations": _shipped(_q_seq_ngram_continuations),
         "emb_semdedup": _shipped(_q_emb_semdedup),
+        "ids_zorder": _shipped(_q_ids_zorder),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2817,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         "topic_route_counts": _SQL_TOPIC_ROUTE,
         "dex_trades_exploded": _SQL_DEX_TRADES_EXPLODED,
         "ids_base58": _SQL_IDS_B58,
+        "ids_zorder": _SQL_IDS_ZORDER,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

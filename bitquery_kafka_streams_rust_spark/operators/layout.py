@@ -24,7 +24,8 @@ Rules of thumb encoded here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -61,3 +62,79 @@ def bucketed_join(
     ``assert "Exchange" not in df._jdf.queryExecution().executedPlan()
     .toString()`` (pinned in tests/test_layout.py)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) key: bit-interleave ``k`` non-negative integer
+    columns, ``bits`` low bits each — bit ``i`` of column ``j`` lands
+    at position ``i*k + j``.
+
+    Sorting/range-partitioning by this key clusters rows into
+    multi-dimensional tiles, so per-file min/max stats stay tight on
+    EVERY interleaved dimension at once — a predicate on any of them
+    prunes files (the Delta/Iceberg OPTIMIZE ZORDER trick; a linear
+    sort keeps only its leading column prunable).  Pure Catalyst
+    integer expression, portable (the DuckDB oracle inlines it)."""
+    k = len(cols)
+
+    def make_spread(v: Column, j: int):
+        # closure-bound v/j, NOT default args: a HOF lambda's arity is
+        # its DECLARED parameter count
+        def spread(acc: Column, i: Column) -> Column:
+            # bit i of v -> position i*k + j
+            bit = F.call_function("shiftright", v, i.cast("int")).bitwiseAND(F.lit(1))
+            return acc.bitwiseOR(
+                F.call_function("shiftleft", bit, (i.cast("int") * k + j).cast("int"))
+            )
+
+        return spread
+
+    parts = [
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.lit(0).cast("long"),
+            make_spread(c.cast("long"), j),
+        )
+        for j, c in enumerate(cols)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    *,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned and
+    sorted by the Z-order key of ``cols`` — each file covers one tile
+    of the key space, so parquet footer min/max stats prune on every
+    ``cols`` dimension.  The one shuffle is the range partitioning
+    (sampled bounds, balanced files); the sort is within-partition."""
+    z = zorder_key([F.col(c) for c in cols], bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max for ``cols`` — the data-skipping manifest a
+    table format keeps in metadata (here recomputed by scan; one
+    partial-aggregated pass grouped by ``input_file_name``).  Feed a
+    predicate against this to decide which files a query must read."""
+    df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return df.groupBy("_f").agg(*aggs)
