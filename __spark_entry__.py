@@ -1301,6 +1301,36 @@ _SQL_IDS_ZORDER = (
 )
 
 
+def _q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup cascade (operators/aggregates.rollup_cascade):
+    minute -> hour -> day resolutions where each coarser level
+    re-aggregates the finer level's partials — ONE full-data shuffle
+    (the minute grain), every later Exchange over geometrically
+    shrinking aggregate rows.  The oracle computes EVERY level directly
+    from the raw events, so a green row certifies re-aggregation ==
+    direct aggregation (count/sum/min/max re-aggregability)."""
+    from bitquery_kafka_streams_rust_spark.operators import aggregates as AGG
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return AGG.rollup_cascade(
+        ev, "ts", "value", by=("event_type",), levels=(60, 3600, 86400)
+    ).orderBy("resolution_s", "bucket_start", "event_type")
+
+
+_SQL_EVENTS_ROLLUP_CASCADE = " UNION ALL ".join(
+    f"""
+SELECT CAST({res} AS BIGINT) AS resolution_s,
+       (CAST(floor(epoch(ts)) AS BIGINT) // {res}) * {res} AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 3) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 2, 3"""
+    for res in (60, 3600, 86400)
+) + " ORDER BY resolution_s, bucket_start, event_type"
+
+
 def _q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern (operators/cep.py): signup FOLLOWED BY purchase
     within 10 min per user — the carried-last-A window form (hash-
@@ -2756,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_ngram_continuations": _shipped(_q_seq_ngram_continuations),
         "emb_semdedup": _shipped(_q_emb_semdedup),
         "ids_zorder": _shipped(_q_ids_zorder),
+        "events_rollup_cascade": _shipped(_q_events_rollup_cascade),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2851,6 +2882,7 @@ def oracle_sql() -> dict[str, str]:
         "dex_trades_exploded": _SQL_DEX_TRADES_EXPLODED,
         "ids_base58": _SQL_IDS_B58,
         "ids_zorder": _SQL_IDS_ZORDER,
+        "events_rollup_cascade": _SQL_EVENTS_ROLLUP_CASCADE,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

@@ -170,3 +170,74 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
             f"stack({len(cols)}, {stack}) AS (col_name, n_nonnull, n_distinct, min_s, max_s)"
         ),
     ).select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: Sequence[str] = (),
+    levels: Sequence[int] = (60, 3600, 86400),
+) -> DataFrame:
+    """Multi-resolution time rollup where each coarser level RE-AGGREGATES
+    the next finer level's partials instead of rescanning the input —
+    the hypertable/continuous-aggregate maintenance pattern (the
+    reference keeps only flat per-key counters,
+    ``src/processors/dex_processor.rs:91-117``; a 100 TB store needs
+    the cascade).
+
+    count/sum/min/max are re-aggregable (sum of partial sums == direct
+    sum up to float association), so level k+1 reads level k's few
+    thousand rows: ONE full-data shuffle total (the finest grain); every
+    later Exchange is over geometrically shrinking aggregate rows.
+    Returns the union of all levels tagged with ``resolution_s``;
+    ``bucket_start`` is epoch seconds (BIGINT — timestamp columns do not
+    survive the oracle's NaT-unfriendly value compare)."""
+    if not levels or any(b <= a for a, b in zip(levels, levels[1:])):
+        raise ValueError("levels must be ascending and non-empty")
+    keys = list(by)
+    epoch = F.unix_timestamp(F.col(ts_col))  # NTZ-safe integer seconds
+    finest = levels[0]
+    cur = (
+        df.groupBy(
+            ((epoch / finest).cast("long") * finest).alias("bucket_start"), *keys
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("_sum"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+    out = []
+    for res, nxt in zip(levels, list(levels[1:]) + [None]):
+        out.append(
+            cur.select(
+                F.lit(res).cast("long").alias("resolution_s"),
+                "bucket_start",
+                *keys,
+                "n_events",
+                F.round("_sum", 3).alias("sum_value"),
+                "min_value",
+                "max_value",
+            )
+        )
+        if nxt is not None:
+            cur = (
+                cur.groupBy(
+                    ((F.col("bucket_start") / nxt).cast("long") * nxt).alias(
+                        "bucket_start"
+                    ),
+                    *keys,
+                )
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("_sum").alias("_sum"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+    res_df = out[0]
+    for o in out[1:]:
+        res_df = res_df.unionByName(o)
+    return res_df

@@ -138,3 +138,34 @@ def file_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
     return df.groupBy("_f").agg(*aggs)
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+    *,
+    manifest: DataFrame | None = None,
+) -> DataFrame:
+    """Read only the files whose min/max stats can contain rows in
+    ``ranges`` ({col: (lo, hi)} inclusive), then apply the residual
+    filter — the query side of the data-skipping manifest (a table
+    format does this in its planner from metadata; here the manifest is
+    ``file_stats`` output, precomputed and passed in, or recomputed).
+
+    The manifest is file-count-sized metadata: collecting it driver-side
+    is the same class as Iceberg's manifest scan.  On a ``write_zordered``
+    table EVERY interleaved dimension prunes; on a linearly-sorted table
+    only the leading one does."""
+    mf = manifest if manifest is not None else file_stats(spark, path, list(ranges))
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        cond = cond & (F.col(f"{c}_max") >= F.lit(lo)) & (F.col(f"{c}_min") <= F.lit(hi))
+    files = [r["_f"] for r in mf.where(cond).select("_f").collect()]
+    residual = None
+    for c, (lo, hi) in ranges.items():
+        p = F.col(c).between(F.lit(lo), F.lit(hi))
+        residual = p if residual is None else residual & p
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files).where(residual)

@@ -140,3 +140,48 @@ def test_profile_table_one_pass(spark, sf_dir):
     approx = {r["col_name"]: r["n_distinct"]
               for r in AG.profile_table(ev, ["user_id"], exact_distinct=False).collect()}
     assert abs(approx["user_id"] / rows["user_id"]["n_distinct"] - 1) < 0.1
+
+
+def test_rollup_cascade_reaggregation_matches_direct(spark, sf_dir):
+    """Each coarser level is derived from the finer level's partials;
+    values must equal a direct group-by at that resolution (count/sum/
+    min/max re-aggregability), and the whole cascade reads the input
+    ONCE."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cas = AG.rollup_cascade(ev, "ts", "value", by=("event_type",),
+                            levels=(60, 3600, 86400))
+    hour = {
+        (r["bucket_start"], r["event_type"]): r
+        for r in cas.where(F.col("resolution_s") == 3600).collect()
+    }
+    direct = (
+        ev.groupBy(
+            ((F.unix_timestamp(F.col("ts")) / 3600).cast("long") * 3600).alias("b"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("s"),
+             F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    )
+    assert len(direct) == len(hour)
+    for r in direct:
+        c = hour[(r["b"], r["event_type"])]
+        assert c["n_events"] == r["n"]
+        assert abs(c["sum_value"] - r["s"]) < 1e-6
+        assert c["min_value"] == r["mn"] and c["max_value"] == r["mx"]
+    # one scan total: coarser levels re-aggregate, never rescan.  The
+    # dedup is AQE exchange reuse, so inspect the FINAL plan post-run.
+    cas.collect()
+    plan = cas._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("ReusedExchange") == 2
+
+
+def test_rollup_cascade_rejects_bad_levels(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        AG.rollup_cascade(ev, "ts", "value", levels=(3600, 60))
+    with _pt.raises(ValueError):
+        AG.rollup_cascade(ev, "ts", "value", levels=())

@@ -115,3 +115,25 @@ def test_write_zordered_prunes_both_dims(spark, tmp_path):
 
     # and the rewrite is lossless
     assert spark.read.parquet(zp).count() == 4096
+
+
+def test_pruned_read_skips_files_same_answer(spark, tmp_path):
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("v"),
+    )
+    zp = str(tmp_path / "z")
+    L.write_zordered(df, zp, ["x", "y"], n_files=16, bits=6)
+    manifest = L.file_stats(spark, zp, ["x", "y"])
+    pruned = L.pruned_read(spark, zp, {"x": (10, 12), "y": (20, 25)}, manifest=manifest)
+    full = (
+        spark.read.parquet(zp)
+        .where(F.col("x").between(10, 12) & F.col("y").between(20, 25))
+    )
+    assert sorted(r.v for r in pruned.collect()) == sorted(r.v for r in full.collect())
+    # the plan actually read fewer files than the table holds
+    assert 0 < len(pruned.inputFiles()) < len(spark.read.parquet(zp).inputFiles())
+    # empty-range plan short-circuits to zero rows without scanning
+    none = L.pruned_read(spark, zp, {"x": (999, 1000)}, manifest=manifest)
+    assert none.count() == 0
