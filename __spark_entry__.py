@@ -1331,6 +1331,104 @@ FROM events GROUP BY 2, 3"""
 ) + " ORDER BY resolution_s, bucket_start, event_type"
 
 
+def _q_events_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (operators/cdc.compact_log): events re-read
+    as a keyed upsert/delete log (key=user_id, total order (ts_s,
+    event_id), op from event_type: error=delete, signup=insert, else
+    update) folded to the current snapshot — latest op per key wins, a
+    trailing delete tombstones the key.  ONE max_by aggregate with
+    map-side partial combine: a hot key crosses the shuffle as one
+    partial per partition, never its full history (vs the window
+    formulation the oracle uses, which sorts every history)."""
+    from bitquery_kafka_streams_rust_spark.operators import cdc as CDC
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    out = CDC.compact_log(log, ["user_id"], ["ts_s", "event_id"])
+    return out.select(
+        "user_id",
+        F.col("ts_s").alias("last_ts_s"),
+        F.col("event_id").alias("last_op_id"),
+        F.round("value", 3).alias("last_value"),
+        "n_ops",
+    ).orderBy("user_id")
+
+
+_SQL_EVENTS_CDC_COMPACT = """
+WITH log AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+         value
+  FROM events
+), latest AS (
+  SELECT user_id, ts_s, event_id, op, value,
+         count(*) OVER (PARTITION BY user_id) AS n_ops,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_s DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, ts_s AS last_ts_s, event_id AS last_op_id,
+       round(value, 3) AS last_value, n_ops
+FROM latest WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""
+
+
+def _q_doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/cdc.snapshot_diff): churn between two
+    deterministic views of ``documents`` (old drops doc_id%10==0, new
+    drops %10==1 and bumps n_chars where %7==0) — added / removed /
+    changed rows only, unchanged keys never materialize.  One
+    full-outer sort-merge join shuffling just (key, compared cols);
+    the incremental-recuration primitive (re-embed only what moved)."""
+    from bitquery_kafka_streams_rust_spark.operators import cdc as CDC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "source", "n_chars")
+    new = docs.where(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    return CDC.snapshot_diff(old, new, ["doc_id"], ["source", "n_chars"]).orderBy(
+        "doc_id"
+    )
+
+
+_SQL_DOC_SNAPSHOT_DIFF = """
+WITH old_s AS (
+  SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 <> 0
+), new_s AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 10 <> 1
+), d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         o.source AS old_source, o.n_chars AS old_n_chars,
+         n.source AS new_source, n.n_chars AS new_n_chars,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.source IS DISTINCT FROM n.source
+                   OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed'
+         END AS diff_status
+  FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
+)
+SELECT * FROM d WHERE diff_status IS NOT NULL ORDER BY doc_id
+"""
+
+
 def _q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern (operators/cep.py): signup FOLLOWED BY purchase
     within 10 min per user — the carried-last-A window form (hash-
@@ -2787,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": _shipped(_q_emb_semdedup),
         "ids_zorder": _shipped(_q_ids_zorder),
         "events_rollup_cascade": _shipped(_q_events_rollup_cascade),
+        "events_cdc_compact": _shipped(_q_events_cdc_compact),
+        "doc_snapshot_diff": _shipped(_q_doc_snapshot_diff),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2883,6 +2983,8 @@ def oracle_sql() -> dict[str, str]:
         "ids_base58": _SQL_IDS_B58,
         "ids_zorder": _SQL_IDS_ZORDER,
         "events_rollup_cascade": _SQL_EVENTS_ROLLUP_CASCADE,
+        "events_cdc_compact": _SQL_EVENTS_CDC_COMPACT,
+        "doc_snapshot_diff": _SQL_DOC_SNAPSHOT_DIFF,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

@@ -1,0 +1,112 @@
+"""Change-data-capture maintenance: log compaction and snapshot diff.
+
+A 100 TB training-data store is maintained incrementally — an
+upsert/delete log lands continuously (the reference's consumer emits
+exactly such a keyed event stream, ``src/consumer.rs:213-230``) and two
+table-maintenance jobs keep it queryable:
+
+- ``compact_log``: fold the log into the CURRENT snapshot — latest
+  operation per key wins, a trailing delete tombstones the key.  This
+  is Kafka log compaction / Iceberg MERGE materialization as one
+  aggregate.
+- ``snapshot_diff``: given two snapshots, emit the churn between them
+  (added / removed / changed) — the incremental-recuration primitive
+  (re-embed only changed docs, re-run dedup only on added ones).
+
+Plan shape (what must survive 100 TB):
+
+- ``compact_log`` is ONE aggregate: ``max_by(payload_struct,
+  order_struct)`` is max-decomposable, so each map partition collapses
+  to one partial row per key before the exchange — a hot key
+  contributes one row per partition, not its full history.  The
+  struct-valued buffer plans as SortAggregate (sorted by the GROUPING
+  key within partitions — sort-merge-join cost class), still strictly
+  narrower than the window formulation, which would shuffle and sort
+  every key's full history.  The tombstone filter runs post-aggregate
+  on snapshot-sized data.
+- ``snapshot_diff`` is one full-outer sort-merge join on the key with
+  only the key + compared columns shuffled (column pruning cuts the
+  payload); unchanged rows — the overwhelming majority between
+  adjacent snapshots — are dropped BEFORE the result materializes, so
+  output is churn-sized, not table-sized.  For wide payloads pass a
+  precomputed content-hash column as the single compare column
+  (``xxhash64`` map-side) so the shuffle stays narrow.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compact_log(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    *,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize the current snapshot from a CDC log: for each key the
+    payload of the LAST operation in ``order_cols`` order, dropped when
+    that operation is ``delete_op``.  ``order_cols`` must be a total
+    order within a key (e.g. ``(ts, op_id)`` with a unique op id) or
+    the winner is nondeterministic.  ``n_ops`` (the key's history
+    length) rides along for compaction-ratio accounting.
+
+    One shuffle, partial-aggregated map-side; no per-key sort.
+    """
+    if not key_cols or not order_cols:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    payload = [c for c in log.columns if c not in key_cols]
+    latest = log.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(*payload), F.struct(*[F.col(c) for c in order_cols])
+        ).alias("_last"),
+        F.count("*").alias("n_ops"),
+    )
+    return (
+        latest.where(F.col(f"_last.{op_col}") != F.lit(delete_op))
+        .select(*key_cols, "_last.*", "n_ops")
+        .drop(op_col)
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Churn between two snapshots of the same table: one row per key
+    that was ``added`` (only in ``new``), ``removed`` (only in
+    ``old``), or ``changed`` (in both, any ``compare_cols`` differ —
+    null-safe).  Unchanged keys produce NO row, so the result is
+    churn-sized.  Output: key columns, ``diff_status``, and the
+    old/new value of each compared column (null on the absent side).
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("key_cols and compare_cols must be non-empty")
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(True))
+    j = o.join(n, on=list(key_cols), how="full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("diff_status", status)
+        .where(F.col("diff_status").isNotNull())
+        .drop("_in_old", "_in_new")
+    )

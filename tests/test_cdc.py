@@ -1,0 +1,78 @@
+"""CDC maintenance: log compaction (latest-wins + tombstone) and
+snapshot diff (churn-only output)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bitquery_kafka_streams_rust_spark.operators import cdc
+
+
+def _log(spark):
+    # key 1: I then U (U wins) · key 2: history ends in D (tombstoned)
+    # key 3: two ops at the SAME ts — op_id breaks the tie
+    rows = [
+        (1, 10, 100, "I", 1.0),
+        (1, 20, 101, "U", 2.0),
+        (2, 10, 102, "I", 9.0),
+        (2, 30, 103, "D", 0.0),
+        (3, 40, 104, "U", 5.0),
+        (3, 40, 105, "U", 6.0),
+    ]
+    return spark.createDataFrame(
+        rows, "k int, ts int, op_id int, op string, value double"
+    )
+
+
+def test_compact_log_latest_wins_and_tombstones(spark):
+    out = cdc.compact_log(_log(spark), ["k"], ["ts", "op_id"])
+    got = {r["k"]: r for r in out.collect()}
+    assert set(got) == {1, 3}  # key 2 ends in D -> gone
+    assert got[1]["value"] == 2.0 and got[1]["op_id"] == 101
+    assert got[1]["n_ops"] == 2
+    assert got[3]["value"] == 6.0  # same-ts tie broken by op_id
+
+
+def test_compact_log_is_one_aggregate_no_sort(spark):
+    out = cdc.compact_log(_log(spark), ["k"], ["ts", "op_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # max_by decomposes: map-side partial combine, ONE exchange of
+    # one-row-per-(key,partition) partials, no Window over histories.
+    # (Struct-valued agg buffers plan as SortAggregate — the sort is by
+    # grouping key within partitions, not a per-key history sort.)
+    assert plan.count("Exchange") == 1
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_compact_log_validates_args(spark):
+    with pytest.raises(ValueError):
+        cdc.compact_log(_log(spark), [], ["ts"])
+    with pytest.raises(ValueError):
+        cdc.compact_log(_log(spark), ["k"], [])
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, s string, n int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 31), (4, "d", 40), (5, "e", 50)],
+        "k int, s string, n int",
+    )
+    out = cdc.snapshot_diff(old, new, ["k"], ["s", "n"])
+    got = {r["k"]: r for r in out.collect()}
+    # key 2 unchanged -> absent; churn-sized output
+    assert set(got) == {1, 3, 4, 5}
+    assert got[1]["diff_status"] == "removed" and got[1]["new_s"] is None
+    assert got[3]["diff_status"] == "changed" and got[3]["new_n"] == 31
+    assert got[4]["diff_status"] == "changed"  # null -> 'd' is a change
+    assert got[5]["diff_status"] == "added" and got[5]["old_n"] is None
+
+
+def test_snapshot_diff_null_equal_is_unchanged(spark):
+    old = spark.createDataFrame([(1, None)], "k int, s string")
+    new = spark.createDataFrame([(1, None)], "k int, s string")
+    assert cdc.snapshot_diff(old, new, ["k"], ["s"]).count() == 0
