@@ -1998,6 +1998,46 @@ ORDER BY prefix_total DESC, prefix ASC, rank ASC LIMIT 1500
 )
 
 
+def _q_seq_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram-LM cross-entropy / perplexity under the corpus's
+    own add-0.5-smoothed model (ngrams.lm_score) — the CCNet-style
+    perplexity quality filter.  Two corpus passes (count-table build,
+    then score) joined on narrow (prefix, next) keys; vocab size is a
+    driver-side literal; ppl = exp(round(xent,4)) so both engines
+    exponentiate the identical double."""
+    return NG.lm_score(_seq(spark, sf_dir), 3, alpha=0.5).orderBy("doc_id")
+
+
+_SQL_SEQ_LM_SCORE = (
+    _SEQ
+    + """
+, occ AS (
+  SELECT doc_id,
+         array_to_string(list_slice(tokens, CAST(i AS INTEGER) + 1,
+                                    CAST(i AS INTEGER) + 2), ',') AS prefix,
+         tokens[CAST(i AS INTEGER) + 3] AS next_tok
+  FROM seq, unnest(range(0, greatest(n_tok - 2, 0))) AS u(i)
+), v AS (
+  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM seq, unnest(tokens) AS u(t)
+), cnt AS (
+  SELECT prefix, next_tok, count(*) AS c_gram FROM occ GROUP BY 1, 2
+), pre AS (
+  SELECT prefix, sum(c_gram) AS c_prefix FROM cnt GROUP BY 1
+), lp AS (
+  SELECT c.prefix, c.next_tok,
+         ln((c.c_gram + 0.5) / (p.c_prefix + 0.5 * v.v)) AS logp
+  FROM cnt c JOIN pre p ON c.prefix = p.prefix CROSS JOIN v
+), agg AS (
+  SELECT o.doc_id, count(*) AS n_grams, avg(-l.logp) AS x
+  FROM occ o JOIN lp l ON o.prefix = l.prefix AND o.next_tok = l.next_tok
+  GROUP BY o.doc_id
+)
+SELECT doc_id, n_grams, round(x, 4) AS xent, round(exp(round(x, 4)), 3) AS ppl
+FROM agg ORDER BY doc_id
+"""
+)
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2887,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_cascade": _shipped(_q_events_rollup_cascade),
         "events_cdc_compact": _shipped(_q_events_cdc_compact),
         "doc_snapshot_diff": _shipped(_q_doc_snapshot_diff),
+        "seq_lm_score": _shipped(_q_seq_lm_score),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -2985,6 +3026,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_cascade": _SQL_EVENTS_ROLLUP_CASCADE,
         "events_cdc_compact": _SQL_EVENTS_CDC_COMPACT,
         "doc_snapshot_diff": _SQL_DOC_SNAPSHOT_DIFF,
+        "seq_lm_score": _SQL_SEQ_LM_SCORE,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

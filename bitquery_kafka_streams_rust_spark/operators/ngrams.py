@@ -111,6 +111,97 @@ def ngram_stats(
     return stats
 
 
+def lm_score(
+    seq: DataFrame,
+    n: int = 3,
+    *,
+    alpha: float = 0.5,
+    vocab_size: int | None = None,
+    token_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram LM cross-entropy / perplexity under the
+    corpus's own add-α-smoothed model — the CCNet/Gopher perplexity
+    quality filter: docs whose token stream the corpus LM finds
+    surprising (boilerplate, noise, wrong-register text) score high
+    and get cut at a ppl threshold downstream.
+
+    ``P(w|prefix) = (c(prefix,w) + α) / (c(prefix) + α·V)``;
+    ``xent = avg(-ln P)`` over the doc's n-grams, ``ppl = exp(xent)``.
+    Docs shorter than ``n`` tokens have no grams and emit no row.
+
+    Scale shape — KenLM's estimate+query collapsed to ONE corpus walk:
+    the per-(doc, gram) count table ``docgram`` is built map-side (CSV
+    gram keys cross the shuffle map-combined, never token arrays) and
+    materialized once (`dedup._materialize`, the KenLM intermediate);
+    the corpus gram table is a re-aggregation of it, the prefix table a
+    re-aggregation of that (both aggregate-sized), and scoring equi-
+    joins ``docgram`` back against the scored gram table on (prefix,
+    next) — narrow keys, partial-combinable final per-doc fold.  ``V``
+    (vocab size) is collected driver-side and inlined as a literal
+    (metadata scale; avoids the scalar-subquery
+    BroadcastNestedLoopJoin) — pass ``vocab_size`` to pin it.
+
+    Cross-engine float parity: ``xent`` rounds to 4 places and ``ppl``
+    is exp() OF THE ROUNDED xent (then rounded to 3) so both engines
+    exponentiate the identical double instead of racing associativity
+    across a much finer rounding grid.
+    """
+    m = n - 1
+    starts = F.when(
+        F.col(n_tok_col) >= n,
+        F.sequence(F.lit(0), F.col(n_tok_col) - n),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = seq.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    _gram_csv(F.col(token_col), i + 1, m).alias("prefix"),
+                    F.element_at(F.col(token_col), (i + n).cast("int")).alias(
+                        "next_tok"
+                    ),
+                ),
+            )
+        ).alias("pn"),
+    ).select("doc_id", "pn.prefix", "pn.next_tok")
+    from bitquery_kafka_streams_rust_spark.operators.dedup import _materialize
+
+    docgram = _materialize(
+        occ.groupBy("doc_id", "prefix", "next_tok").agg(F.count("*").alias("k"))
+    )
+    if vocab_size is None:
+        vocab_size = (
+            seq.select(F.explode(token_col).alias("t")).distinct().count()
+        )
+    cnt = docgram.groupBy("prefix", "next_tok").agg(F.sum("k").alias("c_gram"))
+    pre = cnt.groupBy("prefix").agg(F.sum("c_gram").alias("c_prefix"))
+    lp = cnt.join(pre, "prefix").select(
+        "prefix",
+        "next_tok",
+        F.log(
+            (F.col("c_gram") + F.lit(float(alpha)))
+            / (F.col("c_prefix") + F.lit(float(alpha) * vocab_size))
+        ).alias("logp"),
+    )
+    return (
+        docgram.join(lp, ["prefix", "next_tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_grams"),
+            (F.sum(F.col("k") * -F.col("logp")) / F.sum("k")).alias("_x"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round("_x", 4).alias("xent"),
+            F.round(F.exp(F.round("_x", 4)), 3).alias("ppl"),
+        )
+    )
+
+
 def ngram_continuations(
     seq: DataFrame,
     n: int = 3,

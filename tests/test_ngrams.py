@@ -84,3 +84,48 @@ def test_ngram_continuations_limit_rows_deterministic(spark):
     assert full > 5 and len(rows) == 5
     # hottest-first ordering: every kept row's total >= any dropped row's
     assert all(r["prefix_total"] == 2 for r in rows)
+
+
+def test_lm_score_matches_hand_model(spark):
+    """Add-α trigram LM cross-entropy against a pure-Python model:
+    P(w|pre) = (c(pre,w)+α)/(c(pre)+α·V); docs shorter than n emit no
+    row; a repeated in-doc gram weighs by its multiplicity."""
+    import math
+
+    df = _docs(
+        spark,
+        [
+            ("a", [1, 2, 3, 2, 3, 2, 3]),  # grams 123,232,323,232,323
+            ("b", [1, 2, 4]),              # gram 124
+            ("c", [9]),                    # too short: absent
+        ],
+    )
+    out = {r["doc_id"]: r for r in NG.lm_score(df, 3, alpha=0.5).collect()}
+    assert set(out) == {"a", "b"}
+    V, al = 4, 0.5  # distinct tokens {1,2,3,4,9}? no: 9 IS in corpus -> 5
+    V = 5
+    c = {("1,2", 3): 1, ("1,2", 4): 1, ("2,3", 2): 2, ("3,2", 3): 2}
+    cp = {"1,2": 2, "2,3": 2, "3,2": 2}
+
+    def lp(pre, w):
+        return math.log((c[(pre, w)] + al) / (cp[pre] + al * V))
+
+    xa = -(lp("1,2", 3) + 2 * lp("2,3", 2) + 2 * lp("3,2", 3)) / 5
+    xb = -lp("1,2", 4)
+    assert out["a"]["n_grams"] == 5 and out["b"]["n_grams"] == 1
+    assert abs(out["a"]["xent"] - round(xa, 4)) < 1e-9
+    assert abs(out["b"]["xent"] - round(xb, 4)) < 1e-9
+    assert abs(out["a"]["ppl"] - round(math.exp(round(xa, 4)), 3)) < 1e-9
+
+
+def test_lm_score_vocab_override_and_no_array_shuffle(spark):
+    df = _docs(spark, [("a", [1, 2, 3, 4]), ("b", [2, 3, 4, 5])])
+    out = NG.lm_score(df, 3, alpha=0.5, vocab_size=100)
+    rows = out.collect()
+    assert len(rows) == 2
+    # repo invariant: the tokens array never crosses a shuffle — no
+    # exchange row schema mentions the array column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "tokens" not in line
