@@ -209,6 +209,25 @@ def rollup_cascade(
             F.max(value_col).alias("max_value"),
         )
     )
+    return rollup_cascade_from_partials(cur, by=keys, levels=levels)
+
+
+def rollup_cascade_from_partials(
+    partials: DataFrame,
+    by: Sequence[str] = (),
+    levels: Sequence[int] = (60, 3600, 86400),
+) -> DataFrame:
+    """The cascade's re-aggregation half, entered from ALREADY-BUILT
+    finest-grain partials — rows of (bucket_start, *by, n_events, _sum,
+    min_value, max_value) at ``levels[0]`` resolution, e.g. the parquet
+    output of ``streaming.rollup.minute_partials_stream``.  This is how
+    the continuous aggregate is maintained at 100 TB: the stream keeps
+    the finest grain incrementally; coarser resolutions are derived
+    from partials on demand and NEVER rescan raw data."""
+    if not levels or any(b <= a for a, b in zip(levels, levels[1:])):
+        raise ValueError("levels must be ascending and non-empty")
+    keys = list(by)
+    cur = partials
     out = []
     for res, nxt in zip(levels, list(levels[1:]) + [None]):
         out.append(
