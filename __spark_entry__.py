@@ -2038,6 +2038,44 @@ FROM agg ORDER BY doc_id
 )
 
 
+def _q_seq_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots
+    (operators/drift.py): per-token counts + add-0.5-smoothed
+    log-likelihood ratio over the union vocabulary.  Each side is one
+    map-side explode + partial-combined count; the comparison join is
+    vocab-bounded (≤50,257 rows at ANY corpus scale); totals are
+    driver-side literals (no scalar-subquery BNLJ)."""
+    from bitquery_kafka_streams_rust_spark.operators import drift as DR
+
+    seq = _seq(spark, sf_dir)
+    c = F.expr("CAST(substring(doc_id, 4) AS BIGINT)")
+    return DR.token_drift(
+        seq.where(c % 10 != 0), seq.where(c % 10 != 1), alpha=0.5, vocab=50257
+    )
+
+
+_SQL_SEQ_TOKEN_DRIFT = (
+    _SEQ
+    + """
+, old_h AS (
+  SELECT t AS token, count(*) AS n FROM seq, unnest(tokens) AS u(t)
+  WHERE CAST(substr(doc_id, 4) AS BIGINT) % 10 <> 0 GROUP BY 1
+), new_h AS (
+  SELECT t AS token, count(*) AS n FROM seq, unnest(tokens) AS u(t)
+  WHERE CAST(substr(doc_id, 4) AS BIGINT) % 10 <> 1 GROUP BY 1
+), tot AS (
+  SELECT (SELECT sum(n) FROM old_h) AS no, (SELECT sum(n) FROM new_h) AS nn
+)
+SELECT coalesce(o.token, n.token) AS token,
+       coalesce(o.n, 0) AS n_old, coalesce(n.n, 0) AS n_new,
+       round(ln(((coalesce(n.n, 0) + 0.5) / (tot.nn + 0.5 * 50257)) /
+                ((coalesce(o.n, 0) + 0.5) / (tot.no + 0.5 * 50257))), 6) AS log_ratio
+FROM old_h o FULL OUTER JOIN new_h n ON o.token = n.token CROSS JOIN tot
+ORDER BY token
+"""
+)
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2928,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_compact": _shipped(_q_events_cdc_compact),
         "doc_snapshot_diff": _shipped(_q_doc_snapshot_diff),
         "seq_lm_score": _shipped(_q_seq_lm_score),
+        "seq_token_drift": _shipped(_q_seq_token_drift),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3027,6 +3066,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cdc_compact": _SQL_EVENTS_CDC_COMPACT,
         "doc_snapshot_diff": _SQL_DOC_SNAPSHOT_DIFF,
         "seq_lm_score": _SQL_SEQ_LM_SCORE,
+        "seq_token_drift": _SQL_SEQ_TOKEN_DRIFT,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

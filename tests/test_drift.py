@@ -1,0 +1,63 @@
+"""Token-distribution drift (operators/drift.py): hand-model parity
+and vocab-bounded plan shape."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from bitquery_kafka_streams_rust_spark.operators import drift as DR
+
+
+def _seqs(spark, rows):
+    return spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+
+
+def test_token_drift_matches_hand_model(spark):
+    old = _seqs(spark, [("a", [1, 1, 2])])
+    new = _seqs(spark, [("b", [1, 2, 2, 3])])
+    out = {r["token"]: r for r in DR.token_drift(old, new, alpha=0.5, vocab=10).collect()}
+    assert set(out) == {1, 2, 3}
+    no, nn, a, v = 3, 4, 0.5, 10
+
+    def lr(co, cn):
+        return math.log(((cn + a) / (nn + a * v)) / ((co + a) / (no + a * v)))
+
+    assert out[1]["n_old"] == 2 and out[1]["n_new"] == 1
+    assert abs(out[1]["log_ratio"] - round(lr(2, 1), 6)) < 1e-9
+    assert abs(out[2]["log_ratio"] - round(lr(1, 2), 6)) < 1e-9
+    # token 3 only in new: smoothing keeps it finite and positive
+    assert out[3]["n_old"] == 0 and out[3]["log_ratio"] > 0
+
+
+def test_drift_summary_matches_hand_model(spark):
+    old = _seqs(spark, [("a", [1, 1, 2])])
+    new = _seqs(spark, [("b", [1, 2, 2, 3])])
+    row = DR.drift_summary(old, new, alpha=0.5, vocab=10).collect()[0]
+    no, nn, a, v = 3, 4, 0.5, 10
+    po = {1: 2.5 / 8, 2: 1.5 / 8, 3: 0.5 / 8}
+    pn = {1: 1.5 / 9, 2: 2.5 / 9, 3: 1.5 / 9}
+    kl = sum(pn[t] * math.log(pn[t] / po[t]) for t in (1, 2, 3))
+    tvd = sum(abs(pn[t] - po[t]) for t in (1, 2, 3)) / 2
+    assert abs(row["kl"] - round(kl, 8)) < 1e-9
+    assert abs(row["tvd"] - round(tvd, 8)) < 1e-9
+    assert row["vocab_old"] == 2 and row["vocab_new"] == 3
+
+
+def test_token_drift_identical_corpora_is_flat(spark):
+    df = _seqs(spark, [("a", [5, 6, 7]), ("b", [5, 5])])
+    out = DR.token_drift(df, df, alpha=0.5, vocab=10)
+    assert all(r["log_ratio"] == 0.0 for r in out.collect())
+    row = DR.drift_summary(df, df, alpha=0.5, vocab=10).collect()[0]
+    assert row["kl"] == 0.0 and row["tvd"] == 0.0
+
+
+def test_token_drift_no_array_in_exchange(spark):
+    df = _seqs(spark, [("a", list(range(50))), ("b", list(range(30)))])
+    out = DR.token_drift(df, df, alpha=0.5, vocab=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "tokens" not in line
