@@ -2076,6 +2076,62 @@ ORDER BY token
 )
 
 
+def _q_seq_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring detection (operators/spans.py):
+    per-doc maximal duplicated token spans over 8-grams appearing in
+    >= 2 distinct docs, with exact interval-union coverage.  Gram
+    hashes are computed map-side (token arrays never shuffle); the
+    frequency aggregate and dup-position join ride one narrow gram-key
+    exchange; the island merge is a per-doc (never global) window."""
+    from bitquery_kafka_streams_rust_spark.operators import spans as SP
+
+    return SP.dup_span_stats(_seq(spark, sf_dir), n=8, min_docs=2)
+
+
+_SQL_SEQ_DUP_SPANS = (
+    _SEQ
+    + """
+, px AS (
+  SELECT doc_id, tokens, unnest(range(1, n_tok - 8 + 2)) AS pos
+  FROM seq WHERE n_tok >= 8
+), pg AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_slice(tokens, CAST(pos AS INTEGER),
+                                     CAST(pos + 7 AS INTEGER)),
+             t -> CAST(t AS BIGINT))), (a, x) -> (a * 313 + x) % 2147483647) AS g
+  FROM px
+), dup_g AS (
+  SELECT g FROM pg GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), dp AS (
+  SELECT DISTINCT pg.doc_id, pg.pos FROM pg JOIN dup_g USING (g)
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS b
+  FROM dp
+), isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS isl
+  FROM brk
+), spn AS (
+  SELECT doc_id, isl, min(pos) AS s, max(pos) AS e FROM isl GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(e - s + 8) AS BIGINT) AS dup_tok,
+         CAST(max(e - s + 8) AS BIGINT) AS max_span
+  FROM spn GROUP BY 1
+)
+SELECT pd.doc_id, n_spans, dup_tok, max_span, d.n_tok,
+       round(dup_tok * 1.0 / d.n_tok, 6) AS dup_frac
+FROM pd JOIN (SELECT doc_id, max(n_tok) AS n_tok FROM seq GROUP BY 1) d
+  USING (doc_id)
+ORDER BY doc_id
+"""
+)
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -2967,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_snapshot_diff": _shipped(_q_doc_snapshot_diff),
         "seq_lm_score": _shipped(_q_seq_lm_score),
         "seq_token_drift": _shipped(_q_seq_token_drift),
+        "seq_dup_spans": _shipped(_q_seq_dup_spans),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3067,6 +3124,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_snapshot_diff": _SQL_DOC_SNAPSHOT_DIFF,
         "seq_lm_score": _SQL_SEQ_LM_SCORE,
         "seq_token_drift": _SQL_SEQ_TOKEN_DRIFT,
+        "seq_dup_spans": _SQL_SEQ_DUP_SPANS,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

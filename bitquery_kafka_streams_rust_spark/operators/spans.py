@@ -1,0 +1,134 @@
+"""Cross-document repeated-substring (duplicated token-span) detection.
+
+Exact substring dedup in the style of "Deduplicating Training Data
+Makes Language Models Better" (Lee et al., 2022), re-expressed for
+Spark: instead of a suffix array, every position's token n-gram is
+hashed map-side and a gram that occurs in >= ``min_docs`` DISTINCT
+documents marks its positions as duplicated; per document, duplicated
+positions are merged into maximal spans by interval union (two gram
+starts merge iff their [p, p+n-1] windows overlap or touch, i.e.
+gap <= n) and reported as span/coverage stats — the numbers a curation
+pipeline cuts on (drop or trim docs whose dup_frac exceeds a budget).
+
+Scale shape: the token arrays never cross a shuffle (repo invariant) —
+the windowed polynomial hash runs in the scan stage and only narrow
+(id, pos, 8-byte gram) rows are exploded.  The gram-frequency aggregate
+is a partial-combined countDistinct on the gram key; the dup-position
+join is a narrow equi-join on the same key (AQE reuses the exchange);
+the island merge is a per-doc window (partitioned by doc id — never a
+global window) whose two window functions share one sort.  Output is
+one row per document with any duplicated span: bounded by |docs|, not
+by |tokens|.
+
+Reference analog: the dedup surface at src/core/utils/deduplicator.rs
+is record-identity dedup; this operator is the token-span refinement a
+training-data pipeline layers on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _P31, _materialize, _windowed_poly
+
+
+def gram_positions(
+    seq: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    base: int = 313,
+    mod: int = _P31,
+) -> DataFrame:
+    """(id, pos, g): polynomial hash of the token n-gram starting at
+    1-based ``pos``, one row per position — computed MAP-SIDE (the
+    vectorized k-pass zip_with of ``_windowed_poly``) so only 8-byte
+    hashes enter downstream shuffles.  Docs shorter than ``n`` cannot
+    contain an n-token duplicated substring and yield no rows."""
+    longs = F.transform(F.col(tokens_col), lambda t: t.cast("long"))
+    grams = F.when(
+        F.size(tokens_col) >= n, _windowed_poly(longs, n, base=base, mod=mod)
+    ).otherwise(F.array().cast("array<long>"))
+    return seq.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "g")
+    ).select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+
+
+def dup_span_stats(
+    seq: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    min_docs: int = 2,
+    reliable: bool = False,
+) -> DataFrame:
+    """Per-document duplicated-span stats over grams appearing in
+    >= ``min_docs`` distinct documents: ``n_spans`` maximal spans,
+    ``dup_tok`` tokens covered (exact interval union — overlapping
+    gram windows are not double-counted), ``max_span`` longest span,
+    ``dup_frac`` = dup_tok / n_tok.  Only docs with at least one
+    duplicated span appear; deterministic ordered by doc id.
+
+    Duplicate-aliased fixture rows (same doc_id, bit-identical
+    content) are harmless by construction: gram frequency counts
+    DISTINCT doc ids, and a tied (id, pos) row lands in the same
+    island (gap 0) without moving its min/max ends."""
+    # Materialized ONCE (same discipline as the near-dup family): the
+    # position table has two consumers (frequency aggregate + dup-
+    # position join) and its producing expression is a large
+    # interpreted-HOF tree — inlining it twice doubles the scan AND
+    # pays the big-tree codegen/planning constant on a 2x plan
+    # (measured 24 s -> 6 s at sf0.01).  Rows are narrow (id, 2 longs);
+    # ``reliable=True`` swaps localCheckpoint for lineage-keeping
+    # DISK_ONLY persist on preemptible capacity.
+    pos = _materialize(
+        gram_positions(seq, id_col=id_col, tokens_col=tokens_col, n=n),
+        reliable,
+    )
+    dup_g = (
+        pos.groupBy("g")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dp = pos.join(dup_g, "g").select("id", "pos")
+    # interval union: windows [p, p+n-1] and [q, q+n-1] (q > p) merge
+    # iff q - p <= n.  Two window functions, one partition sort: the
+    # break flag via lag, then its running sum as the island id.
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    isl = dp.select("id", "pos", brk.alias("brk")).select(
+        "id",
+        "pos",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("isl"),
+    )
+    # hash-partitioned by id already => the (id, isl) and (id) groupBys
+    # below introduce no further exchange
+    spans = isl.groupBy("id", "isl").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + n).alias("dup_tok"),
+        F.max(F.col("e") - F.col("s") + n).alias("max_span"),
+    )
+    lens = seq.groupBy(F.col(id_col).alias("id")).agg(
+        F.max(F.size(tokens_col)).alias("n_tok")
+    )
+    return (
+        per_doc.join(lens, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "dup_tok",
+            "max_span",
+            "n_tok",
+            F.round(F.col("dup_tok") / F.col("n_tok"), 6).alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )
