@@ -2132,6 +2132,79 @@ ORDER BY doc_id
 )
 
 
+def _q_seq_dup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators/spans.py dup_span_trim): cut
+    every cross-doc duplicated 8-gram span and certify the exact
+    trimmed content per doc via an order-sensitive positional checksum.
+    Token arrays never shuffle — they are exploded map-side to narrow
+    (id, pos, token) scalars; anti-join + per-doc rank window + one
+    aggregate, all on 3-long rows."""
+    from bitquery_kafka_streams_rust_spark.operators import spans as SP
+
+    return SP.dup_span_trim(_seq(spark, sf_dir), n=8, min_docs=2)
+
+
+_SQL_SEQ_DUP_TRIM = (
+    _SEQ
+    + """
+, sq AS (
+  SELECT DISTINCT doc_id, tokens, n_tok FROM seq
+), px AS (
+  SELECT doc_id, tokens, unnest(range(1, n_tok - 8 + 2)) AS pos
+  FROM sq WHERE n_tok >= 8
+), pg AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_slice(tokens, CAST(pos AS INTEGER),
+                                     CAST(pos + 7 AS INTEGER)),
+             t -> CAST(t AS BIGINT))), (a, x) -> (a * 313 + x) % 2147483647) AS g
+  FROM px
+), dup_g AS (
+  SELECT g FROM pg GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), dp AS (
+  SELECT DISTINCT pg.doc_id, pg.pos FROM pg JOIN dup_g USING (g)
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS b
+  FROM dp
+), isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS isl
+  FROM brk
+), spn AS (
+  SELECT doc_id, isl, min(pos) AS s, max(pos) AS e FROM isl GROUP BY 1, 2
+), cov AS (
+  SELECT doc_id, unnest(generate_series(s, e + 7)) AS pos FROM spn
+), tk AS (
+  SELECT doc_id, pos, CAST(tokens[CAST(pos AS INTEGER)] AS BIGINT) AS token
+  FROM (SELECT doc_id, tokens,
+               CAST(unnest(range(1, n_tok + 1)) AS BIGINT) AS pos FROM sq)
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.token
+  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+  WHERE cov.pos IS NULL
+), rk AS (
+  SELECT doc_id, token,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+              AS BIGINT) AS newpos
+  FROM kept
+), ka AS (
+  SELECT doc_id, count(*) AS kept_n_tok,
+         CAST(sum(token * newpos) % 2147483647 AS BIGINT) AS kept_checksum
+  FROM rk GROUP BY 1
+)
+SELECT sq.doc_id, CAST(sq.n_tok AS BIGINT) AS n_tok,
+       COALESCE(ka.kept_n_tok, 0) AS kept_n_tok,
+       CAST(sq.n_tok AS BIGINT) - COALESCE(ka.kept_n_tok, 0) AS removed_tok,
+       COALESCE(ka.kept_checksum, 0) AS kept_checksum
+FROM sq LEFT JOIN ka USING (doc_id)
+ORDER BY doc_id
+"""
+)
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -3024,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_lm_score": _shipped(_q_seq_lm_score),
         "seq_token_drift": _shipped(_q_seq_token_drift),
         "seq_dup_spans": _shipped(_q_seq_dup_spans),
+        "seq_dup_trim": _shipped(_q_seq_dup_trim),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3125,6 +3199,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_lm_score": _SQL_SEQ_LM_SCORE,
         "seq_token_drift": _SQL_SEQ_TOKEN_DRIFT,
         "seq_dup_spans": _SQL_SEQ_DUP_SPANS,
+        "seq_dup_trim": _SQL_SEQ_DUP_TRIM,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

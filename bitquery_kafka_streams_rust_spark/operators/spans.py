@@ -56,6 +56,35 @@ def gram_positions(
     ).select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
 
 
+def _dup_spans(pos: DataFrame, *, n: int, min_docs: int) -> DataFrame:
+    """Maximal duplicated spans (id, s, e) from a gram-position table:
+    grams in >= ``min_docs`` distinct docs mark their positions, which
+    merge into islands per doc (gap <= n) via two window functions over
+    one per-doc sort.  ``s``/``e`` are the first/last GRAM STARTS of
+    the span; token coverage is [s, e + n - 1]."""
+    dup_g = (
+        pos.groupBy("g")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dp = pos.join(dup_g, "g").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    isl = dp.select("id", "pos", brk.alias("brk")).select(
+        "id",
+        "pos",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("isl"),
+    )
+    # hash-partitioned by id already => the (id, isl) groupBy below
+    # introduces no further exchange
+    return isl.groupBy("id", "isl").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+
+
 def dup_span_stats(
     seq: DataFrame,
     *,
@@ -88,30 +117,9 @@ def dup_span_stats(
         gram_positions(seq, id_col=id_col, tokens_col=tokens_col, n=n),
         reliable,
     )
-    dup_g = (
-        pos.groupBy("g")
-        .agg(F.countDistinct("id").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("g")
-    )
-    dp = pos.join(dup_g, "g").select("id", "pos")
     # interval union: windows [p, p+n-1] and [q, q+n-1] (q > p) merge
-    # iff q - p <= n.  Two window functions, one partition sort: the
-    # break flag via lag, then its running sum as the island id.
-    w = Window.partitionBy("id").orderBy("pos")
-    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
-    isl = dp.select("id", "pos", brk.alias("brk")).select(
-        "id",
-        "pos",
-        F.sum("brk")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("isl"),
-    )
-    # hash-partitioned by id already => the (id, isl) and (id) groupBys
-    # below introduce no further exchange
-    spans = isl.groupBy("id", "isl").agg(
-        F.min("pos").alias("s"), F.max("pos").alias("e")
-    )
+    # iff q - p <= n.
+    spans = _dup_spans(pos, n=n, min_docs=min_docs)
     per_doc = spans.groupBy("id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + n).alias("dup_tok"),
@@ -129,6 +137,85 @@ def dup_span_stats(
             "max_span",
             "n_tok",
             F.round(F.col("dup_tok") / F.col("n_tok"), 6).alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def dup_span_trim(
+    seq: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    min_docs: int = 2,
+    mod: int = _P31,
+    reliable: bool = False,
+) -> DataFrame:
+    """The dedup ACTION on top of :func:`dup_span_stats` geometry: cut
+    every cross-document duplicated span (Lee et al. 2022 ExactSubstr
+    removal, the drop-all-occurrences variant C4/RefinedWeb-style
+    pipelines apply; keep-one-copy at document granularity is the
+    separate exact-dedup operator).  One row PER DOCUMENT:
+
+    ``n_tok`` original length, ``kept_n_tok`` surviving tokens,
+    ``removed_tok`` = n_tok - kept_n_tok, and ``kept_checksum`` =
+    sum(token * new_position) mod 2^31-1 over the TRIMMED sequence
+    (positions renumbered 1..kept_n_tok) — an order-sensitive
+    certificate of the exact post-trim content, so the oracle check
+    pins token-level behavior without shipping arrays through the
+    comparator.  Untouched docs appear with removed_tok = 0; fully
+    covered docs with kept_n_tok = 0 / checksum 0.
+
+    Scale shape: the token ARRAY never crosses a shuffle — it is
+    exploded map-side into narrow (id, pos, token) scalar rows; the
+    covered-position set is a narrow explode of the span table; the
+    anti-join, rank window, and final aggregate all move 3-long rows,
+    partitioned by doc id (never a global window).  Input rows are
+    first collapsed per doc id (fixture aliases are bit-identical, so
+    first-wins is content-invariant — repo invariant)."""
+    docs = seq.dropDuplicates([id_col])
+    pos = _materialize(
+        gram_positions(docs, id_col=id_col, tokens_col=tokens_col, n=n),
+        reliable,
+    )
+    spans = _dup_spans(pos, n=n, min_docs=min_docs)
+    covered = spans.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("s"), F.col("e") + F.lit(n - 1))
+        ).alias("pos"),
+    )
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.transform(F.col(tokens_col), lambda t: t.cast("long"))).alias(
+            "pos0", "token"
+        ),
+    ).select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+    kept = tok.join(covered, ["id", "pos"], "left_anti")
+    w = Window.partitionBy("id").orderBy("pos")
+    ranked = kept.select(
+        "id", "token", F.row_number().over(w).cast("long").alias("newpos")
+    )
+    kept_agg = ranked.groupBy("id").agg(
+        F.count("*").alias("kept_n_tok"),
+        (F.sum(F.col("token") * F.col("newpos")) % F.lit(mod)).alias(
+            "kept_checksum"
+        ),
+    )
+    lens = docs.select(
+        F.col(id_col).alias("id"), F.size(tokens_col).cast("long").alias("n_tok")
+    )
+    return (
+        lens.join(kept_agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tok",
+            F.coalesce("kept_n_tok", F.lit(0)).alias("kept_n_tok"),
+            (F.col("n_tok") - F.coalesce("kept_n_tok", F.lit(0))).alias(
+                "removed_tok"
+            ),
+            F.coalesce("kept_checksum", F.lit(0)).alias("kept_checksum"),
         )
         .orderBy(id_col)
     )

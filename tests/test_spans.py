@@ -103,3 +103,81 @@ def test_no_token_array_in_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "tokens" not in line, line
+
+
+def _trim_ref(docs, n=8, min_docs=2, mod=2**31 - 1):
+    """Pure-Python reference: gram -> distinct docs, covered positions,
+    trim, positional checksum."""
+    from collections import defaultdict
+
+    P = 2147483647
+    gram_docs = defaultdict(set)
+    grams = {}
+    for d, t in docs.items():
+        gs = []
+        for i in range(len(t) - n + 1):
+            h = 0
+            for x in t[i : i + n]:
+                h = (h * 313 + x) % P
+            gs.append(h)
+            gram_docs[h].add(d)
+        grams[d] = gs
+    out = {}
+    for d, t in docs.items():
+        cov = set()
+        for i, h in enumerate(grams[d]):
+            if len(gram_docs[h]) >= min_docs:
+                cov.update(range(i, i + n))
+        kept = [x for i, x in enumerate(t) if i not in cov]
+        ck = sum(x * (i + 1) for i, x in enumerate(kept)) % mod
+        out[d] = (len(t), len(kept), len(t) - len(kept), ck)
+    return out
+
+
+def test_trim_matches_python_reference(spark):
+    run = list(range(50, 60))
+    docs = {
+        "a": run + [1, 2, 3, 4, 5],
+        "b": [7, 8] + run + [9, 9, 9],
+        "c": [200 + i for i in range(15)],  # untouched
+        "d": list(range(50, 58)),  # fully covered (one shared 8-gram)
+        "tiny": [1, 2],  # shorter than n: untouched by construction
+    }
+    got = {
+        r["doc_id"]: (r["n_tok"], r["kept_n_tok"], r["removed_tok"], r["kept_checksum"])
+        for r in SP.dup_span_trim(_seqs(spark, list(docs.items())), n=8).collect()
+    }
+    assert got == _trim_ref(docs)
+
+
+def test_trim_row_per_doc_and_identities(spark):
+    a = list(range(1, 21))
+    b = [101, 102] + a[4:12] + [201, 202, 203]
+    rows = SP.dup_span_trim(_seqs(spark, [("a", a), ("b", b), ("u", [9] * 3)]), n=8).collect()
+    assert [r["doc_id"] for r in rows] == ["a", "b", "u"]  # ordered, all docs
+    for r in rows:
+        assert r["kept_n_tok"] + r["removed_tok"] == r["n_tok"]
+    assert {r["doc_id"]: r["removed_tok"] for r in rows} == {"a": 8, "b": 8, "u": 0}
+
+
+def test_trim_multiplicity_and_reliable(spark):
+    a = list(range(1, 21))
+    b = [0, 0] + a[4:12] + [201]
+    base = _seqs(spark, [("a", a), ("b", b)])
+    once = sorted(map(tuple, SP.dup_span_trim(base, n=8).collect()))
+    twice = sorted(map(tuple, SP.dup_span_trim(base.union(base), n=8).collect()))
+    durable = sorted(map(tuple, SP.dup_span_trim(base, n=8, reliable=True).collect()))
+    assert once == twice == durable
+
+
+def test_trim_no_token_array_in_exchange(spark):
+    df = _seqs(spark, [("a", list(range(20))), ("b", list(range(5, 25)))])
+    plan = (
+        SP.dup_span_trim(df, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "tokens" not in line, line
