@@ -2612,6 +2612,71 @@ SELECT q_id, c_id, cos_sim, rank FROM (
 """
 
 
+def _q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality evaluation (similarity.py ann_recall): per-query
+    recall@5 of the 6-plane/6-probe LSH index vs exact brute-force ground
+    truth — the metric an index-tuning loop optimizes.  Both sides share
+    the rounded-cosine + (cos DESC, id ASC) tie-break, so the
+    intersection is deterministic and the DuckDB oracle replays it."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    return SIM.ann_recall(emb, q, k=5, n_planes=6, n_probes=6)
+
+
+_SQL_EMB_ANN_RECALL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+ex_scored AS (
+  SELECT qv.q_id, e.vec_id AS c_id,
+         round(list_dot_product(qv.q_vec, e.v) /
+               (sqrt(list_dot_product(qv.q_vec, qv.q_vec)) *
+                sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+  FROM e CROSS JOIN qv WHERE qv.q_id <> e.vec_id
+),
+ex AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, c_id ASC) AS rank
+    FROM ex_scored) WHERE rank <= 5
+),
+sig AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(0, 6), j ->
+             CASE WHEN list_sum(list_transform(range(0, len(v)),
+                      d -> v[CAST(d + 1 AS INTEGER)] *
+                           CAST((j * 1000003 + d * 7919) % 2001 - 1000 AS DOUBLE))) > 0
+                  THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE CAST(0 AS BIGINT) END))
+         AS BIGINT) AS bucket
+  FROM e
+),
+lq0 AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM sig WHERE vec_id < 5),
+lq AS (
+  SELECT q_id, q_vec,
+         CASE WHEN p = 0 THEN bucket
+              ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(p - 1 AS INTEGER)) END AS bucket
+  FROM lq0, LATERAL unnest(range(0, 7)) AS t(p)
+),
+ap_scored AS (
+  SELECT lq.q_id, c.vec_id AS c_id,
+         round(list_dot_product(lq.q_vec, c.v) /
+               (sqrt(list_dot_product(lq.q_vec, lq.q_vec)) *
+                sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+  FROM sig c JOIN lq USING (bucket) WHERE lq.q_id <> c.vec_id
+),
+ap AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, c_id ASC) AS rank
+    FROM ap_scored) WHERE rank <= 5
+)
+SELECT ex.q_id, count(*) AS n_exact,
+       count(ap.c_id) AS n_hit,
+       round(count(ap.c_id) * 1.0 / count(*), 6) AS recall
+FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.c_id = ap.c_id
+GROUP BY ex.q_id ORDER BY ex.q_id
+"""
+
+
 def _q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate NN (similarity.py ivf_topk): deterministic
     hash-sampled centroids inlined as the coarse quantizer, map-side cell
@@ -3098,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_token_drift": _shipped(_q_seq_token_drift),
         "seq_dup_spans": _shipped(_q_seq_dup_spans),
         "seq_dup_trim": _shipped(_q_seq_dup_trim),
+        "emb_ann_recall": _shipped(_q_emb_ann_recall),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3200,6 +3266,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_token_drift": _SQL_SEQ_TOKEN_DRIFT,
         "seq_dup_spans": _SQL_SEQ_DUP_SPANS,
         "seq_dup_trim": _SQL_SEQ_DUP_TRIM,
+        "emb_ann_recall": _SQL_EMB_ANN_RECALL,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

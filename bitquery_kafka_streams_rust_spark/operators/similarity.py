@@ -352,3 +352,55 @@ def quantize_embeddings(
         df2["q"],
         F.round(err, 6).alias("mean_abs_err"),
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_probes: int = 0,
+) -> DataFrame:
+    """ANN index QUALITY evaluation: per-query recall@k of the LSH
+    index (:func:`lsh_topk`) against the exact brute-force ground truth
+    (:func:`brute_force_topk`) — the metric an index-tuning loop (plane
+    count, probe budget) optimizes before committing an index layout at
+    corpus scale.  One row per query: ``n_exact`` ground-truth
+    neighbors found (< k for tiny corpora), ``n_hit`` of them the index
+    returned, ``recall`` = n_hit / n_exact.
+
+    Both sides use the identical rounded-cosine + (cos DESC, id ASC)
+    tie-break, so the intersection is deterministic.  Scale shape: the
+    evaluation query set is small (it rides the same broadcast both
+    operators already use) — the corpus-side cost is one brute-force
+    pass over the eval slice, the accepted price of ground truth; the
+    index side stays the production bucket equi-join."""
+    exact = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = lsh_topk(
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_probes=n_probes,
+    )
+    hit = exact.select("q_id", "c_id").join(
+        approx.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi"
+    )
+    n_exact = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    n_hit = hit.groupBy("q_id").agg(F.count("*").alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )

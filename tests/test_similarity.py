@@ -156,3 +156,25 @@ def test_quantize_embeddings_semantics(spark):
     # reconstruction error bounded by scale/2 per element
     for r in got.values():
         assert r["mean_abs_err"] <= (r["scale"] or 0) / 2 + 1e-9
+
+
+def test_ann_recall_evaluation(spark, sf_dir):
+    """Recall rows: one per query, n_hit <= n_exact, recall in [0,1];
+    a full-probe configuration (probe every Hamming-1 neighbor of a
+    1-plane index = whole space) must achieve recall 1.0; recall is
+    monotone non-decreasing in probe budget on average."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    rows = SIM.ann_recall(emb, q, k=4, n_planes=6, n_probes=6).collect()
+    assert [r["q_id"] for r in rows] == [0, 1, 2]
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_exact"] <= 4
+        assert abs(r["recall"] - round(r["n_hit"] / r["n_exact"], 6)) < 1e-9
+    # 1 plane + probing its flip covers both buckets -> exact recall
+    full = SIM.ann_recall(emb, q, k=4, n_planes=1, n_probes=1).collect()
+    assert all(r["recall"] == 1.0 for r in full)
+    # probing never hurts: mean recall with probes >= without
+    base = SIM.ann_recall(emb, q, k=4, n_planes=6, n_probes=0).collect()
+    probed = {r["q_id"]: r["recall"] for r in rows}
+    for r in base:
+        assert probed[r["q_id"]] >= r["recall"] - 1e-9
