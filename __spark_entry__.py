@@ -2205,6 +2205,66 @@ ORDER BY doc_id
 )
 
 
+def _q_seq_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle example construction (packing.fim_split):
+    deterministic single-span PSM decomposition per doc — span bounds
+    are a pure function of the doc id via the portable Knuth hash
+    (XOR stage salts 5/6), each part certified by the portable
+    positional checksum.  Zero shuffle: map-side slices over the scan."""
+    from bitquery_kafka_streams_rust_spark.operators import packing as PK
+
+    return PK.fim_split(_seq(spark, sf_dir))
+
+
+_SQL_SEQ_FIM_SPLIT = (
+    _SEQ
+    + """
+, sq AS (
+  SELECT DISTINCT doc_id, tokens, n_tok FROM seq WHERE n_tok >= 4
+), b AS (
+  SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(substr(doc_id, 4) AS BIGINT) AS c
+  FROM sq
+), s1 AS (
+  SELECT doc_id, tokens, n_tok,
+         1 + CAST(floor(
+               ((xor(c, 13272178845) % 2147483648) * 2654435761)
+               % 2147483648 / 2147483648.0 * (n_tok - 2)) AS BIGINT)
+           AS mid_len,
+         c
+  FROM b
+), s2 AS (
+  SELECT doc_id, tokens, n_tok, mid_len,
+         2 + CAST(floor(
+               ((xor(c, 15926614614) % 2147483648) * 2654435761)
+               % 2147483648 / 2147483648.0
+               * (n_tok - mid_len - 1)) AS BIGINT)
+           AS mid_start
+  FROM s1
+), parts AS (
+  SELECT doc_id, n_tok, mid_start, mid_len,
+         list_slice(tokens, 1, CAST(mid_start - 1 AS INTEGER)) AS pre,
+         list_slice(tokens, CAST(mid_start AS INTEGER),
+                    CAST(mid_start + mid_len - 1 AS INTEGER)) AS mid,
+         list_slice(tokens, CAST(mid_start + mid_len AS INTEGER),
+                    CAST(n_tok AS INTEGER)) AS suf
+  FROM s2
+)
+SELECT doc_id, n_tok, mid_start, mid_len,
+       CAST(coalesce(list_sum(list_transform(range(1, len(pre) + 1),
+            i -> i * pre[CAST(i AS INTEGER)])), 0) % 2147483648 AS BIGINT)
+         AS prefix_cksum,
+       CAST(coalesce(list_sum(list_transform(range(1, len(mid) + 1),
+            i -> i * mid[CAST(i AS INTEGER)])), 0) % 2147483648 AS BIGINT)
+         AS middle_cksum,
+       CAST(coalesce(list_sum(list_transform(range(1, len(suf) + 1),
+            i -> i * suf[CAST(i AS INTEGER)])), 0) % 2147483648 AS BIGINT)
+         AS suffix_cksum
+FROM parts ORDER BY doc_id
+"""
+)
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -3164,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_dup_spans": _shipped(_q_seq_dup_spans),
         "seq_dup_trim": _shipped(_q_seq_dup_trim),
         "emb_ann_recall": _shipped(_q_emb_ann_recall),
+        "seq_fim_split": _shipped(_q_seq_fim_split),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3267,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_dup_spans": _SQL_SEQ_DUP_SPANS,
         "seq_dup_trim": _SQL_SEQ_DUP_TRIM,
         "emb_ann_recall": _SQL_EMB_ANN_RECALL,
+        "seq_fim_split": _SQL_SEQ_FIM_SPLIT,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

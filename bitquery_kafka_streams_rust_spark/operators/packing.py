@@ -243,3 +243,86 @@ def length_bucket_batches(
             ).alias("pad_frac"),
         )
     )
+
+
+def fim_split(
+    seq: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    id_int: F.Column | None = None,
+    min_len: int = 4,
+) -> DataFrame:
+    """Fill-in-the-middle / span-corruption example construction
+    (Bavarian et al. 2022 FIM; the single-span T5 corruption case):
+    deterministically select one middle span per document and emit the
+    (prefix, middle, suffix) decomposition — the PSM transform an infill
+    pretraining mix applies to a fraction of the corpus.
+
+    Span selection is a pure function of the doc id via the repo's
+    portable Knuth hash (sampling.hash_frac, stages 5/6 — XOR stage
+    salts, so composition with the stage-0..4 sampling/split operators
+    stays decorrelated): ``mid_len`` in [1, n_tok-2] then ``mid_start``
+    in [2, n_tok-mid_len], guaranteeing all three parts are non-empty.
+    Reruns, retries and any cluster size produce the identical
+    decomposition — no RNG state, the property that lets a 100 TB
+    export be resumed mid-way.
+
+    Zero shuffle: everything is a map-side slice over the scan (the
+    orderBy is presentation-only for the oracle check); each part is
+    certified by the portable order-sensitive positional checksum
+    rather than shipping token arrays.  Docs shorter than ``min_len``
+    cannot form three non-empty parts and are excluded (callers pass
+    them through unfragmented).  ``id_int``: integer id expression;
+    defaults to digits of ``doc_id`` after a 3-char prefix (the
+    fixture's 'docN' form)."""
+    from ..functions.tokens import token_checksum
+    from .sampling import hash_frac
+
+    if id_int is None:
+        id_int = F.substring(F.col(id_col), 4, 18).cast("long")
+    n = F.size(tokens_col).cast("long")
+    docs = (
+        seq.dropDuplicates([id_col])
+        .where(F.size(tokens_col) >= min_len)
+        .select(
+            F.col(id_col),
+            F.col(tokens_col),
+            n.alias("n_tok"),
+            id_int.alias("_c"),
+        )
+    )
+    u1 = hash_frac(F.col("_c"), stage=5)
+    u2 = hash_frac(F.col("_c"), stage=6)
+    sel = docs.select(
+        id_col,
+        tokens_col,
+        "n_tok",
+        (F.lit(1) + F.floor(u1 * (F.col("n_tok") - 2))).alias("mid_len"),
+        u2.alias("_u2"),
+    ).select(
+        id_col,
+        tokens_col,
+        "n_tok",
+        "mid_len",
+        (
+            F.lit(2)
+            + F.floor(F.col("_u2") * (F.col("n_tok") - F.col("mid_len") - 1))
+        ).alias("mid_start"),
+    )
+    pre = F.slice(F.col(tokens_col), F.lit(1), F.col("mid_start") - 1)
+    mid = F.slice(F.col(tokens_col), F.col("mid_start"), F.col("mid_len"))
+    suf = F.slice(
+        F.col(tokens_col),
+        F.col("mid_start") + F.col("mid_len"),
+        F.col("n_tok") - F.col("mid_start") - F.col("mid_len") + 1,
+    )
+    return sel.select(
+        id_col,
+        "n_tok",
+        "mid_start",
+        "mid_len",
+        token_checksum(pre).alias("prefix_cksum"),
+        token_checksum(mid).alias("middle_cksum"),
+        token_checksum(suf).alias("suffix_cksum"),
+    ).orderBy(id_col)

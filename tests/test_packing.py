@@ -150,3 +150,42 @@ def test_length_bucket_batches_semantics(spark):
     assert out[("web", 0, 2)]["pad_frac"] == 0.0  # single seq pads nothing
     assert out[("web", 1, 0)]["n_seqs"] == 2 and out[("web", 1, 1)]["n_seqs"] == 1
     assert out[("api", 0, 0)]["n_seqs"] == 1
+
+
+def test_fim_split_matches_python_reference(spark):
+    """fim_split vs a from-scratch Python replica of the stage-salted
+    Knuth hash + slice geometry + positional checksums."""
+    from bitquery_kafka_streams_rust_spark.operators.packing import fim_split
+
+    def ref(c, toks):
+        def frac(stage):
+            base = c ^ ((stage * 0x9E3779B9) % 2**63)
+            return ((base % 2**31) * 2654435761 % 2**31) / 2**31
+
+        n = len(toks)
+        mid_len = 1 + int(frac(5) * (n - 2))
+        mid_start = 2 + int(frac(6) * (n - mid_len - 1))
+        parts = (
+            toks[: mid_start - 1],
+            toks[mid_start - 1 : mid_start - 1 + mid_len],
+            toks[mid_start - 1 + mid_len :],
+        )
+        ck = lambda p: sum((i + 1) * t for i, t in enumerate(p)) % 2**31
+        assert all(parts) and sum(map(len, parts)) == n
+        return (n, mid_start, mid_len) + tuple(ck(p) for p in parts)
+
+    docs = {7: list(range(100, 140)), 23: [3, 1, 4, 1, 5], 900: list(range(7)),
+            12345: [(i * 17) % 50257 for i in range(513)]}
+    df = spark.createDataFrame(
+        [(f"doc{c}", t) for c, t in docs.items()], "doc_id string, tokens array<int>"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["mid_start"], r["mid_len"],
+                      r["prefix_cksum"], r["middle_cksum"], r["suffix_cksum"])
+        for r in fim_split(df).collect()
+    }
+    assert got == {f"doc{c}": ref(c, t) for c, t in docs.items()}
+    # short docs excluded; duplicate-aliased rows collapse
+    tiny = spark.createDataFrame([("doc1", [1, 2, 3])], "doc_id string, tokens array<int>")
+    assert fim_split(tiny).count() == 0
+    assert fim_split(df.union(df)).count() == 4
