@@ -2581,6 +2581,87 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.4 ORDER BY id_a, 
 """
 
 
+def _q_doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup index maintenance (cdc.snapshot_diff →
+    dedup.incremental_minhash_pairs): the verified-pair DELTA the new
+    snapshot adds — probe side banded only for the churn (added/changed
+    keys from the diff), index side the full banded corpus (the stored
+    band index in production).  Same old/new fixture arithmetic as
+    doc_snapshot_diff; oracle = full recompute on the new snapshot
+    filtered to pairs touching a changed doc."""
+    from bitquery_kafka_streams_rust_spark.operators import cdc as CDC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "source", "n_chars")
+    new_meta = docs.where(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    changed = (
+        CDC.snapshot_diff(old, new_meta, ["doc_id"], ["source", "n_chars"])
+        .where(F.col("diff_status") != "removed")
+        .select("doc_id")
+    )
+    new_corpus = docs.where(F.col("doc_id") % 10 != 1)
+    return DD.incremental_minhash_pairs(
+        new_corpus, changed, threshold=0.4, portable=True
+    ).orderBy("id_a", "id_b")
+
+
+# the full-recompute _SQL_MINHASH pipeline restricted to the new
+# snapshot (doc_id%10<>1), with the final pair set filtered to pairs
+# touching a churned key: added (%10=0) or changed (in both, %7=0)
+_SQL_INCR_NEARDUP = """
+WITH cs AS (
+  SELECT doc_id AS id,
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+         length(text) AS n
+  FROM documents WHERE doc_id % 10 <> 1
+), ch AS (
+  SELECT doc_id AS id FROM documents
+  WHERE doc_id % 10 <> 1
+    AND (doc_id % 10 = 0 OR (doc_id % 10 <> 0 AND doc_id % 7 = 0))
+), sh AS (
+  SELECT id, list_distinct(
+      CASE WHEN n < 5 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                            (a, x) -> (a * 313 + x) % 2147483647)]
+      ELSE list_transform(range(1, n - 3),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_slice(codes, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER))),
+                (a, x) -> (a * 313 + x) % 2147483647)) END) AS sset
+  FROM cs
+), sig AS (
+  SELECT id, list_transform(range(0, 64),
+      j -> list_min(list_transform(sset,
+           x -> (x * (2654435761 + j * 40503) + j * 7919 + 7) % 4294967311))) AS sg
+  FROM sh
+), banded AS (
+  SELECT id, sg, band,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_slice(sg, CAST(band * 4 + 1 AS INTEGER), CAST(band * 4 + 4 AS INTEGER))),
+             (a, x) -> (a * 1000003 + x) % 2147483647) AS bh
+  FROM sig, LATERAL unnest(range(0, 16)) AS t(band)
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.sg) AS sig_a, any_value(b.sg) AS sig_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+  GROUP BY 1, 2
+), est AS (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN sig_a[CAST(i AS INTEGER)] = sig_b[CAST(i AS INTEGER)]
+                  THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard
+  FROM cand
+)
+SELECT id_a, id_b, est_jaccard FROM est
+WHERE est_jaccard >= 0.4
+  AND (id_a IN (SELECT id FROM ch) OR id_b IN (SELECT id FROM ch))
+ORDER BY id_a, id_b
+"""
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, portable 32-bit variant (oracle-checked;
     the 64-bit xxhash64 scale path keeps its own pytest)."""
@@ -3225,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_dup_trim": _shipped(_q_seq_dup_trim),
         "emb_ann_recall": _shipped(_q_emb_ann_recall),
         "seq_fim_split": _shipped(_q_seq_fim_split),
+        "doc_incremental_neardup": _shipped(_q_doc_incremental_neardup),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3329,6 +3411,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_dup_trim": _SQL_SEQ_DUP_TRIM,
         "emb_ann_recall": _SQL_EMB_ANN_RECALL,
         "seq_fim_split": _SQL_SEQ_FIM_SPLIT,
+        "doc_incremental_neardup": _SQL_INCR_NEARDUP,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

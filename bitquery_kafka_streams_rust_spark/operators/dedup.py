@@ -167,6 +167,52 @@ def minhash_signature(text: Column, num_hashes: int = 64, portable: bool = False
     )
 
 
+def _banded_sigs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    portable: bool,
+    reliable: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(sig, banded) for the MinHash family: one signature pass total —
+    the sig subplan feeds several branches (band explode + verify
+    joins) and the interpreted-HOF signature is the dominant compute,
+    so it is materialized executor-local instead of recomputed per
+    branch (same pattern as connected_components' per-round
+    checkpoint; ~0.5 KB/row stored, the volume one shuffle of it
+    would spill anyway).  ``banded`` rows are NARROW (id, band,
+    band_hash) — signatures never ride the band-join exchanges."""
+    rows_per_band = num_hashes // bands
+    band_hash = (
+        (lambda sl: _poly_hash(sl, base=1000003))
+        if portable
+        else (lambda sl: F.xxhash64(sl.cast("string")))
+    )
+    sig = _materialize(
+        docs.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(
+                F.col(text_col), num_hashes, portable=portable
+            ).alias("sig"),
+        ),
+        reliable,
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: band_hash(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    return sig, banded
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -192,33 +238,8 @@ def minhash_lsh_pairs(
     band join's key cardinality grows with data so it parallelizes
     across the cluster.  ``portable=True`` swaps xxhash64 for
     polynomial hashes so the whole operator has a DuckDB oracle twin."""
-    rows_per_band = num_hashes // bands
-    band_hash = (
-        (lambda sl: _poly_hash(sl, base=1000003))
-        if portable
-        else (lambda sl: F.xxhash64(sl.cast("string")))
-    )
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, portable=portable).alias("sig"),
-    )
-    # one signature pass total: the sig subplan feeds three branches
-    # (band explode + both verify joins) and the interpreted-HOF
-    # signature is the operator's dominant compute — materialize it
-    # executor-local instead of recomputing per branch (same pattern as
-    # connected_components' per-round checkpoint; ~0.5 KB/row stored,
-    # the volume one shuffle of it would spill anyway)
-    sig = _materialize(sig, reliable)
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: band_hash(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band", "band_hash"),
+    sig, banded = _banded_sigs(
+        docs, id_col, text_col, num_hashes, bands, portable, reliable
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -229,6 +250,64 @@ def minhash_lsh_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    paired = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    return paired.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    changed_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    portable: bool = False,
+    reliable: bool = False,
+) -> DataFrame:
+    """Incremental near-dup index maintenance (CDC × MinHash): the
+    pair DELTA a new corpus snapshot adds — every verified pair with
+    AT LEAST ONE side in ``changed_ids`` (the added/changed keys from
+    :mod:`.cdc` ``snapshot_diff``).  Unchanged-unchanged pairs are
+    exactly the stored pair set from the previous snapshot, so
+    ``stored_pairs − pairs_touching_removed_or_changed + this delta``
+    reproduces a full recompute — without one.  Output is identical to
+    ``minhash_lsh_pairs`` on the new snapshot filtered to pairs
+    touching a changed doc (the oracle's formulation).
+
+    Scale shape: the probe side is banded ONLY for changed docs
+    (|changed| rows ×bands — churn-sized, not corpus-sized); the index
+    side is the full banded corpus, which in production is the STORED
+    band index (bucket-partitioned by (band, band_hash) — recomputed
+    here because this sandbox has no persistent index table).  The
+    band join, pair normalization (least/greatest + dedup) and both
+    verify joins move narrow id/hash rows only; signatures never ride
+    an exchange, same as the full operator."""
+    sig, banded = _banded_sigs(
+        corpus, id_col, text_col, num_hashes, bands, portable, reliable
+    )
+    ch = changed_ids.select(F.col(changed_ids.columns[0]).alias("id")).distinct()
+    probe = banded.join(ch, "id", "left_semi")
+    a, b = probe.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     paired = cand.join(

@@ -297,3 +297,36 @@ def test_semantic_dedup_covers_every_row_once(spark):
     # minimum the set of kept rows is nonempty and ids are preserved
     kept = out.where(F.col("kept")).count()
     assert 0 < kept <= emb.count()
+
+
+def test_incremental_minhash_equals_filtered_full(spark):
+    """The incremental delta == full recompute filtered to pairs
+    touching a changed id; both-changed pairs appear exactly once."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 4),
+            (2, base * 4 + "tail tweak"),       # near-dup of 1
+            (3, base * 4 + "other small edit"),  # near-dup of 1 and 2
+            (4, "completely different content about spark catalyst plans " * 4),
+            (5, "completely different content about spark catalyst plans " * 4 + "!"),
+        ],
+        "doc_id int, text string",
+    )
+    changed = spark.createDataFrame([(2,), (3,)], "doc_id int")
+    full = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.4, portable=True).collect()
+    }
+    expected = {
+        p: v for p, v in full.items() if p[0] in (2, 3) or p[1] in (2, 3)
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in DD.incremental_minhash_pairs(
+            docs, changed, threshold=0.4, portable=True
+        ).collect()
+    }
+    assert got == expected
+    assert (2, 3) in got  # both-changed pair present exactly once
+    assert (4, 5) in full and (4, 5) not in got  # unchanged-unchanged excluded
