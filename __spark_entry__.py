@@ -2038,6 +2038,63 @@ FROM agg ORDER BY doc_id
 )
 
 
+def _q_emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (operators/drift.centroid_drift): per-label
+    centroid cosine + mean-vector L2 shift between two snapshot views of
+    ``embeddings`` (old drops vec_id%10==0, new drops %10==1 — the CDC
+    fixture arithmetic).  Components quantize to an integer grid
+    map-side so per-group sums are order-independent and bit-identical
+    on any engine/partitioning; cosine runs on the integer sum vectors
+    (scale-invariant)."""
+    from bitquery_kafka_streams_rust_spark.operators import drift as DR
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 10 != 0)
+    new = emb.where(F.col("vec_id") % 10 != 1)
+    return DR.centroid_drift(old, new)
+
+
+_SQL_EMB_CENTROID_DRIFT = """
+WITH o AS (SELECT label, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+nw AS (SELECT label, embedding FROM embeddings WHERE vec_id % 10 <> 1),
+oq AS (
+  SELECT label, d, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT label, unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS d FROM o)
+), nq AS (
+  SELECT label, d, CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT label, unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS d FROM nw)
+), ov AS (
+  SELECT label, list(s ORDER BY d) AS sv
+  FROM (SELECT label, d, sum(q) AS s FROM oq GROUP BY 1, 2) GROUP BY label
+), nv AS (
+  SELECT label, list(s ORDER BY d) AS sv
+  FROM (SELECT label, d, sum(q) AS s FROM nq GROUP BY 1, 2) GROUP BY label
+), cnt AS (
+  SELECT ol.label, ol.n AS n_old, nl.n AS n_new
+  FROM (SELECT label, count(*) AS n FROM o GROUP BY 1) ol
+  JOIN (SELECT label, count(*) AS n FROM nw GROUP BY 1) nl USING (label)
+), m AS (
+  SELECT cnt.label, n_old, n_new,
+         list_transform(ov.sv, x -> CAST(x AS DOUBLE)) AS a,
+         list_transform(nv.sv, x -> CAST(x AS DOUBLE)) AS b,
+         list_transform(ov.sv, x -> CAST(x AS DOUBLE) / (n_old * 1000000.0)) AS ma,
+         list_transform(nv.sv, x -> CAST(x AS DOUBLE) / (n_new * 1000000.0)) AS mb
+  FROM cnt JOIN ov ON cnt.label = ov.label JOIN nv ON cnt.label = nv.label
+)
+SELECT label, n_old, n_new,
+       round(list_dot_product(a, b) /
+             (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(b, b))), 6)
+         AS centroid_cos,
+       round(sqrt(list_sum(list_transform(range(1, len(ma) + 1),
+             i -> (ma[CAST(i AS INTEGER)] - mb[CAST(i AS INTEGER)])
+                * (ma[CAST(i AS INTEGER)] - mb[CAST(i AS INTEGER)])))), 6)
+         AS l2_shift
+FROM m ORDER BY label
+"""
+
+
 def _q_seq_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift between two corpus snapshots
     (operators/drift.py): per-token counts + add-0.5-smoothed
@@ -3307,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall": _shipped(_q_emb_ann_recall),
         "seq_fim_split": _shipped(_q_seq_fim_split),
         "doc_incremental_neardup": _shipped(_q_doc_incremental_neardup),
+        "emb_centroid_drift": _shipped(_q_emb_centroid_drift),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3412,6 +3470,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_recall": _SQL_EMB_ANN_RECALL,
         "seq_fim_split": _SQL_SEQ_FIM_SPLIT,
         "doc_incremental_neardup": _SQL_INCR_NEARDUP,
+        "emb_centroid_drift": _SQL_EMB_CENTROID_DRIFT,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

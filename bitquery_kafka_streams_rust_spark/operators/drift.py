@@ -103,3 +103,94 @@ def drift_summary(
         F.sum(F.col("n_old").isNotNull().cast("long")).alias("vocab_old"),
         F.sum(F.col("n_new").isNotNull().cast("long")).alias("vocab_new"),
     )
+
+
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-SPACE drift between two corpus snapshots, per group:
+    the geometric twin of :func:`token_drift` (which watches the token
+    distribution).  For each group: ``centroid_cos`` — cosine between
+    the group's old and new centroid (1.0 = no directional drift) —
+    and ``l2_shift`` — euclidean distance between the mean vectors,
+    plus both side counts.  The embedding-health gate a re-embedding /
+    encoder-upgrade pipeline cuts on before committing a snapshot.
+
+    Exact-parity trick: each component is quantized map-side to an
+    integer grid (``floor(v * scale)``) so the per-group per-dimension
+    SUMS are integer — order-independent and bit-identical on any
+    engine/partitioning (float summation order is not).  Cosine is
+    scale-invariant, so it is computed directly on the integer sum
+    vectors; the mean vectors for ``l2_shift`` divide by the exact
+    ``n * scale``.  Quantization error is bounded by 1/scale per
+    component — measurement noise for drift purposes, and the price of
+    a deterministic, restart-identical metric at 100 TB.
+
+    Scale shape: one narrow (group, dim, q) explode per side feeding a
+    partial-combined integer aggregate — dim-bounded rows per group;
+    the final assembly/compare moves n_groups × dim scalars.  No
+    arrays cross the aggregate shuffle."""
+    def side(df, suffix):
+        q = df.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(
+                F.transform(
+                    F.col(vec_col),
+                    lambda v: F.floor(v.cast("double") * scale).cast("long"),
+                )
+            ).alias("d", "q"),
+        )
+        sums = q.groupBy("g", "d").agg(F.sum("q").alias("s"))
+        vec = sums.groupBy("g").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s"))),
+                lambda st: st["s"],
+            ).alias(f"sv_{suffix}")
+        )
+        n = df.groupBy(F.col(group_col).alias("g")).agg(
+            F.count("*").alias(f"n_{suffix}")
+        )
+        return vec.join(n, "g")
+
+    o, nw = side(old, "old"), side(new, "new")
+    j = o.join(nw, "g")
+    dot = F.aggregate(
+        F.zip_with("sv_old", "sv_new", lambda a, b: a * b),
+        F.lit(0).cast("double"),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.col(c),
+            F.lit(0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    mean = lambda c, nc: F.transform(
+        F.col(c),
+        lambda s: s.cast("double")
+        / (F.col(nc).cast("double") * F.lit(float(scale))),
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                mean("sv_old", "n_old"),
+                mean("sv_new", "n_new"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    return j.select(
+        F.col("g").alias(group_col),
+        "n_old",
+        "n_new",
+        F.round(dot / (nrm("sv_old") * nrm("sv_new")), 6).alias("centroid_cos"),
+        F.round(l2, 6).alias("l2_shift"),
+    ).orderBy(group_col)

@@ -61,3 +61,42 @@ def test_token_drift_no_array_in_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "tokens" not in line
+
+
+def test_centroid_drift_identity_and_known_shift(spark):
+    from bitquery_kafka_streams_rust_spark.operators.drift import centroid_drift
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [1.0, 2.0]), (1, [0.0, 1.0])],
+        "label int, embedding array<float>",
+    )
+    # identical snapshots: no drift
+    same = {r["label"]: r for r in centroid_drift(a, a).collect()}
+    assert all(r["centroid_cos"] == 1.0 and r["l2_shift"] == 0.0 for r in same.values())
+    assert (same[0]["n_old"], same[0]["n_new"]) == (2, 2)
+    # label-0 mean moves from (1.0, 1.0) to (0.0, 1.0): cos = 1/sqrt(2), l2 = 1
+    b = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (0, [0.0, 1.0]), (1, [0.0, 1.0])],
+        "label int, embedding array<float>",
+    )
+    moved = {r["label"]: r for r in centroid_drift(a, b).collect()}
+    assert abs(moved[0]["centroid_cos"] - round(1 / 2**0.5, 6)) < 1e-9
+    assert abs(moved[0]["l2_shift"] - 1.0) < 1e-9
+    assert moved[1]["centroid_cos"] == 1.0 and moved[1]["l2_shift"] == 0.0
+
+
+def test_centroid_drift_partition_invariant(spark):
+    """Integer quantization makes the metric independent of
+    partitioning / summation order."""
+    from bitquery_kafka_streams_rust_spark.operators.drift import centroid_drift
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i % 3, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    r1 = sorted(map(tuple, centroid_drift(df, df.limit(50)).collect()))
+    r2 = sorted(
+        map(tuple, centroid_drift(df.repartition(13), df.limit(50).repartition(3)).collect())
+    )
+    assert r1 == r2
