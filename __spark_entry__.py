@@ -2719,6 +2719,67 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_doc_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming near-dup admission gate
+    (streaming/neardup.probe_index_batch): incoming docs (the %10==0
+    churn) probed against the static band index of the accepted corpus
+    (%10!=0).  The STREAMING form runs the identical plan per
+    micro-batch as a stateless stream-static equi-join — parity +
+    exactly-once resume pinned in tests/test_neardup_stream.py."""
+    from bitquery_kafka_streams_rust_spark.streaming import neardup as ND
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.where(F.col("doc_id") % 10 == 0)
+    index = docs.where(F.col("doc_id") % 10 != 0)
+    return ND.probe_index_batch(probe, index, threshold=0.4, portable=True).orderBy(
+        "probe_id", "index_id"
+    )
+
+
+_SQL_NEARDUP_GATE = """
+WITH cs AS (
+  SELECT doc_id AS id,
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+         length(text) AS n
+  FROM documents
+), sh AS (
+  SELECT id, list_distinct(
+      CASE WHEN n < 5 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                            (a, x) -> (a * 313 + x) % 2147483647)]
+      ELSE list_transform(range(1, n - 3),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_slice(codes, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER))),
+                (a, x) -> (a * 313 + x) % 2147483647)) END) AS sset
+  FROM cs
+), sig AS (
+  SELECT id, list_transform(range(0, 64),
+      j -> list_min(list_transform(sset,
+           x -> (x * (2654435761 + j * 40503) + j * 7919 + 7) % 4294967311))) AS sg
+  FROM sh
+), banded AS (
+  SELECT id, sg, band,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_slice(sg, CAST(band * 4 + 1 AS INTEGER), CAST(band * 4 + 4 AS INTEGER))),
+             (a, x) -> (a * 1000003 + x) % 2147483647) AS bh
+  FROM sig, LATERAL unnest(range(0, 16)) AS t(band)
+), cand AS (
+  SELECT p.id AS probe_id, i.id AS index_id,
+         any_value(p.sg) AS sig_p, any_value(i.sg) AS sig_i
+  FROM banded p JOIN banded i ON p.band = i.band AND p.bh = i.bh
+  WHERE p.id % 10 = 0 AND i.id % 10 <> 0
+  GROUP BY 1, 2
+), est AS (
+  SELECT probe_id, index_id,
+         CAST(list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN sig_p[CAST(i AS INTEGER)] = sig_i[CAST(i AS INTEGER)]
+                  THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard
+  FROM cand
+)
+SELECT probe_id, index_id, est_jaccard FROM est
+WHERE est_jaccard >= 0.4 ORDER BY probe_id, index_id
+"""
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, portable 32-bit variant (oracle-checked;
     the 64-bit xxhash64 scale path keeps its own pytest)."""
@@ -3365,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_fim_split": _shipped(_q_seq_fim_split),
         "doc_incremental_neardup": _shipped(_q_doc_incremental_neardup),
         "emb_centroid_drift": _shipped(_q_emb_centroid_drift),
+        "doc_neardup_gate": _shipped(_q_doc_neardup_gate),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3471,6 +3533,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_fim_split": _SQL_SEQ_FIM_SPLIT,
         "doc_incremental_neardup": _SQL_INCR_NEARDUP,
         "emb_centroid_drift": _SQL_EMB_CENTROID_DRIFT,
+        "doc_neardup_gate": _SQL_NEARDUP_GATE,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

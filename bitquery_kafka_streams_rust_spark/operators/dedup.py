@@ -167,6 +167,25 @@ def minhash_signature(text: Column, num_hashes: int = 64, portable: bool = False
     )
 
 
+def _band_explode(sig_col: Column, num_hashes: int, bands: int, portable: bool) -> Column:
+    """posexplode(per-band hashes of a signature column) — alias the
+    result as ("band", "band_hash").  Shared by the batch MinHash
+    family and the streaming gate so batch and stream probe the SAME
+    index arithmetic."""
+    rows_per_band = num_hashes // bands
+    band_hash = (
+        (lambda sl: _poly_hash(sl, base=1000003))
+        if portable
+        else (lambda sl: F.xxhash64(sl.cast("string")))
+    )
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: band_hash(F.slice(sig_col, b * rows_per_band + 1, rows_per_band)),
+        )
+    )
+
+
 def _banded_sigs(
     docs: DataFrame,
     id_col: str,
@@ -184,12 +203,6 @@ def _banded_sigs(
     checkpoint; ~0.5 KB/row stored, the volume one shuffle of it
     would spill anyway).  ``banded`` rows are NARROW (id, band,
     band_hash) — signatures never ride the band-join exchanges."""
-    rows_per_band = num_hashes // bands
-    band_hash = (
-        (lambda sl: _poly_hash(sl, base=1000003))
-        if portable
-        else (lambda sl: F.xxhash64(sl.cast("string")))
-    )
     sig = _materialize(
         docs.select(
             F.col(id_col).alias("id"),
@@ -201,14 +214,9 @@ def _banded_sigs(
     )
     banded = sig.select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: band_hash(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band", "band_hash"),
+        _band_explode(F.col("sig"), num_hashes, bands, portable).alias(
+            "band", "band_hash"
+        ),
     )
     return sig, banded
 
