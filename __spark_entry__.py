@@ -2719,6 +2719,46 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature alpha-sampling mixture (sampling.temperature_resample,
+    alpha=0.7, budget=corpus size): per-source docs, rate (may exceed 1
+    for upsampled tails) and realized output size under the
+    deterministic stage-7 fractional draw."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rs = SAMP.temperature_resample(docs, alpha=0.7)
+    return (
+        rs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("rate").alias("rate"),
+            F.sum("n_copies").alias("n_out"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_MIX_TEMPERATURE = """
+WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM g),
+w AS (SELECT source, n, pow(n * 1.0 / total, 0.7) AS wv FROM g, t),
+ws AS (SELECT sum(wv) AS wsum FROM w),
+r AS (SELECT source, n, round(total * (wv / wsum) / n, 9) AS rate
+      FROM w, ws, t),
+d AS (
+  SELECT doc.doc_id, doc.source, r.rate,
+         CAST(floor(r.rate) AS INTEGER)
+         + CASE WHEN ((xor(doc.doc_id, 18581050383) % 2147483648)
+                      * 2654435761) % 2147483648 / 2147483648.0
+                     < round(r.rate - floor(r.rate), 9)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents doc JOIN r USING (source)
+)
+SELECT source, count(*) AS n_docs, max(rate) AS rate,
+       CAST(sum(n_copies) AS BIGINT) AS n_out
+FROM d GROUP BY source ORDER BY source
+"""
+
+
 def _q_doc_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming near-dup admission gate
     (streaming/neardup.probe_index_batch): incoming docs (the %10==0
@@ -3427,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_neardup": _shipped(_q_doc_incremental_neardup),
         "emb_centroid_drift": _shipped(_q_emb_centroid_drift),
         "doc_neardup_gate": _shipped(_q_doc_neardup_gate),
+        "doc_mix_temperature": _shipped(_q_doc_mix_temperature),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3534,6 +3575,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_incremental_neardup": _SQL_INCR_NEARDUP,
         "emb_centroid_drift": _SQL_EMB_CENTROID_DRIFT,
         "doc_neardup_gate": _SQL_NEARDUP_GATE,
+        "doc_mix_temperature": _SQL_MIX_TEMPERATURE,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

@@ -352,3 +352,68 @@ def quality_buckets_approx(
     # mirror that instead of letting the CASE fall through to the top
     bucket = F.when(df[score_col].isNull(), F.lit(1)).otherwise(bucket)
     return df.withColumn("bucket", bucket)
+
+
+def temperature_resample(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.7,
+    total_budget: int | None = None,
+    stage: int = 7,
+) -> DataFrame:
+    """Temperature-based domain mixture (the multilingual-LM
+    alpha-sampling rule): target share of group d is
+    ``(n_d/N)^alpha`` renormalized — alpha=1 keeps the natural mix,
+    alpha=0 is uniform, in between flattens head domains and boosts
+    tails.  Unlike :func:`mix_weights` (downsample-only keep
+    fractions), the resulting per-group rate may EXCEED 1: tail
+    domains are upsampled by integer repetition plus a deterministic
+    fractional draw — ``n_copies = floor(r) + [hash_frac(id, stage=7)
+    < frac(r)]`` — so expected output size is ``total_budget``
+    (default: corpus size) and every multiplicity is a pure function
+    of the doc id (restart/cluster-size invariant; stage-7 XOR salt
+    decorrelates from the stage-0..6 operators).
+
+    Scale shape: ONE partial-aggregated groupBy collects n_strata rows
+    of metadata; rates are inlined as literals (a scalar-subquery /
+    1-row-join formulation constant-folds into a BNLJ the plan audit
+    bans — same reasoning as ``mix_weights``); the per-doc multiplicity
+    is a map-side expression.  Callers materialize the mix with
+    ``explode(sequence(1, n_copies))`` on n_copies > 0.
+
+    Rates are rounded to 9 decimals on BOTH engines before the
+    fractional compare so the hash draw is boundary-stable across
+    libm implementations."""
+    rows = df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    n_by_g = {r[group_col]: r["n"] for r in rows}
+    total = sum(n_by_g.values())
+    budget = total if total_budget is None else total_budget
+    if not n_by_g:
+        return df.select(
+            df[id_col], df[group_col],
+            F.lit(0.0).alias("rate"), F.lit(0).alias("n_copies"),
+        )
+    w = {g: (n / total) ** alpha for g, n in n_by_g.items()}
+    wsum = sum(w.values())
+    rate = {
+        g: round(budget * (w[g] / wsum) / n_by_g[g], 9) for g in sorted(n_by_g)
+    }
+    rate_col: Column = F.lit(0.0)
+    base_col: Column = F.lit(0)
+    frac_col: Column = F.lit(0.0)
+    for g in sorted(n_by_g):
+        r = rate[g]
+        rate_col = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate_col)
+        base_col = F.when(F.col(group_col) == g, F.lit(int(r // 1))).otherwise(base_col)
+        frac_col = F.when(
+            F.col(group_col) == g, F.lit(round(r - int(r // 1), 9))
+        ).otherwise(frac_col)
+    draw = hash_frac(df[id_col], stage=stage)
+    return df.select(
+        df[id_col],
+        df[group_col],
+        rate_col.alias("rate"),
+        (base_col + (draw < frac_col).cast("int")).alias("n_copies"),
+    )

@@ -470,3 +470,35 @@ def test_curation_cli_scrub_pii(spark, sf_dir, tmp_path):
     assert scrubbed.count() == spiked.where(F.col("doc_id") % 11 == 0).count()
     assert scrubbed.where(F.col("text").contains("a@b.io")).count() == 0
     assert scrubbed.where(F.col("text").contains("<EMAIL>")).count() == scrubbed.count()
+
+
+def test_temperature_resample_semantics(spark):
+    from bitquery_kafka_streams_rust_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # alpha=1: natural mix — every rate 1.0, every doc exactly once
+    nat = temperature_resample(df, alpha=1.0).collect()
+    assert all(r["rate"] == 1.0 and r["n_copies"] == 1 for r in nat)
+    # alpha=0: uniform target — each group aims at N/k docs
+    uni = temperature_resample(df, alpha=0.0)
+    agg = {
+        r["source"]: (r["rate"], r["n"])
+        for r in uni.groupBy("source")
+        .agg(F.max("rate").alias("rate"), F.sum("n_copies").alias("n"))
+        .collect()
+    }
+    assert abs(agg["big"][0] - 50 / 80) < 1e-9     # downsampled
+    assert abs(agg["small"][0] - 50 / 20) < 1e-9   # upsampled 2.5x
+    assert agg["small"][1] >= 2 * 20               # every small doc >= floor(2.5)
+    # realized size tracks the budget (hash draw is unbiased-ish)
+    total_out = sum(v[1] for v in agg.values())
+    assert abs(total_out - 100) <= 15
+    # deterministic under repartitioning
+    again = {
+        (r["doc_id"], r["n_copies"])
+        for r in temperature_resample(df.repartition(7), alpha=0.0).collect()
+    }
+    assert again == {(r["doc_id"], r["n_copies"]) for r in uni.collect()}
