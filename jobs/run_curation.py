@@ -72,6 +72,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/IPv4s/phones to typed placeholders "
                         "(keeps per-doc counts in pii_email/pii_ip/pii_phone)")
+    p.add_argument("--temperature", type=float, default=None, metavar="ALPHA",
+                   help="alpha-sampling domain mixture: share(source) ~ "
+                        "(n_s/N)^alpha renormalized; tails upsample by "
+                        "deterministic repetition (stage-7 hash)")
     p.add_argument("--shuffle", action="store_true", help="deterministic export order")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -145,6 +149,18 @@ def curate(docs, a: argparse.Namespace):
         # perfectly (every budget survivor would land in the first split).
         docs = SAMP.rebalance_to_mix(
             docs, None, total_budget=a.budget, seed=a.seed, stage=1
+        )
+    if a.temperature is not None:
+        # alpha-sampling mixture AFTER the gates (multiplicities apply
+        # to surviving docs only).  Copies keep the doc_id, so the
+        # stage-2 split below sends every copy of a doc to the SAME
+        # split — an upsampled doc can never leak across train/val.
+        rs = SAMP.temperature_resample(docs, alpha=a.temperature, stage=7)
+        docs = (
+            docs.join(rs.select("doc_id", "n_copies"), "doc_id")
+            .where(F.col("n_copies") > 0)
+            .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+            .drop("n_copies")
         )
     weights = {k: float(v) for k, v in (s.split("=", 1) for s in a.splits)}
     out = SAMP.hash_split(docs, weights, seed=a.seed, stage=2)

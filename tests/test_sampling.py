@@ -502,3 +502,51 @@ def test_temperature_resample_semantics(spark):
         for r in temperature_resample(df.repartition(7), alpha=0.0).collect()
     }
     assert again == {(r["doc_id"], r["n_copies"]) for r in uni.collect()}
+
+
+def test_curation_cli_temperature(spark, sf_dir, tmp_path):
+    """--temperature: tails upsample by repetition; copies of a doc
+    never straddle splits; rerun reproduces the identical export."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    # the sf fixtures are source-uniform (alpha-sampling is an identity
+    # there) — synthesize a skewed corpus: 400 head docs vs 40 tail
+    rows = [
+        (i, f"document body number {i} with some words", "head" if i < 400 else "tail", 40)
+        for i in range(440)
+    ]
+    src_in = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src_in)
+    args = [
+        "--input", src_in,
+        "--temperature", "0.3",
+        "--splits", "train=0.8", "val=0.2",
+    ]
+    rc = J.main([*args, "--output", str(tmp_path / "t1")])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "t1"))
+    # upsampled corpus: tail docs appear more than once, with copy_idx
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.countDistinct("split").alias("ns")
+    )
+    assert per_doc.where(F.col("n") > 1).count() > 0
+    assert per_doc.agg(F.max("ns")).first()[0] == 1  # no cross-split leak
+    # flattening: with alpha=0.3 realized source counts are closer to
+    # uniform than the natural mix
+    src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    nat = {"head": 400, "tail": 40}
+    import statistics
+
+    cv = lambda d: statistics.pstdev(d.values()) / statistics.mean(d.values())
+    assert cv(src) < cv(nat)
+    rc = J.main([*args, "--output", str(tmp_path / "t2")])
+    assert rc == 0
+    key = lambda df: sorted(
+        map(tuple, df.select("doc_id", "copy_idx", "split").collect())
+    )
+    assert key(out) == key(spark.read.parquet(str(tmp_path / "t2")))

@@ -181,3 +181,108 @@ def test_trim_no_token_array_in_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "tokens" not in line, line
+
+
+def test_span_family_randomized_vs_python_reference(spark):
+    """30 seeded random corpora (tiny alphabet -> dense collisions,
+    overlaps, touching islands) evaluated in ONE Spark pass each for
+    stats and trim, compared against independent pure-Python
+    references."""
+    import random
+
+    def stats_ref(docs, n=4, min_docs=2):
+        from collections import defaultdict
+
+        P = 2147483647
+        gd, grams = defaultdict(set), {}
+        for d, t in docs.items():
+            gs = []
+            for i in range(len(t) - n + 1):
+                h = 0
+                for x in t[i : i + n]:
+                    h = (h * 313 + x) % P
+                gs.append(h)
+                gd[h].add(d)
+            grams[d] = gs
+        out = {}
+        for d, t in docs.items():
+            pos = [i for i, h in enumerate(grams[d]) if len(gd[h]) >= min_docs]
+            if not pos:
+                continue
+            spans, s, e = [], pos[0], pos[0]
+            for p in pos[1:]:
+                if p - e > n:
+                    spans.append((s, e))
+                    s = p
+                e = p
+            spans.append((s, e))
+            cov = sum(e - s + n for s, e in spans)
+            out[d] = (
+                len(spans),
+                cov,
+                max(e - s + n for s, e in spans),
+                len(t),
+                round(cov / len(t), 6),
+            )
+        return out
+
+    def trim_ref(docs, n=4):
+        from collections import defaultdict
+
+        P = 2147483647
+        gd, grams = defaultdict(set), {}
+        for d, t in docs.items():
+            gs = []
+            for i in range(len(t) - n + 1):
+                h = 0
+                for x in t[i : i + n]:
+                    h = (h * 313 + x) % P
+                gs.append(h)
+                gd[h].add(d)
+            grams[d] = gs
+        out = {}
+        for d, t in docs.items():
+            cov = set()
+            for i, h in enumerate(grams[d]):
+                if len(gd[h]) >= 2:
+                    cov.update(range(i, i + n))
+            kept = [x for i, x in enumerate(t) if i not in cov]
+            ck = sum(x * (i + 1) for i, x in enumerate(kept)) % (2**31 - 1)
+            out[d] = (len(t), len(kept), len(t) - len(kept), ck)
+        return out
+
+    rng = random.Random(42)
+    all_rows, exp_s, exp_t = [], {}, {}
+    for corpus in range(30):
+        n_docs = rng.randint(2, 6)
+        docs = {}
+        for d in range(n_docs):
+            length = rng.randint(0, 25)
+            docs[f"c{corpus}_d{d}"] = [rng.randint(0, 3) for _ in range(length)]
+        # seed cross-doc duplication in half the corpora
+        if corpus % 2 == 0 and n_docs >= 2:
+            shared = [rng.randint(0, 3) for _ in range(rng.randint(4, 10))]
+            ids = list(docs)
+            for d in rng.sample(ids, 2):
+                at = rng.randint(0, len(docs[d]))
+                docs[d] = docs[d][:at] + shared + docs[d][at:]
+        # grams are corpus-agnostic in the one shared Spark pass, so
+        # give each corpus a disjoint token range (tokens 0-3 -> +10c)
+        # to keep the per-corpus references independent
+        docs = {d: [t + corpus * 10 for t in toks] for d, toks in docs.items()}
+        all_rows += list(docs.items())
+        for d, v in stats_ref(docs).items():
+            exp_s[d] = v
+        for d, v in trim_ref(docs).items():
+            exp_t[d] = v
+    df = _seqs(spark, all_rows)
+    got_stats = {
+        r["doc_id"]: (r["n_spans"], r["dup_tok"], r["max_span"], r["n_tok"], r["dup_frac"])
+        for r in SP.dup_span_stats(df, n=4).collect()
+    }
+    assert got_stats == exp_s
+    got_trim = {
+        r["doc_id"]: (r["n_tok"], r["kept_n_tok"], r["removed_tok"], r["kept_checksum"])
+        for r in SP.dup_span_trim(df, n=4).collect()
+    }
+    assert got_trim == exp_t
