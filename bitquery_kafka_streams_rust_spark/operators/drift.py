@@ -135,29 +135,61 @@ def centroid_drift(
     partial-combined integer aggregate — dim-bounded rows per group;
     the final assembly/compare moves n_groups × dim scalars.  No
     arrays cross the aggregate shuffle."""
-    def side(df, suffix):
-        q = df.select(
-            F.col(group_col).alias("g"),
-            F.posexplode(
-                F.transform(
-                    F.col(vec_col),
-                    lambda v: F.floor(v.cast("double") * scale).cast("long"),
-                )
-            ).alias("d", "q"),
-        )
-        sums = q.groupBy("g", "d").agg(F.sum("q").alias("s"))
-        vec = sums.groupBy("g").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "s"))),
-                lambda st: st["s"],
-            ).alias(f"sv_{suffix}")
-        )
-        n = df.groupBy(F.col(group_col).alias("g")).agg(
-            F.count("*").alias(f"n_{suffix}")
-        )
-        return vec.join(n, "g")
+    o = centroid_side(old, group_col=group_col, vec_col=vec_col, scale=scale, suffix="old")
+    nw = centroid_side(new, group_col=group_col, vec_col=vec_col, scale=scale, suffix="new")
+    return compare_centroid_sides(o, nw, group_col=group_col, scale=scale)
 
-    o, nw = side(old, "old"), side(new, "new")
+
+def quantized_components(
+    df: DataFrame, *, group_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """Map-side (g, d, q) explode of integer-quantized components —
+    the pre-aggregate form shared by the batch operator and the
+    streaming monitor (whose state is the running per-(g, d) sum)."""
+    return df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(v.cast("double") * scale).cast("long"),
+            )
+        ).alias("d", "q"),
+    )
+
+
+def assemble_sums(sums: DataFrame, *, suffix: str) -> DataFrame:
+    """(g, d, s, cnt) per-dimension sums → (g, sv_<suffix>,
+    n_<suffix>): the ordered integer sum vector plus the group row
+    count (``cnt`` is the per-(g, d) row count — identical across a
+    group's dimensions, so ``max`` recovers it)."""
+    return sums.groupBy("g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "s"))),
+            lambda st: st["s"],
+        ).alias(f"sv_{suffix}"),
+        F.max("cnt").alias(f"n_{suffix}"),
+    )
+
+
+def centroid_side(
+    df: DataFrame, *, group_col: str, vec_col: str, scale: int, suffix: str
+) -> DataFrame:
+    """One snapshot side: quantize → per-(g, d) integer sums + count →
+    assembled (g, sum vector, n)."""
+    sums = (
+        quantized_components(df, group_col=group_col, vec_col=vec_col, scale=scale)
+        .groupBy("g", "d")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("cnt"))
+    )
+    return assemble_sums(sums, suffix=suffix)
+
+
+def compare_centroid_sides(
+    o: DataFrame, nw: DataFrame, *, group_col: str, scale: int
+) -> DataFrame:
+    """Join two assembled sides and emit the drift row per group —
+    cosine on the integer sum vectors (scale-invariant), L2 on the
+    exact mean vectors."""
     j = o.join(nw, "g")
     dot = F.aggregate(
         F.zip_with("sv_old", "sv_new", lambda a, b: a * b),
