@@ -2322,6 +2322,54 @@ FROM parts ORDER BY doc_id
 )
 
 
+def _q_seq_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth novelty (drift.novelty_curve): per ingestion batch
+    (5 deterministic doc-id buckets — scale-invariant, every SF
+    populates all batches), distinct 8-grams and grams first seen in
+    that batch — the Heaps-curve numbers a growing corpus is steered
+    by.  Map-side gram hashing; narrow (batch, gram) aggregates only."""
+    from bitquery_kafka_streams_rust_spark.operators import drift as DR
+
+    seq = _seq(spark, sf_dir)
+    c = F.substring(F.col("doc_id"), 4, 18).cast("long")
+    return DR.novelty_curve(seq, (c % 5).cast("long"), n=8)
+
+
+_SQL_SEQ_NOVELTY = (
+    _SEQ
+    + """
+, sq AS (
+  SELECT DISTINCT doc_id, tokens, n_tok FROM seq
+), bt AS (
+  SELECT doc_id, tokens, n_tok,
+         CAST(substr(doc_id, 4) AS BIGINT) % 5 AS b
+  FROM sq
+), px AS (
+  SELECT b, tokens, unnest(range(1, n_tok - 8 + 2)) AS pos
+  FROM bt WHERE n_tok >= 8
+), gr AS (
+  SELECT b,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_slice(tokens, CAST(pos AS INTEGER),
+                                     CAST(pos + 7 AS INTEGER)),
+             t -> CAST(t AS BIGINT))), (a, x) -> (a * 313 + x) % 2147483647) AS g
+  FROM px
+), pb AS (
+  SELECT b, count(*) AS n_pos, count(DISTINCT g) AS n_distinct
+  FROM gr GROUP BY 1
+), fs AS (
+  SELECT g, min(b) AS fb FROM gr GROUP BY 1
+), nb AS (
+  SELECT fb AS b, count(*) AS n_new FROM fs GROUP BY 1
+)
+SELECT CAST(pb.b AS BIGINT) AS batch, n_pos, n_distinct,
+       COALESCE(n_new, 0) AS n_new,
+       round(COALESCE(n_new, 0) * 1.0 / n_distinct, 6) AS novelty_frac
+FROM pb LEFT JOIN nb USING (b) ORDER BY batch
+"""
+)
+
+
 def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 threshold alerting (dex_processor.rs:156-164): rows above the
     lowest alert threshold, tagged with the highest tier they exceed
@@ -3468,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroid_drift": _shipped(_q_emb_centroid_drift),
         "doc_neardup_gate": _shipped(_q_doc_neardup_gate),
         "doc_mix_temperature": _shipped(_q_doc_mix_temperature),
+        "seq_novelty_curve": _shipped(_q_seq_novelty_curve),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3576,6 +3625,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_centroid_drift": _SQL_EMB_CENTROID_DRIFT,
         "doc_neardup_gate": _SQL_NEARDUP_GATE,
         "doc_mix_temperature": _SQL_MIX_TEMPERATURE,
+        "seq_novelty_curve": _SQL_SEQ_NOVELTY,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

@@ -226,3 +226,61 @@ def compare_centroid_sides(
         F.round(dot / (nrm("sv_old") * nrm("sv_new")), 6).alias("centroid_cos"),
         F.round(l2, 6).alias("l2_shift"),
     ).orderBy(group_col)
+
+
+def novelty_curve(
+    seq: DataFrame,
+    batch_col: Column,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+) -> DataFrame:
+    """Corpus-growth novelty: how much genuinely NEW content each
+    ingestion batch adds, measured as token n-grams never seen in any
+    earlier batch (the Heaps'-law growth curve).  The number a
+    continuously-growing pretraining corpus is steered by — a batch
+    whose ``novelty_frac`` collapses is re-crawling what the corpus
+    already has, and the dedup pipeline's ROI lives exactly in
+    ``n_distinct - n_new``.
+
+    Per batch: ``n_pos`` gram positions, ``n_distinct`` distinct grams
+    in the batch, ``n_new`` grams whose FIRST occurrence (min batch) is
+    this batch, ``novelty_frac`` = n_new / n_distinct.
+
+    Scale shape: the same map-side windowed polynomial gram hashing as
+    the span family (token arrays never shuffle — only narrow
+    (batch, gram) rows); two partial-combined aggregates over the gram
+    key (per-batch distincts + global first-seen) and one
+    batch-cardinality-sized join.  No global window: the cumulative
+    curve is the running sum of ``n_new``, derivable by the caller
+    from this batch-count-sized result.  Input rows are collapsed per
+    doc id first (aliased fixture rows are bit-identical)."""
+    from .dedup import _P31, _windowed_poly
+
+    docs = seq.dropDuplicates([id_col]).withColumn("_b", batch_col)
+    longs = F.transform(F.col(tokens_col), lambda t: t.cast("long"))
+    grams = F.when(
+        F.size(tokens_col) >= n, _windowed_poly(longs, n, base=313, mod=_P31)
+    ).otherwise(F.array().cast("array<long>"))
+    g = docs.select(F.col("_b"), F.explode(grams).alias("g"))
+    per_batch = g.groupBy("_b").agg(
+        F.count("*").alias("n_pos"), F.countDistinct("g").alias("n_distinct")
+    )
+    first_seen = g.groupBy("g").agg(F.min("_b").alias("fb"))
+    new_per_batch = first_seen.groupBy(F.col("fb").alias("_b")).agg(
+        F.count("*").alias("n_new")
+    )
+    return (
+        per_batch.join(new_per_batch, "_b", "left")
+        .select(
+            F.col("_b").alias("batch"),
+            "n_pos",
+            "n_distinct",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.round(
+                F.coalesce("n_new", F.lit(0)) / F.col("n_distinct"), 6
+            ).alias("novelty_frac"),
+        )
+        .orderBy("batch")
+    )

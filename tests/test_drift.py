@@ -100,3 +100,51 @@ def test_centroid_drift_partition_invariant(spark):
         map(tuple, centroid_drift(df.repartition(13), df.limit(50).repartition(3)).collect())
     )
     assert r1 == r2
+
+
+def test_novelty_curve_hand_case_and_reference(spark):
+    from bitquery_kafka_streams_rust_spark.operators.drift import novelty_curve
+
+    # batch = doc suffix % 2; grams n=4 over a tiny alphabet
+    docs = {
+        "doc0": [1, 2, 3, 4, 5],          # batch 0: grams {1234, 2345}
+        "doc2": [1, 2, 3, 4],             # batch 0: gram {1234} (dup in-batch)
+        "doc1": [2, 3, 4, 5, 6],          # batch 1: {2345 old, 3456 new}
+        "doc3": [9, 9, 9, 9],             # batch 1: {9999 new}
+    }
+    P = 2147483647
+
+    def gh(t):
+        h = 0
+        for x in t:
+            h = (h * 313 + x) % P
+        return h
+
+    seen = {}
+    expect = {}
+    for b in (0, 1):
+        grams = []
+        for d, t in docs.items():
+            if int(d[3:]) % 2 != b:
+                continue
+            grams += [gh(t[i : i + 4]) for i in range(len(t) - 3)]
+        new = {g for g in set(grams) if g not in seen}
+        expect[b] = (len(grams), len(set(grams)), len(new),
+                     round(len(new) / len(set(grams)), 6))
+        for g in set(grams):
+            seen.setdefault(g, b)
+    df = spark.createDataFrame(list(docs.items()), "doc_id string, tokens array<int>")
+    import pyspark.sql.functions as FX
+
+    batch = FX.substring("doc_id", 4, 4).cast("long") % 2
+    got = {
+        r["batch"]: (r["n_pos"], r["n_distinct"], r["n_new"], r["novelty_frac"])
+        for r in novelty_curve(df, batch, n=4).collect()
+    }
+    assert got == expect
+    # duplicate-aliased rows are collapsed before counting positions
+    got2 = {
+        r["batch"]: (r["n_pos"], r["n_distinct"], r["n_new"], r["novelty_frac"])
+        for r in novelty_curve(df.union(df), batch, n=4).collect()
+    }
+    assert got2 == expect
