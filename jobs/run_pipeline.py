@@ -65,6 +65,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="drop rows with >= this many probable-overlap grams "
                         "(size above grams_per_doc * fill_ratio^k)")
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--health-port", type=int, default=None, metavar="PORT",
+                   help="serve /health /ready /live /metrics /version on "
+                        "this driver-local port (0 = ephemeral)")
     p.add_argument("--continuous", action="store_true",
                    help="run until terminated (default: availableNow then exit)")
     p.add_argument("--master", default=None)
@@ -119,14 +122,24 @@ def main(argv: list[str] | None = None) -> int:
     cfg = build_config(a, spark)
     if a.metrics:
         spark.streams.addListener(JsonMetricsListener(a.metrics))
+    health = None
+    if a.health_port is not None:
+        from bitquery_kafka_streams_rust_spark.streaming.health import HealthServer
+
+        health = HealthServer(spark, port=a.health_port)
+        print(f"[pipeline] health endpoints on port {health.start()}", flush=True)
     rp = P.start_pipeline(
         spark, a.input, cfg, with_rollup=True, available_now=not a.continuous
     )
-    if a.continuous:
-        rp.events_query.awaitTermination()
-    else:
-        rp.process_all()
-        rp.stop()
+    try:
+        if a.continuous:
+            rp.events_query.awaitTermination()
+        else:
+            rp.process_all()
+            rp.stop()
+    finally:
+        if health is not None:
+            health.stop()
     return 0
 
 

@@ -159,6 +159,7 @@ def test_job_cli_end_to_end(spark, tmp_path):
         "--sources", "pumpfun",
         "--min-n-tok", "16",
         "--metrics", str(tmp_path / "metrics.jsonl"),
+        "--health-port", "0",
     ])
     assert rc == 0
     from bitquery_kafka_streams_rust_spark.streaming.sink import read_output
