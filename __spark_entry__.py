@@ -818,6 +818,71 @@ FROM buys b ASOF JOIN clicks c ON b.user_id = c.user_id AND c.ts <= b.ts
 """
 
 
+def _q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (asof.asof_join direction='forward',
+    tolerance_s=3600): each click picks the user's NEXT purchase within
+    an hour — conversion attribution.  Right side pre-aggregated to one
+    row per (user, ts) (min event id) so tie order is engine-invariant;
+    same single-shuffle union-and-carry plan, carry flipped to
+    first(ignorenulls) over the following window."""
+    from bitquery_kafka_streams_rust_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("buy_event_id"))
+    )
+    out = asof_join(
+        clicks,
+        buys,
+        on="user_id",
+        right_cols=["buy_event_id"],
+        direction="forward",
+        tolerance_s=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("buy_event_id_right").alias("buy_event_id"),
+        (
+            F.unix_timestamp(F.col("ts_right")) - F.unix_timestamp(F.col("ts"))
+        ).alias("gap_s"),
+    ).orderBy("event_id")
+
+
+_SQL_EVENTS_ASOF_FWD = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, ts, min(event_id) AS buy_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), u AS (
+  SELECT user_id, ts, 1 AS is_left, event_id,
+         NULL::BIGINT AS buy_event_id, NULL::TIMESTAMP AS buy_ts
+  FROM clicks
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, buy_event_id, ts FROM buys
+), c AS (
+  SELECT *,
+         first_value(buy_event_id IGNORE NULLS) OVER w AS nxt_id,
+         first_value(buy_ts IGNORE NULLS) OVER w AS nxt_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, nxt_id AS buy_event_id,
+       CAST(floor(epoch(nxt_ts)) - floor(epoch(ts)) AS BIGINT) AS gap_s
+FROM c
+WHERE is_left = 1 AND nxt_ts IS NOT NULL
+  AND floor(epoch(nxt_ts)) - floor(epoch(ts)) <= 3600
+ORDER BY event_id
+"""
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gaps-and-islands, 30-min gap) per user →
     histogram of sessions-per-user."""
@@ -3517,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_gate": _shipped(_q_doc_neardup_gate),
         "doc_mix_temperature": _shipped(_q_doc_mix_temperature),
         "seq_novelty_curve": _shipped(_q_seq_novelty_curve),
+        "events_asof_forward": _shipped(_q_events_asof_forward),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3626,6 +3692,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_neardup_gate": _SQL_NEARDUP_GATE,
         "doc_mix_temperature": _SQL_MIX_TEMPERATURE,
         "seq_novelty_curve": _SQL_SEQ_NOVELTY,
+        "events_asof_forward": _SQL_EVENTS_ASOF_FWD,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

@@ -25,10 +25,28 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Inner as-of: left rows with the latest right row where
     ``right.ts <= left.ts`` on the same key.  Left rows with no prior
-    right row are dropped (matching SQL ASOF JOIN)."""
+    right row are dropped (matching SQL ASOF JOIN).
+
+    ``direction='forward'`` flips the pick to the EARLIEST right row
+    at-or-after the left row (next-event semantics: the purchase that
+    follows a click); ``tolerance_s`` bounds the staleness/lookahead —
+    matches farther than that many seconds are dropped, like
+    ``pd.merge_asof(tolerance=...)``.  Both variants keep the same
+    single-shuffle union-and-carry plan (the forward carry is
+    ``first(ignorenulls)`` over the FOLLOWING window; at equal ts the
+    right row sorts eligible on both directions — inclusive bounds).
+
+    Determinism note: ties among right rows at the same (key, ts) are
+    carried as one atomic struct but their mutual order is input order —
+    pre-aggregate the right side to one row per (key, ts) when exact
+    replay matters (the contract query does)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     lcols = left.columns
     l = left.select(
@@ -47,14 +65,31 @@ def asof_join(
         F.lit(None).cast(left.select(F.struct(*lcols).alias("s")).schema["s"].dataType).alias("_l"),
         F.struct(right_ts, *right_cols).alias("_r"),
     )
-    # right rows sort before left rows at equal ts (<=-semantics)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_is_left"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = l.unionByName(r).withColumn("_carried", F.last("_r", ignorenulls=True).over(w))
+    if direction == "backward":
+        # right rows sort before left rows at equal ts (<=-semantics)
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts"), F.col("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = F.last("_r", ignorenulls=True).over(w)
+    else:
+        # right rows sort AFTER left rows at equal ts so the current
+        # row's following window still sees an equal-ts right row
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts"), F.col("_is_left").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carry = F.first("_r", ignorenulls=True).over(w)
+    carried = l.unionByName(r).withColumn("_carried", carry)
     out = carried.where((F.col("_is_left") == 1) & F.col("_carried").isNotNull())
+    if tolerance_s is not None:
+        gap = F.unix_timestamp(F.col(f"_carried.{right_ts}")) - F.unix_timestamp(
+            F.col("_ts")
+        )
+        gap = gap if direction == "forward" else -gap
+        out = out.where(gap <= tolerance_s)
     sel = [F.col(f"_l.{c}").alias(c) for c in lcols] + [
         F.col(f"_carried.{right_ts}").alias(f"{right_ts}{suffix}")
     ] + [F.col(f"_carried.{c}").alias(f"{c}{suffix}") for c in right_cols]
