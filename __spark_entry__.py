@@ -732,6 +732,44 @@ SELECT n_copies, count(*) AS n_groups FROM g GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup (text.normalize_text → md5 groupBy):
+    casefold + punctuation/whitespace canonicalization before
+    fingerprinting, the production exact-dedup key (byte identity
+    misses trivial variants).  Output: copies histogram PLUS the
+    normalization's own effect — docs whose normalized form differs
+    from the raw text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = docs.select(
+        "doc_id",
+        TX.fingerprint_md5(TX.normalize_text(F.col("text"))).alias("fp"),
+        (TX.normalize_text(F.col("text")) != F.col("text")).cast("long").alias("chg"),
+    )
+    hist = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count("*").alias("n_groups"))
+    )
+    changed = fp.agg(F.sum("chg").alias("n_changed")).collect()[0][0] or 0
+    return hist.select(
+        "n_copies", "n_groups", F.lit(int(changed)).alias("n_normalized_docs")
+    ).orderBy("n_copies")
+
+
+_SQL_DOC_DEDUP_NORM = """
+WITH nz AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt, text
+  FROM documents
+), g AS (
+  SELECT md5(nt) AS fp, count(*) AS n_copies FROM nz GROUP BY 1
+), ch AS (SELECT count(*) AS n_changed FROM nz WHERE nt <> text)
+SELECT n_copies, count(*) AS n_groups,
+       (SELECT n_changed FROM ch) AS n_normalized_docs
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
 # -- embeddings / similarity ---------------------------------------------------
 
 
@@ -3583,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mix_temperature": _shipped(_q_doc_mix_temperature),
         "seq_novelty_curve": _shipped(_q_seq_novelty_curve),
         "events_asof_forward": _shipped(_q_events_asof_forward),
+        "doc_dedup_normalized": _shipped(_q_doc_dedup_normalized),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3693,6 +3732,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mix_temperature": _SQL_MIX_TEMPERATURE,
         "seq_novelty_curve": _SQL_SEQ_NOVELTY,
         "events_asof_forward": _SQL_EVENTS_ASOF_FWD,
+        "doc_dedup_normalized": _SQL_DOC_DEDUP_NORM,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

@@ -92,6 +92,16 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(text)
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical form for NORMALIZED exact dedup — how production
+    exact-dedup actually keys (byte-identity misses trivial variants):
+    casefold, collapse every non-alphanumeric run to one space, trim.
+    Deliberately ASCII-simple so the regex is portable across engines
+    (Java regex and DuckDB RE2 agree; DuckDB needs the 'g' flag —
+    kept in lockstep in the oracle)."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
 def rolling_hash(text: Column, base: int = 257, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over character codes, computed JVM-side
     with aggregate over the char array — the document-fingerprint op.

@@ -90,3 +90,31 @@ def test_pii_scrub_and_counts(spark):
     assert out[2]["s"] == rows[1][1]  # untouched
     assert (out[3]["n_email"], out[3]["n_ip"]) == (2, 1)
     assert out[3]["s"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_normalize_text_collapses_variants(spark):
+    from bitquery_kafka_streams_rust_spark.functions.text import (
+        fingerprint_md5,
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "HELLO---WORLD"),
+            (4, "  hello   world  "),
+            (5, "hello worlds"),  # genuinely different
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("nt"),
+        fingerprint_md5(normalize_text(F.col("text"))).alias("fp"),
+    ).collect()
+    nts = {r["doc_id"]: r["nt"] for r in out}
+    fps = {r["doc_id"]: r["fp"] for r in out}
+    assert nts[1] == nts[2] == nts[3] == nts[4] == "hello world"
+    assert len({fps[1], fps[2], fps[3], fps[4]}) == 1
+    assert fps[5] != fps[1]
