@@ -732,6 +732,55 @@ SELECT n_copies, count(*) AS n_groups FROM g GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage QA (dedup.split_leakage_report): held-out docs
+    sharing >=2 word 3-grams with any train doc under the standard
+    90/5/5 hash split — the audit a pipeline runs before trusting eval
+    numbers (near-dups leak eval content into train unless dedup ran
+    first).  Split labels ride the gram index map-side (pure function
+    of the id); train grams equi-join on the gram key, never broadcast
+    (corpus-sized, unlike decontaminate's tiny eval set)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.split_leakage_report(
+        docs,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        n=3,
+        min_shared=2,
+        hash_grams=False,
+    )
+
+
+_SQL_DOC_SPLIT_LEAKAGE = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN h < 0.9 THEN 'train' WHEN h < 0.95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, text,
+               (doc_id * 2654435761) % 2147483648 / 2147483648.0 AS h
+        FROM documents)
+), g AS (
+  SELECT doc_id AS id, split, unnest(list_distinct(
+     CASE WHEN len(string_split_regex(lower(text), '\s+')) < 3
+          THEN [lower(text)]
+          ELSE list_transform(range(0, len(string_split_regex(lower(text), '\s+')) - 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(text), '\s+'),
+                                               i + 1, i + 3), ' ')) END)) AS gr
+  FROM s
+), tg AS (SELECT DISTINCT gr FROM g WHERE split = 'train'),
+o AS (
+  SELECT id, split, count(*) AS n_shared
+  FROM g JOIN tg USING (gr) WHERE split <> 'train' GROUP BY 1, 2
+), c AS (
+  SELECT split, count(*) AS n_leaked FROM o WHERE n_shared >= 2 GROUP BY 1
+), d AS (
+  SELECT split, count(*) AS n_docs FROM s WHERE split <> 'train' GROUP BY 1
+)
+SELECT d.split, n_docs, COALESCE(n_leaked, 0) AS n_leaked,
+       round(COALESCE(n_leaked, 0) * 1.0 / n_docs, 6) AS leak_frac
+FROM d LEFT JOIN c USING (split) ORDER BY split
+"""
+
+
 def _q_doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized exact dedup (text.normalize_text → md5 groupBy):
     casefold + punctuation/whitespace canonicalization before
@@ -3622,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_novelty_curve": _shipped(_q_seq_novelty_curve),
         "events_asof_forward": _shipped(_q_events_asof_forward),
         "doc_dedup_normalized": _shipped(_q_doc_dedup_normalized),
+        "doc_split_leakage": _shipped(_q_doc_split_leakage),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3733,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_novelty_curve": _SQL_SEQ_NOVELTY,
         "events_asof_forward": _SQL_EVENTS_ASOF_FWD,
         "doc_dedup_normalized": _SQL_DOC_DEDUP_NORM,
+        "doc_split_leakage": _SQL_DOC_SPLIT_LEAKAGE,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

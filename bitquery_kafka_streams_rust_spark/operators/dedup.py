@@ -872,3 +872,74 @@ def bloom_hit_count(
         )
 
     return F.size(F.filter(grams, probe_all))
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_split: str = "train",
+    n: int = 3,
+    min_shared: int = 2,
+    seed: int = 0,
+    stage: int = 0,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Split-leakage QA: after a hash split, how much held-out content
+    the TRAIN side already contains — held-out docs sharing >=
+    ``min_shared`` distinct word n-grams with any train doc.  The
+    check a training pipeline runs before trusting its eval numbers:
+    a random split of a near-dup-heavy corpus leaks eval content into
+    train (the reason dedup runs BEFORE splitting), and this reports
+    exactly how much.  Distinct from :func:`decontaminate`, which
+    guards against an EXTERNAL benchmark; this audits the internal
+    split itself.
+
+    One row per non-train split: ``n_docs``, ``n_leaked`` (docs over
+    the gram threshold), ``leak_frac``.
+
+    Scale shape: the split label is a pure map-side function of the id
+    (``sampling.hash_split``), so it is attached to the gram index
+    rows for free — no doc-table re-join; train grams are distinct-ed
+    and equi-joined on the gram key (corpus-sized index side, same
+    narrow-join discipline as ``ngram_jaccard_pairs`` — NOT broadcast,
+    unlike decontaminate's tiny eval set)."""
+    from .sampling import hash_split
+
+    s = hash_split(docs, weights, id_col=id_col, seed=seed, stage=stage)
+    grams = hash_split(
+        word_gram_index(s, id_col=id_col, text_col=text_col, n=n, hash_grams=hash_grams),
+        weights,
+        id_col="id",
+        seed=seed,
+        stage=stage,
+    )
+    train_g = grams.where(F.col("split") == train_split).select("g").distinct()
+    held = grams.where(F.col("split") != train_split)
+    leaked = (
+        held.join(train_g, "g")
+        .groupBy("id", "split")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    totals = (
+        s.where(F.col("split") != train_split)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        totals.join(leaked, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+            F.round(
+                F.coalesce("n_leaked", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("leak_frac"),
+        )
+        .orderBy("split")
+    )

@@ -330,3 +330,36 @@ def test_incremental_minhash_equals_filtered_full(spark):
     assert got == expected
     assert (2, 3) in got  # both-changed pair present exactly once
     assert (4, 5) in full and (4, 5) not in got  # unchanged-unchanged excluded
+
+
+def test_split_leakage_report_semantics(spark):
+    """A held-out doc replicating train content is flagged; unique
+    held-out content is not."""
+    frac = lambda i: (i * 2654435761 % 2**31) / 2**31
+    train_ids = [i for i in range(200) if frac(i) < 0.9]
+    val_ids = [i for i in range(200) if 0.9 <= frac(i) < 0.95]
+    assert len(train_ids) >= 2 and len(val_ids) >= 2
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (train_ids[0], shared),
+        (train_ids[1], "one two three four five six seven"),
+        (val_ids[0], shared + " extra tail"),          # leaks: >=2 shared 3-grams
+        (val_ids[1], "unique held out words nothing common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["split"]: (r["n_docs"], r["n_leaked"], r["leak_frac"])
+        for r in DD.split_leakage_report(
+            df, {"train": 0.9, "val": 0.05, "test": 0.05}, n=3, min_shared=2
+        ).collect()
+    }
+    assert out["val"] == (2, 1, 0.5)
+    # scale path (hashed grams) agrees with the portable path
+    out_h = {
+        r["split"]: (r["n_docs"], r["n_leaked"])
+        for r in DD.split_leakage_report(
+            df, {"train": 0.9, "val": 0.05, "test": 0.05},
+            n=3, min_shared=2, hash_grams=True,
+        ).collect()
+    }
+    assert out_h["val"] == (2, 1)
