@@ -535,6 +535,56 @@ SELECT event_type, count(*) AS n FROM d WHERE rn = 1 GROUP BY event_type ORDER B
 # -- TPC-H-ish relational operators -------------------------------------------
 
 
+def _q_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (§2.7): selective 3-table join — segment-filtered
+    customers ⋈ date-filtered orders ⋈ shipdate-filtered lineitem →
+    per-order revenue → top 10.  Exercises Catalyst join
+    ordering/broadcast choice + pushdown of all three filters to the
+    scans + TakeOrderedAndProject for the bounded sort."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_date", "l_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_Q3 = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_date, o_orderpriority
+ORDER BY revenue DESC, o_date, l_orderkey
+LIMIT 10
+"""
+
+
 def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-agg with 8 aggregates (§2.6)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -3672,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_forward": _shipped(_q_events_asof_forward),
         "doc_dedup_normalized": _shipped(_q_doc_dedup_normalized),
         "doc_split_leakage": _shipped(_q_doc_split_leakage),
+        "q3_shipping_priority": _shipped(_q_q3_shipping),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3784,6 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_forward": _SQL_EVENTS_ASOF_FWD,
         "doc_dedup_normalized": _SQL_DOC_DEDUP_NORM,
         "doc_split_leakage": _SQL_DOC_SPLIT_LEAKAGE,
+        "q3_shipping_priority": _SQL_Q3,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,
