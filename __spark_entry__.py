@@ -585,6 +585,54 @@ LIMIT 10
 """
 
 
+def _q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region→nation→customer/supplier→
+    orders→lineitem) with the same-nation correlation — revenue per
+    ASIA nation for one order year.  The deepest join-reordering
+    exercise in the contract: Catalyst broadcast-chains the filtered
+    dims and leaves the fact join shuffled."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    r = rd("region").where(F.col("r_name") == "ASIA")
+    n = rd("nation").join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    s = rd("supplier").join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+    c = rd("customer")
+    o = rd("orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = rd("lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            c,
+            (o["o_custkey"] == c["c_custkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_SQL_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
 def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-agg with 8 aggregates (§2.6)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -3723,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_normalized": _shipped(_q_doc_dedup_normalized),
         "doc_split_leakage": _shipped(_q_doc_split_leakage),
         "q3_shipping_priority": _shipped(_q_q3_shipping),
+        "q5_local_supplier": _shipped(_q_q5_local_supplier),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3836,6 +3885,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_normalized": _SQL_DOC_DEDUP_NORM,
         "doc_split_leakage": _SQL_DOC_SPLIT_LEAKAGE,
         "q3_shipping_priority": _SQL_Q3,
+        "q5_local_supplier": _SQL_Q5,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,
