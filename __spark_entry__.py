@@ -633,6 +633,49 @@ GROUP BY n_name ORDER BY revenue DESC, n_name
 """
 
 
+def _q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: a grouped HAVING drives a semi-join back into
+    the fact/dim join — orders whose total quantity exceeds a threshold,
+    with customer attribution.  The aggregate-filter subplan reuses the
+    lineitem scan; the qualifying-key set joins broadcast (it is
+    selectivity-bounded), never as a correlated subquery."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .where(F.col("total_qty") > 120)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_SQL_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 4) > 120
+)
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       round(o_totalprice, 4) AS o_totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
 def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-agg with 8 aggregates (§2.6)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -3772,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_leakage": _shipped(_q_doc_split_leakage),
         "q3_shipping_priority": _shipped(_q_q3_shipping),
         "q5_local_supplier": _shipped(_q_q5_local_supplier),
+        "q18_large_orders": _shipped(_q_q18_large_orders),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3886,6 +3930,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_leakage": _SQL_DOC_SPLIT_LEAKAGE,
         "q3_shipping_priority": _SQL_Q3,
         "q5_local_supplier": _SQL_Q5,
+        "q18_large_orders": _SQL_Q18,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,
