@@ -245,6 +245,60 @@ def length_bucket_batches(
     )
 
 
+def fim_bounds(
+    seq: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    id_int: F.Column | None = None,
+    min_len: int = 4,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic FIM span geometry per doc (the shared half of
+    :func:`fim_split` and the export job's fim mode): one row per doc
+    with ``n_tok``, ``mid_len`` in [1, n_tok-2] and ``mid_start`` in
+    [2, n_tok-mid_len] — all three parts guaranteed non-empty; a pure
+    map-side function of the doc id (portable Knuth hash, XOR stage
+    salts 5/6).  Docs shorter than ``min_len`` yield no row;
+    ``keep_cols`` pass through untouched."""
+    from .sampling import hash_frac
+
+    if id_int is None:
+        id_int = F.substring(F.col(id_col), 4, 18).cast("long")
+    n = F.size(tokens_col).cast("long")
+    docs = (
+        seq.dropDuplicates([id_col])
+        .where(F.size(tokens_col) >= min_len)
+        .select(
+            F.col(id_col),
+            F.col(tokens_col),
+            n.alias("n_tok"),
+            id_int.alias("_c"),
+            *keep_cols,
+        )
+    )
+    u1 = hash_frac(F.col("_c"), stage=5)
+    u2 = hash_frac(F.col("_c"), stage=6)
+    return docs.select(
+        id_col,
+        tokens_col,
+        "n_tok",
+        (F.lit(1) + F.floor(u1 * (F.col("n_tok") - 2))).alias("mid_len"),
+        u2.alias("_u2"),
+        *keep_cols,
+    ).select(
+        id_col,
+        tokens_col,
+        "n_tok",
+        "mid_len",
+        (
+            F.lit(2)
+            + F.floor(F.col("_u2") * (F.col("n_tok") - F.col("mid_len") - 1))
+        ).alias("mid_start"),
+        *keep_cols,
+    )
+
+
 def fim_split(
     seq: DataFrame,
     *,
@@ -277,38 +331,9 @@ def fim_split(
     defaults to digits of ``doc_id`` after a 3-char prefix (the
     fixture's 'docN' form)."""
     from ..functions.tokens import token_checksum
-    from .sampling import hash_frac
 
-    if id_int is None:
-        id_int = F.substring(F.col(id_col), 4, 18).cast("long")
-    n = F.size(tokens_col).cast("long")
-    docs = (
-        seq.dropDuplicates([id_col])
-        .where(F.size(tokens_col) >= min_len)
-        .select(
-            F.col(id_col),
-            F.col(tokens_col),
-            n.alias("n_tok"),
-            id_int.alias("_c"),
-        )
-    )
-    u1 = hash_frac(F.col("_c"), stage=5)
-    u2 = hash_frac(F.col("_c"), stage=6)
-    sel = docs.select(
-        id_col,
-        tokens_col,
-        "n_tok",
-        (F.lit(1) + F.floor(u1 * (F.col("n_tok") - 2))).alias("mid_len"),
-        u2.alias("_u2"),
-    ).select(
-        id_col,
-        tokens_col,
-        "n_tok",
-        "mid_len",
-        (
-            F.lit(2)
-            + F.floor(F.col("_u2") * (F.col("n_tok") - F.col("mid_len") - 1))
-        ).alias("mid_start"),
+    sel = fim_bounds(
+        seq, id_col=id_col, tokens_col=tokens_col, id_int=id_int, min_len=min_len
     )
     pre = F.slice(F.col(tokens_col), F.lit(1), F.col("mid_start") - 1)
     mid = F.slice(F.col(tokens_col), F.col("mid_start"), F.col("mid_len"))

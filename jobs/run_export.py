@@ -69,7 +69,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     src.add_argument("--input", help="sequences parquet (doc_id, tokens, n_tok, source, ts)")
     src.add_argument("--sf-dir", help="derive the sequences view from this testdata dir")
     p.add_argument("--output", required=True)
-    p.add_argument("--mode", choices=["chunk", "pack"], default="chunk")
+    p.add_argument("--mode", choices=["chunk", "pack", "fim"], default="chunk")
+    p.add_argument("--fim-rate", type=float, default=1.0,
+                   help="fim mode: fraction of eligible docs transformed to "
+                        "PSM (stage-8 hash draw); the rest export verbatim")
     p.add_argument("--context-len", type=int, default=2048)
     p.add_argument("--overlap", type=int, default=0, help="chunk mode: window overlap")
     p.add_argument("--shuffle", action="store_true", help="deterministic export order")
@@ -115,6 +118,52 @@ def build_examples(spark, seq, a: argparse.Namespace):
             F.array(
                 F.lit(0).cast("long"), F.col("chunk_len").cast("long")
             ).alias("cu_seqlens"),
+        ), deduped
+    if a.mode == "fim":
+        # PSM infill examples (Bavarian et al. FIM): an eligible doc
+        # (>= 4 tokens, stage-8 hash draw < --fim-rate) is rearranged
+        # [PRE] prefix [SUF] suffix [MID] middle with sentinel ids just
+        # past the vocab (GPT-style 50257..50259); everything else
+        # exports verbatim.  Both the eligibility draw and the span
+        # geometry (packing.fim_bounds, stage-5/6 hashes) are pure
+        # map-side functions of the doc id — zero shuffle, resumable.
+        PRE, SUF, MID = 50257, 50258, 50259
+        from bitquery_kafka_streams_rust_spark.operators.sampling import hash_frac
+
+        cid = F.substring(F.col("doc_id"), 4, 18).cast("long")
+        is_fim = (F.size("tokens") >= 4) & (
+            hash_frac(cid, stage=8) < F.lit(float(a.fim_rate))
+        )
+        plain = deduped.where(~is_fim).select(
+            F.concat("doc_id", F.lit("#raw")).alias("example_id"),
+            "tokens",
+            F.col("n_tok").cast("int").alias("n_tok"),
+            "source",
+        )
+        b = PK.fim_bounds(deduped.where(is_fim), keep_cols=("source",))
+        sent = lambda t: F.array(F.lit(t).cast("integer"))
+        pre = F.slice(F.col("tokens"), F.lit(1), F.col("mid_start") - 1)
+        mid = F.slice(F.col("tokens"), F.col("mid_start"), F.col("mid_len"))
+        suf = F.slice(
+            F.col("tokens"),
+            F.col("mid_start") + F.col("mid_len"),
+            F.col("n_tok") - F.col("mid_start") - F.col("mid_len") + 1,
+        )
+        fimmed = b.select(
+            F.concat("doc_id", F.lit("#fim")).alias("example_id"),
+            F.concat(sent(PRE), pre, sent(SUF), suf, sent(MID), mid).alias(
+                "tokens"
+            ),
+            (F.col("n_tok") + 3).cast("int").alias("n_tok"),
+            "source",
+        )
+        return (
+            plain.unionByName(fimmed)
+            .withColumn(
+                "cu_seqlens",
+                F.array(F.lit(0).cast("long"), F.col("n_tok").cast("long")),
+            )
+            .select("example_id", "tokens", "n_tok", "source", "cu_seqlens")
         ), deduped
     # pack: bin metadata first (bounded pandas groups), then materialize
     # each bin by joining the member docs' tokens back and flattening in

@@ -185,3 +185,57 @@ def test_export_cu_seqlens_boundaries(spark, sf_dir, tmp_path):
     packed = spark.read.parquet(str(tmp_path / "pack"))
     multi = packed.where(F.size("cu_seqlens") > 2).limit(1).collect()
     assert multi, "expected at least one multi-doc bin"
+
+
+def test_export_fim_mode_structure_and_parity(spark, sf_dir, tmp_path):
+    """fim mode: every deduped doc exports exactly once (#fim or #raw);
+    #fim examples decode back to the exact PSM parts that
+    packing.fim_split certifies via checksums; --fim-rate gates the
+    transform deterministically."""
+    from bitquery_kafka_streams_rust_spark.operators.packing import fim_split
+
+    rc = X.main([
+        "--sf-dir", sf_dir, "--output", str(tmp_path / "f"),
+        "--mode", "fim", "--fim-rate", "0.5",
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "f")).collect()
+    ded = {r["doc_id"]: list(r["tokens"]) for r in _deduped(spark, sf_dir).collect()}
+    ids = [r["example_id"] for r in out]
+    assert len(ids) == len(ded) and len(set(ids)) == len(ids)
+    PRE, SUF, MID = 50257, 50258, 50259
+    cks = lambda p: sum((i + 1) * t for i, t in enumerate(p)) % 2**31
+    expect = {
+        r["doc_id"]: (r["mid_start"], r["mid_len"],
+                      r["prefix_cksum"], r["middle_cksum"], r["suffix_cksum"])
+        for r in fim_split(
+            spark.createDataFrame(list(ded.items()), "doc_id string, tokens array<int>")
+        ).collect()
+    }
+    n_fim = 0
+    for r in out:
+        doc_id, kind = r["example_id"].rsplit("#", 1)
+        toks = list(r["tokens"])
+        assert list(r["cu_seqlens"]) == [0, r["n_tok"]] and r["n_tok"] == len(toks)
+        if kind == "raw":
+            assert toks == ded[doc_id]
+            continue
+        n_fim += 1
+        assert toks[0] == PRE and toks.count(SUF) == 1 and toks.count(MID) == 1
+        i_suf, i_mid = toks.index(SUF), toks.index(MID)
+        pre, suf, mid = toks[1:i_suf], toks[i_suf + 1 : i_mid], toks[i_mid + 1 :]
+        ms, ml, pc, mc, sc = expect[doc_id]
+        assert (cks(pre), cks(mid), cks(suf)) == (pc, mc, sc)
+        assert len(pre) == ms - 1 and len(mid) == ml
+        assert pre + mid + suf == ded[doc_id]
+    # rate 0.5 split both ways; rate 0 -> all raw
+    assert 0 < n_fim < len(ded)
+    rc = X.main([
+        "--sf-dir", sf_dir, "--output", str(tmp_path / "f0"),
+        "--mode", "fim", "--fim-rate", "0",
+    ])
+    assert rc == 0
+    assert all(
+        r["example_id"].endswith("#raw")
+        for r in spark.read.parquet(str(tmp_path / "f0")).select("example_id").collect()
+    )
