@@ -3161,6 +3161,85 @@ WHERE est_jaccard >= 0.4 ORDER BY probe_id, index_id
 """
 
 
+def _q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph (operators/graph.pagerank):
+    canonical-document centrality — 5 power iterations, rank rounded
+    to 9 decimals per iteration on BOTH engines so the float
+    trajectory replays bit-identically (the oracle unrolls the same
+    five steps).  Edges are the portable MinHash pairs."""
+    from bitquery_kafka_streams_rust_spark.operators import graph as GR
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.4, portable=True)
+    return GR.pagerank(pairs, n_iter=5)
+
+
+_SQL_DOC_PAGERANK = """
+WITH cs AS (
+  SELECT doc_id AS id,
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+         length(text) AS n
+  FROM documents
+), sh AS (
+  SELECT id, list_distinct(
+      CASE WHEN n < 5 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                            (a, x) -> (a * 313 + x) % 2147483647)]
+      ELSE list_transform(range(1, n - 3),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_slice(codes, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER))),
+                (a, x) -> (a * 313 + x) % 2147483647)) END) AS sset
+  FROM cs
+), sig AS (
+  SELECT id, list_transform(range(0, 64),
+      j -> list_min(list_transform(sset,
+           x -> (x * (2654435761 + j * 40503) + j * 7919 + 7) % 4294967311))) AS sg
+  FROM sh
+), banded AS (
+  SELECT id, sg, band,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_slice(sg, CAST(band * 4 + 1 AS INTEGER), CAST(band * 4 + 4 AS INTEGER))),
+             (a, x) -> (a * 1000003 + x) % 2147483647) AS bh
+  FROM sig, LATERAL unnest(range(0, 16)) AS t(band)
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.sg) AS sig_a, any_value(b.sg) AS sig_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+  GROUP BY 1, 2
+), est AS (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN sig_a[CAST(i AS INTEGER)] = sig_b[CAST(i AS INTEGER)]
+                  THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard
+  FROM cand
+), pr_pairs AS MATERIALIZED (
+  -- MATERIALIZED: e0 is referenced by all five unrolled iterations;
+  -- inlining would re-run the whole MinHash subplan per iteration
+  SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.4
+), e0 AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS t FROM pr_pairs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM pr_pairs
+), deg AS (SELECT s, count(*) AS deg FROM e0 GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+p0 AS (SELECT s AS id, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM deg),
+p1 AS (SELECT t AS id, round((1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * sum(pr / deg), 9) AS pr
+       FROM e0 JOIN deg USING (s) JOIN p0 ON p0.id = e0.s GROUP BY t),
+p2 AS (SELECT t AS id, round((1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * sum(pr / deg), 9) AS pr
+       FROM e0 JOIN deg USING (s) JOIN p1 ON p1.id = e0.s GROUP BY t),
+p3 AS (SELECT t AS id, round((1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * sum(pr / deg), 9) AS pr
+       FROM e0 JOIN deg USING (s) JOIN p2 ON p2.id = e0.s GROUP BY t),
+p4 AS (SELECT t AS id, round((1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * sum(pr / deg), 9) AS pr
+       FROM e0 JOIN deg USING (s) JOIN p3 ON p3.id = e0.s GROUP BY t),
+p5 AS (SELECT t AS id, round((1 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * sum(pr / deg), 9) AS pr
+       FROM e0 JOIN deg USING (s) JOIN p4 ON p4.id = e0.s GROUP BY t)
+SELECT id, round(pr, 6) AS pr FROM p5 ORDER BY id
+"""
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, portable 32-bit variant (oracle-checked;
     the 64-bit xxhash64 scale path keeps its own pytest)."""
@@ -3816,6 +3895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _shipped(_q_q3_shipping),
         "q5_local_supplier": _shipped(_q_q5_local_supplier),
         "q18_large_orders": _shipped(_q_q18_large_orders),
+        "doc_pagerank": _shipped(_q_doc_pagerank),
         "seq_filter": _shipped(_q_seq_filter),
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
@@ -3931,6 +4011,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": _SQL_Q3,
         "q5_local_supplier": _SQL_Q5,
         "q18_large_orders": _SQL_Q18,
+        "doc_pagerank": _SQL_DOC_PAGERANK,
         "cep_followed_by": _SQL_CEP_FOLLOWED_BY,
         "cep_not_followed_by": _SQL_CEP_NOT_FOLLOWED_BY,
         "cep_chain": _SQL_CEP_CHAIN,

@@ -1,0 +1,43 @@
+"""PageRank over the near-dup graph (operators/graph.py)."""
+
+from __future__ import annotations
+
+from bitquery_kafka_streams_rust_spark.operators.graph import pagerank
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_pagerank_two_node_fixed_point(spark):
+    # symmetric pair: uniform 1/2 is the exact fixed point of every
+    # iteration (0.075 + 0.85*0.5 = 0.5), so ranks stay 0.5 exactly
+    out = {r["id"]: r["pr"] for r in pagerank(_pairs(spark, [(1, 2)])).collect()}
+    assert out == {1: 0.5, 2: 0.5}
+
+
+def test_pagerank_star_center_dominates(spark):
+    # undirected star 0-1, 0-2, 0-3: the hub out-ranks the leaves,
+    # leaves tie, total mass sums to ~1 (no dangling nodes)
+    out = {r["id"]: r["pr"] for r in pagerank(_pairs(spark, [(0, 1), (0, 2), (0, 3)])).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[1] == out[2] == out[3] < out[0]
+    assert abs(sum(out.values()) - 1.0) < 1e-3
+    # reliable materialization path is value-identical
+    rel = {
+        r["id"]: r["pr"]
+        for r in pagerank(_pairs(spark, [(0, 1), (0, 2), (0, 3)]), reliable=True).collect()
+    }
+    assert rel == out
+
+
+def test_pagerank_partition_invariant_and_empty(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = list({(rng.randint(0, 20), rng.randint(21, 40)) for _ in range(40)})
+    df = _pairs(spark, rows)
+    a = sorted(map(tuple, pagerank(df).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(13)).collect()))
+    assert a == b  # per-iteration rounding pins the float trajectory
+    assert pagerank(_pairs(spark, [])).count() == 0
