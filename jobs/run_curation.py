@@ -76,6 +76,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="alpha-sampling domain mixture: share(source) ~ "
                         "(n_s/N)^alpha renormalized; tails upsample by "
                         "deterministic repetition (stage-7 hash)")
+    p.add_argument("--audit-leakage", action="store_true",
+                   help="add a split-leakage audit to the manifest: held-out "
+                        "docs sharing >=2 word 3-grams with any train doc")
     p.add_argument("--shuffle", action="store_true", help="deterministic export order")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -195,7 +198,33 @@ def main(argv: list[str] | None = None) -> int:
         for nm in names
         if int(got[f"n_{nm}"] or 0) > 0
     }
-    print(json.dumps({"output": a.output, "splits": stats}, sort_keys=True))
+    manifest = {"output": a.output, "splits": stats}
+    if a.audit_leakage:
+        # the audit a pipeline runs before trusting eval numbers: after
+        # all curation stages, does the split still leak train content
+        # into the held-out sides?  Same seed/stage as the actual split
+        # (labels match the export); distinct doc_ids so --temperature
+        # repetitions don't inflate gram counts.
+        from bitquery_kafka_streams_rust_spark.operators.dedup import (
+            split_leakage_report,
+        )
+
+        weights = {k: float(v) for k, v in (s.split("=", 1) for s in a.splits)}
+        audit = split_leakage_report(
+            out.select("doc_id", "text").dropDuplicates(["doc_id"]),
+            weights,
+            seed=a.seed,
+            stage=2,
+        )
+        manifest["leakage"] = {
+            r["split"]: {
+                "n_docs": r["n_docs"],
+                "n_leaked": r["n_leaked"],
+                "leak_frac": r["leak_frac"],
+            }
+            for r in audit.collect()
+        }
+    print(json.dumps(manifest, sort_keys=True))
     return 0
 
 

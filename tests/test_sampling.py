@@ -550,3 +550,25 @@ def test_curation_cli_temperature(spark, sf_dir, tmp_path):
         map(tuple, df.select("doc_id", "copy_idx", "split").collect())
     )
     assert key(out) == key(spark.read.parquet(str(tmp_path / "t2")))
+
+
+def test_curation_cli_leakage_audit(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    rc = J.main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--output", str(tmp_path / "la"),
+        "--splits", "train=0.9", "val=0.05", "test=0.05",
+        "--audit-leakage",
+    ])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    m = _json.loads(line)
+    assert set(m["leakage"]) <= {"val", "test"}
+    for v in m["leakage"].values():
+        assert 0 <= v["n_leaked"] <= v["n_docs"]
+        assert abs(v["leak_frac"] - round(v["n_leaked"] / v["n_docs"], 6)) < 1e-9
