@@ -2129,8 +2129,8 @@ def _q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DOC_WEIGHTED_SAMPLE = """
 WITH w AS (
   SELECT doc_id, source, n_chars,
-         pow((((doc_id + 71) % 2147483648) * 2654435761 % 2147483648)
-             / 2147483648.0, 1.0 / n_chars) AS pri
+         round(pow((((doc_id + 71) % 2147483648) * 2654435761 % 2147483648)
+                   / 2147483648.0, 1.0 / n_chars), 12) AS pri
   FROM documents WHERE n_chars > 0
 ), top AS (SELECT * FROM w ORDER BY pri DESC, doc_id LIMIT 25)
 SELECT doc_id, source, n_chars FROM top ORDER BY doc_id
@@ -3843,14 +3843,109 @@ SELECT col_name, n_rows, n_nonnull, n_distinct, min_s, max_s FROM n, (
 """
 
 
+def _q_doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words quality-classifier gate (functions/text.py
+    classifier_logit/score) — the FineWeb-Edu / DCLM-style curation
+    scoring stage: words hash into 256 buckets (polynomial char-code
+    hash, the repo's portable _poly_hash twin), bucket weights come
+    from the Knuth multiplicative lattice (dyadic rationals, so the
+    bag sum is EXACT in double arithmetic), logit = mean weight,
+    score = sigmoid of the rounded logit.  Pure map-side scan work —
+    zero shuffle, zero Python — the plan that survives 100 TB.
+    Reference analog: the scoring gate in
+    src/processors/dex_processor.rs:179-223."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        TX.classifier_logit(F.col("text")).alias("logit"),
+        TX.classifier_score(F.col("text")).alias("score"),
+    ).orderBy("doc_id")
+
+
+_SQL_DOC_CLASSIFIER = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), b AS (
+  SELECT doc_id, length(words) AS nw,
+         list_transform(words, w ->
+           ((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(w, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                 (a, x) -> (a * 313 + x) % 2147483647) % 256) + 1)
+             * 2654435761) % 2147483648) / 2147483648.0 - 0.5) AS wts
+  FROM w
+), lg AS (
+  SELECT doc_id,
+         round(coalesce(list_sum(wts), 0.0)
+               / CAST(greatest(nw, 1) AS DOUBLE), 6) AS logit
+  FROM b
+)
+SELECT doc_id, logit, round(1.0 / (1.0 + exp(-logit)), 6) AS score
+FROM lg ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
-    # FIRST ~50 entries only, so the least-driver-verified queries (the
-    # doc_* block added late in round 3, plus anything new this round)
-    # sit immediately after the flagship; long-green early-round queries
-    # (driver-green in r01-r03) take the tail positions.
+    # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
+    # sits right behind the flagship, then the 45 r01-r03 queries the
+    # r04 sweep could not capture (they are now the least-driver-
+    # verified set and code moved under several of them in r04); the 49
+    # queries driver-green in CORRECTNESS_r04.json take the tail.
     return {
         "flagship_pipeline": _shipped(flagship),
+        # --- new in round 5 ---
+        "doc_classifier_score": _shipped(_q_doc_classifier_score),
+        # --- r01-r03 set: rotate back into the driver window ---
+        "seq_sliding_window": _shipped(_q_seq_sliding),
+        "seq_salted_agg": _shipped(_q_seq_salted),
+        "seq_shard_join": _shipped(_q_seq_shard_join),
+        "seq_decode_roundtrip": _shipped(_q_seq_decode),
+        "events_filter": _shipped(_q_events_filter),
+        "events_rollup_share": _shipped(_q_events_rollup),
+        "events_rate": _shipped(_q_events_rate),
+        "events_json_accessor": _shipped(_q_events_json),
+        "events_percentiles": _shipped(_q_events_percentiles),
+        "events_dedup_window": _shipped(_q_events_dedup_window),
+        "q1_pricing_summary": _shipped(_q_q1_pricing),
+        "join_enrich_broadcast": _shipped(_q_join_enrich),
+        "semi_anti_membership": _shipped(_q_semi_anti),
+        "doc_quality_langid": _shipped(_q_doc_quality),
+        "doc_dedup_exact": _shipped(_q_doc_dedup_exact),
+        "emb_cosine_topk": _shipped(_q_emb_topk),
+        "seq_session_window": _shipped(_q_seq_session),
+        "events_asof_join": _shipped(_q_events_asof),
+        "events_sessionize": _shipped(_q_events_sessionize),
+        "set_ops_users": _shipped(_q_set_ops),
+        "cube_returnflag_status": _shipped(_q_cube_rollup),
+        "pivot_linestatus": _shipped(_q_pivot),
+        "doc_fingerprint": _shipped(_q_doc_fingerprint),
+        "doc_ngram_jaccard": _shipped(_q_doc_jaccard),
+        "token_transfer_extract": _shipped(_q_token_transfer),
+        "protobuf_decode_extract": _shipped(_q_protobuf_decode),
+        "block_tx_extract": _shipped(_q_block_tx),
+        "dex_trade_extract": _shipped(_q_dex_trade),
+        "events_usd_tiers": _shipped(_q_events_usd_tiers),
+        "events_alerts": _shipped(_q_events_alerts),
+        "topic_route_counts": _shipped(_q_topic_route),
+        "dex_trades_exploded": _shipped(_q_dex_trades_exploded),
+        "ids_base58": _shipped(_q_ids_base58),
+        "cep_followed_by": _shipped(_q_cep_followed_by),
+        "cep_not_followed_by": _shipped(_q_cep_not_followed_by),
+        "seq_entropy_filter": _shipped(_q_seq_entropy),
+        "seq_chunking": _shipped(_q_seq_chunking),
+        "seq_packing": _shipped(_q_seq_packing),
+        "mm_feature_extract": _shipped(_q_mm_features),
+        "mm_frame_sample": _shipped(_q_mm_frames),
+        "minhash_lsh_pairs": _shipped(_q_minhash_pairs),
+        "simhash_pairs": _shipped(_q_simhash_pairs),
+        "emb_lsh_ann": _shipped(_q_emb_lsh_ann),
+        "emb_ivf_ann": _shipped(_q_emb_ivf_ann),
+        "doc_train_split": _shipped(_q_doc_train_split),
+        # --- r04 set: driver-green in CORRECTNESS_r04.json ---
         "doc_stratified_sample": _shipped(_q_doc_stratified_sample),
         "doc_shuffle_export": _shipped(_q_doc_shuffle_export),
         "emb_neardup_pairs": _shipped(_q_emb_neardup_pairs),
@@ -3900,57 +3995,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_dedup": _shipped(_q_seq_dedup),
         "seq_token_stats": _shipped(_q_seq_token_stats),
         "seq_topk": _shipped(_q_seq_topk),
-        "seq_sliding_window": _shipped(_q_seq_sliding),
-        "seq_salted_agg": _shipped(_q_seq_salted),
-        "seq_shard_join": _shipped(_q_seq_shard_join),
-        "seq_decode_roundtrip": _shipped(_q_seq_decode),
-        "events_filter": _shipped(_q_events_filter),
-        "events_rollup_share": _shipped(_q_events_rollup),
-        "events_rate": _shipped(_q_events_rate),
-        "events_json_accessor": _shipped(_q_events_json),
-        "events_percentiles": _shipped(_q_events_percentiles),
-        "events_dedup_window": _shipped(_q_events_dedup_window),
-        "q1_pricing_summary": _shipped(_q_q1_pricing),
-        "join_enrich_broadcast": _shipped(_q_join_enrich),
-        "semi_anti_membership": _shipped(_q_semi_anti),
-        "doc_quality_langid": _shipped(_q_doc_quality),
-        "doc_dedup_exact": _shipped(_q_doc_dedup_exact),
-        "emb_cosine_topk": _shipped(_q_emb_topk),
-        "seq_session_window": _shipped(_q_seq_session),
-        "events_asof_join": _shipped(_q_events_asof),
-        "events_sessionize": _shipped(_q_events_sessionize),
-        "set_ops_users": _shipped(_q_set_ops),
-        "cube_returnflag_status": _shipped(_q_cube_rollup),
-        "pivot_linestatus": _shipped(_q_pivot),
-        "doc_fingerprint": _shipped(_q_doc_fingerprint),
-        "doc_ngram_jaccard": _shipped(_q_doc_jaccard),
-        "token_transfer_extract": _shipped(_q_token_transfer),
-        "protobuf_decode_extract": _shipped(_q_protobuf_decode),
-        "block_tx_extract": _shipped(_q_block_tx),
-        "dex_trade_extract": _shipped(_q_dex_trade),
-        "events_usd_tiers": _shipped(_q_events_usd_tiers),
-        "events_alerts": _shipped(_q_events_alerts),
-        "topic_route_counts": _shipped(_q_topic_route),
-        "dex_trades_exploded": _shipped(_q_dex_trades_exploded),
-        "ids_base58": _shipped(_q_ids_base58),
-        "cep_followed_by": _shipped(_q_cep_followed_by),
-        "cep_not_followed_by": _shipped(_q_cep_not_followed_by),
-        "seq_entropy_filter": _shipped(_q_seq_entropy),
-        "seq_chunking": _shipped(_q_seq_chunking),
-        "seq_packing": _shipped(_q_seq_packing),
-        "mm_feature_extract": _shipped(_q_mm_features),
-        "mm_frame_sample": _shipped(_q_mm_frames),
-        "minhash_lsh_pairs": _shipped(_q_minhash_pairs),
-        "simhash_pairs": _shipped(_q_simhash_pairs),
-        "emb_lsh_ann": _shipped(_q_emb_lsh_ann),
-        "emb_ivf_ann": _shipped(_q_emb_ivf_ann),
-        "doc_train_split": _shipped(_q_doc_train_split),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_pipeline": _FLAGSHIP_SQL,
+        "doc_classifier_score": _SQL_DOC_CLASSIFIER,
         "seq_filter": _SQL_SEQ_FILTER,
         "seq_dedup": _SQL_SEQ_DEDUP,
         "seq_token_stats": _SQL_SEQ_TOKEN_STATS,

@@ -250,3 +250,73 @@ def scrub_pii(text: Column) -> Column:
     out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, PII_IPV4, "<IP>")
     return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+# -- hashed bag-of-words quality classifier (FineWeb-Edu / DCLM shape) --------
+#
+# The standard LLM-curation scoring gate: a linear model over a hashed
+# bag-of-words (the "hashing trick"), evaluated ENTIRELY map-side — one
+# logit per document, no vocabulary table, no shuffle, no Python.  At
+# 100 TB this is a pure scan stage like quality_score above.  The weight
+# vector here is a deterministic pseudo-random lattice (a stand-in for
+# trained weights — swapping in real ones is a literal-array change);
+# what the oracle certifies is the feature hashing + dot-product
+# plumbing, which is the part that has to be exactly reproducible
+# across engines and reruns.  Reference analog: the per-event scoring
+# gate in src/processors/dex_processor.rs:179-223 (score, then cut).
+#
+# Portability: word buckets use the repo's polynomial char-code hash
+# (base 313 mod 2^31-1, the _poly_hash twin) and bucket weights the
+# Knuth multiplicative hash ((j+1)*2654435761 mod 2^31)/2^31 - 0.5 —
+# every weight is a dyadic rational k/2^31, so the bag sum is EXACT in
+# double arithmetic (no summation-order hazard at all); the single
+# rounding happens at the final divide, identically on both engines.
+
+_CLS_BASE = 313
+_CLS_P31 = 2147483647  # polynomial-hash modulus (2^31 - 1)
+_CLS_KNUTH = 2654435761
+_CLS_MOD = 2**31
+
+
+def _cls_words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def _cls_bucket(word: Column, dim: int) -> Column:
+    codes = F.transform(
+        F.filter(F.split(word, ""), lambda ch: F.length(ch) > 0),
+        lambda ch: F.ascii(ch).cast("long"),
+    )
+    h = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, x: (acc * _CLS_BASE + x) % F.lit(_CLS_P31),
+    )
+    return h % F.lit(dim)
+
+
+def classifier_logit(text: Column, *, dim: int = 256, bias: float = 0.0) -> Column:
+    """Mean hashed-BoW weight + bias, rounded to 6 dp (the raw linear
+    score a curation pipeline thresholds on).  dim = hashing-trick
+    bucket count; collisions are part of the model, as in any hashed
+    linear classifier."""
+    words = _cls_words(text)
+    wts = F.transform(
+        words,
+        lambda w: (
+            ((_cls_bucket(w, dim) + 1) * F.lit(_CLS_KNUTH)) % F.lit(_CLS_MOD)
+        ).cast("double")
+        / F.lit(float(_CLS_MOD))
+        - F.lit(0.5),
+    )
+    s = F.aggregate(wts, F.lit(0.0), lambda acc, x: acc + x)
+    return F.round(
+        F.lit(float(bias)) + s / F.greatest(F.size(words), F.lit(1)).cast("double"), 6
+    )
+
+
+def classifier_score(text: Column, *, dim: int = 256, bias: float = 0.0) -> Column:
+    """Sigmoid of the (already-rounded) logit, rounded to 6 dp — both
+    engines exponentiate the identical double (the lm_score
+    exp-of-rounded float-parity convention)."""
+    lg = classifier_logit(text, dim=dim, bias=bias)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-lg)), 6)

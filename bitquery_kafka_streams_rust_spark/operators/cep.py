@@ -243,16 +243,21 @@ def _nfb_match(
 ):
     """Per-key kernel for ``not_followed_by_stream``.
 
-    State = the pending A events (id, ts).  Resolution is two-sided:
+    State = the pending A events (id, ts).  Resolution:
 
-    - a B arrives → every pending A (all strictly earlier in the sorted
-      batch order) resolves NOW: suppressed when ``b_ts - a_ts <=
-      gap_s`` (the pattern matched), emitted when the B came too late
-      (the batch form's next_b_ts > gap case) — no waiting for the
-      watermark when the evidence is already in hand;
-    - the event-time watermark passes ``a_ts + gap_s`` with no B seen →
-      the timer fires (Spark invokes the group with ``hasTimedOut``)
-      and the A is emitted with no B at all.
+    - an IN-GAP B arrives (``0 <= b_ts - a_ts <= gap_s``) → the pattern
+      matched: every pending A it covers is suppressed and cleared;
+    - ABSENCE is certified only by the event-time watermark passing
+      ``a_ts + gap_s`` (either the timer firing — Spark invokes the
+      group with ``hasTimedOut`` — or the watermark loop below on a
+      data-carrying invocation).  A too-late B (``b_ts - a_ts >
+      gap_s``) proves NOTHING by itself under out-of-order arrival: an
+      in-gap B may still arrive in a later micro-batch while the
+      watermark is < a_ts + gap (not yet late-droppable), so the A
+      stays pending — its timer deadline already covers it.  Emitting
+      on the too-late B (the pre-round-5 behavior) produced false
+      alerts the batch twin never emits whenever an in-gap B trailed a
+      later-stamped B across micro-batches.
 
     Emits (key, a_id, a_ts) — the alert identity; the batch form's
     next_b_ts diagnostic column has no stable meaning under streaming
@@ -289,11 +294,14 @@ def _nfb_match(
                 pending.append((int(ids[pos]), int(ts_us[pos])))
             elif types[pos] == type_b:
                 b_us = int(ts_us[pos])
-                for aid, aus in pending:
-                    if b_us - aus > gap_us:
-                        emit(aid, aus)  # B exists but came too late
-                    # else: matched within gap -> suppressed
-                pending = []
+                # in-gap B → matched, suppress; strictly-earlier or
+                # too-late B → keep the A pending (see docstring: only
+                # the watermark certifies absence)
+                pending = [
+                    (aid, aus)
+                    for aid, aus in pending
+                    if not (0 <= b_us - aus <= gap_us)
+                ]
     # expire pending A's the watermark has passed (covers both the
     # timed-out invocation and late watermark advancement with data)
     wm_us = state.getCurrentWatermarkMs() * 1000
@@ -332,11 +340,14 @@ def not_followed_by_stream(
     """Streaming twin of ``not_followed_by`` — the canonical CEP
     timeout/absence pattern (the reference's alert path,
     ``src/processors/dex_processor.rs:156-164``, fires on a condition;
-    this fires on the ABSENCE of one): emit A when the event-time
-    watermark passes ``a_ts + gap_s`` with no matching B, or as soon
-    as a too-late B proves the miss.  Requires ``withWatermark`` on
-    ``ts_col`` upstream (EventTimeTimeout needs a watermark).  State
-    is O(pending A's per key); every resolution path clears it."""
+    this fires on the ABSENCE of one): emit A once the event-time
+    watermark passes ``a_ts + gap_s`` with no matching B seen — the
+    only sound absence certificate under out-of-order arrival (a
+    too-late B is NOT one: an in-gap B can still arrive in a later
+    micro-batch until the watermark closes the gap window).  Requires
+    ``withWatermark`` on ``ts_col`` upstream (EventTimeTimeout needs a
+    watermark).  State is O(pending A's per key); every resolution
+    path clears it."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return events.groupBy(key_col).applyInPandasWithState(

@@ -682,7 +682,7 @@ def connected_components(
     und = _materialize(und, reliable)
     labels = und.select(F.col("s").alias("n")).distinct().withColumn("comp", F.col("n"))
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh_min = (
             und.join(labels.withColumnRenamed("n", "d").withColumnRenamed("comp", "dc"), "d")
             .groupBy("s")
@@ -709,6 +709,14 @@ def connected_components(
             .where(F.col("a.comp") != F.col("b.comp"))
             .count()
         )
+        # the old round's DISK_ONLY blocks are dead once the changed
+        # count (their last reader) finishes — release them, or a
+        # long reliable=True job pins one label table per round in the
+        # block manager for the life of the session (ADVICE r5).  The
+        # localCheckpoint path keeps its truncated-lineage blocks: an
+        # unpersisted localCheckpoint cannot recompute.
+        if reliable and it > 0:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

@@ -64,14 +64,20 @@ def pagerank(
     # F.round (HALF_UP) rather than Python round (banker's): the SQL
     # oracle's round() must see the identical starting value
     pr = nodes.withColumn("pr", F.round(F.lit(1.0 / n), 9))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = ed.join(pr.withColumnRenamed("id", "s"), "s").select(
             F.col("t").alias("id"), (F.col("pr") / F.col("deg")).alias("c")
         )
-        pr = _materialize(
+        new_pr = _materialize(
             contrib.groupBy("id").agg(
                 F.round(F.lit(base) + F.lit(damping) * F.sum("c"), 9).alias("pr")
             ),
             reliable,
         )
+        # previous iteration's DISK_ONLY blocks are dead once new_pr is
+        # materialized — release them (same leak-per-iteration fix as
+        # connected_components; localCheckpoint blocks must stay)
+        if reliable and it > 0:
+            pr.unpersist()
+        pr = new_pr
     return pr.select("id", F.round("pr", 6).alias("pr")).orderBy("id")

@@ -120,6 +120,7 @@ def lm_score(
     token_col: str = "tokens",
     n_tok_col: str = "n_tok",
     doc_col: str = "doc_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """Per-document n-gram LM cross-entropy / perplexity under the
     corpus's own add-α-smoothed model — the CCNet/Gopher perplexity
@@ -169,8 +170,13 @@ def lm_score(
     ).select("doc_id", "pn.prefix", "pn.next_tok")
     from bitquery_kafka_streams_rust_spark.operators.dedup import _materialize
 
+    # docgram is corpus-sized (≈ total token positions): reliable=True
+    # swaps localCheckpoint for the lineage-keeping DISK_ONLY persist on
+    # preemptible capacity, same contract as the dedup/span/graph
+    # families (a lost executor recomputes instead of killing the job)
     docgram = _materialize(
-        occ.groupBy("doc_id", "prefix", "next_tok").agg(F.count("*").alias("k"))
+        occ.groupBy("doc_id", "prefix", "next_tok").agg(F.count("*").alias("k")),
+        reliable,
     )
     if vocab_size is None:
         vocab_size = (

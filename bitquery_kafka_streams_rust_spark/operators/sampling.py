@@ -40,6 +40,19 @@ _MOD = 2**31
 _STAGE_SALT = 0x9E3779B9  # golden-ratio constant
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Driver-side rounding that matches F.round / DuckDB round
+    (HALF_UP) instead of Python's built-in round (banker's HALF_EVEN).
+    Decimal(repr(x)) mirrors Spark's BigDecimal.valueOf(double)
+    (shortest-repr decimal), so a literal rounded here equals what the
+    column form would have produced — the repo's round-on-both-sides
+    float-parity rule applied to driver-side scalars."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def hash_frac(id_col: Column, seed: int = 0, stage: int = 0) -> Column:
     """Deterministic uniform fraction in [0, 1) from an integer id.
 
@@ -168,9 +181,15 @@ def weighted_sample_exact(
     each partition keeps its local top-k (a bounded heap, no sort
     spill), only k rows per partition reach the driver-side merge.
     No full shuffle, no global sort.  Rows with non-positive weight
-    are excluded (w<=0 has no sampling mass)."""
+    are excluded (w<=0 has no sampling mass).
+
+    The priority is rounded to 12 decimals on BOTH engines before the
+    ORDER BY (the id tiebreak resolves rounded ties): JVM Math.pow is
+    1-ulp-accurate while glibc pow is correctly rounded, and the 1/w
+    exponent compresses priorities toward 1.0, so unrounded orderings
+    near the rank-k cutoff could differ per engine at larger SF."""
     w = F.col(weight_col).cast("double")
-    pri = F.pow(hash_frac(df[id_col], seed, stage), F.lit(1.0) / w)
+    pri = F.round(F.pow(hash_frac(df[id_col], seed, stage), F.lit(1.0) / w), 12)
     return (
         df.where(w > 0)
         .withColumn("_ws_pri", pri)
@@ -210,16 +229,21 @@ def mix_weights(
         # corpus aggregate twice.
         rows = agg.collect()
         k = max(len(rows), 1)
-        out = [
-            (
-                r[strata_col],
-                r["n_docs"],
-                r["stratum_size"],
-                round(
-                    min(1.0, float(total_budget) * (1.0 / k) / float(r["stratum_size"])),
-                    6,
-                ),
+
+        def _kf(size) -> float:
+            # empty/NULL-sized stratum keeps everything — the column
+            # form's least(1.0, budget/0.0 = Inf) / least-skips-NULL
+            # semantics, made explicit instead of raising.  HALF_UP
+            # rounding (not Python's banker's) matches the F.round /
+            # DuckDB-round convention of the non-uniform branch.
+            if size is None or size <= 0:
+                return 1.0
+            return _round_half_up(
+                min(1.0, float(total_budget) * (1.0 / k) / float(size)), 6
             )
+
+        out = [
+            (r[strata_col], r["n_docs"], r["stratum_size"], _kf(r["stratum_size"]))
             for r in rows
         ]
         from pyspark.sql.types import DoubleType, StructField, StructType
@@ -397,8 +421,11 @@ def temperature_resample(
         )
     w = {g: (n / total) ** alpha for g, n in n_by_g.items()}
     wsum = sum(w.values())
+    # HALF_UP (the F.round/DuckDB convention), not Python's banker's
+    # round — the oracle rounds these same rates SQL-side
     rate = {
-        g: round(budget * (w[g] / wsum) / n_by_g[g], 9) for g in sorted(n_by_g)
+        g: _round_half_up(budget * (w[g] / wsum) / n_by_g[g], 9)
+        for g in sorted(n_by_g)
     }
     rate_col: Column = F.lit(0.0)
     base_col: Column = F.lit(0)
@@ -408,7 +435,7 @@ def temperature_resample(
         rate_col = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate_col)
         base_col = F.when(F.col(group_col) == g, F.lit(int(r // 1))).otherwise(base_col)
         frac_col = F.when(
-            F.col(group_col) == g, F.lit(round(r - int(r // 1), 9))
+            F.col(group_col) == g, F.lit(_round_half_up(r - int(r // 1), 9))
         ).otherwise(frac_col)
     draw = hash_frac(df[id_col], stage=stage)
     return df.select(

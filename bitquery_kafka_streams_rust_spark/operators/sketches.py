@@ -136,6 +136,7 @@ def heavy_hitters(
     mean_ratio: float = 1.2,
     depth: int = 4,
     width: int = 2048,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Keys whose count-min estimate is >= ``mean_ratio`` times the
     mean per-key count — i.e. the keys that would skew a shuffle on
@@ -144,7 +145,14 @@ def heavy_hitters(
     Guarantees of count-min carry over: no true heavy hitter is missed
     (estimates never undercount); collisions can only ADD false
     positives, deterministically reproducible from the fixed salts.
-    """
+
+    ``candidates`` is the scale path's injection point: the default
+    probes ``df.select(key).distinct()``, a full corpus-key distinct
+    that defeats the sketch's purpose at 10^12 keys — at scale pass a
+    bounded candidate frame instead (a uniform sample of keys, or the
+    output of a prior coarser sketch pass); count-min's no-miss
+    guarantee then holds relative to that candidate set.  Any frame
+    with a ``key_col`` column works; it is distinct-ed here."""
     sketch = cms_sketch(df, key_col, depth=depth, width=width)
     # the (total, n_keys) pair is one metadata row — collect it and
     # inline the threshold as a literal (the repo's driver-side-scalar
@@ -156,6 +164,6 @@ def heavy_hitters(
         .collect()[0]
     )
     thresh = mean_ratio * (float(total) / n_keys) if n_keys else 0.0
-    keys = df.select(key_col).distinct()
+    keys = (candidates if candidates is not None else df).select(key_col).distinct()
     est = cms_estimate(keys, sketch, key_col, depth=depth, width=width)
     return est.where(F.col("est_count") >= F.lit(thresh))

@@ -64,6 +64,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "(banded candidate join -> connected components -> keep the "
                         "min-doc_id canonical per cluster)")
     p.add_argument("--min-quality", type=float, default=None)
+    p.add_argument("--classifier-min-score", type=float, default=None, metavar="S",
+                   help="hashed-BoW linear-classifier gate (functions/text.py "
+                        "classifier_score): drop docs scoring below S — the "
+                        "FineWeb-Edu/DCLM-style model-scored curation stage; "
+                        "map-side, zero shuffle")
     p.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
                    help="drop docs sharing >= --decontaminate-min-shared distinct "
                         "word 5-grams with this eval/benchmark corpus "
@@ -118,6 +123,13 @@ def curate(docs, a: argparse.Namespace):
         docs = docs.join(losers.select("doc_id"), "doc_id", "left_anti")
     if a.min_quality is not None:
         docs = docs.where(TX.quality_score(F.col("text")) >= a.min_quality)
+    if a.classifier_min_score is not None:
+        # model-scored gate next to the heuristic one: same map-side
+        # filter shape, score is a pure function of the text bytes so
+        # the cut is rerun/cluster-size stable like every other stage
+        docs = docs.where(
+            TX.classifier_score(F.col("text")) >= a.classifier_min_score
+        )
     if a.decontaminate:
         # benchmark decontamination BEFORE budget/split: contaminated
         # docs must never reach any split.  Eval grams broadcast; the

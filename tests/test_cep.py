@@ -562,3 +562,84 @@ def test_pattern_chain_stream_restart_identical(spark, sf_dir, tmp_path):
     resumed, uninterrupted = rows(out_r), rows(out_u)
     assert len(uninterrupted) > 0
     assert resumed == uninterrupted
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_not_followed_by_stream_out_of_order_in_gap_b(spark, tmp_path):
+    """Regression (round-5 advice): a too-late B must NOT resolve
+    absence while the watermark is still inside the gap window — an
+    in-gap B arriving in a LATER micro-batch (out-of-order but not yet
+    late-droppable) must still suppress the alert, exactly as the
+    batch twin's min-over-following-B does.  Pre-fix the kernel
+    emitted the A and evicted it as soon as the too-late B arrived,
+    producing a false alert the batch form never emits."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    gap = 600
+    rows_b0 = [
+        _ev(1, 10, "signup", 0),       # A, user 10
+        _ev(2, 10, "purchase", 1000),  # too-late B (1000 > 600)
+        _ev(3, 20, "signup", 0),       # A, user 20 — never in-gap-covered
+        _ev(4, 20, "purchase", 1000),  # too-late B for user 20
+        _ev(5, 30, "signup", 0),       # A, user 30 — no B at all
+    ]
+    # out-of-order: event time 300 (inside user 10's gap) arrives AFTER
+    # the t=1000 B; the 3600 s watermark delay keeps wm < 300 here
+    rows_b1 = [_ev(6, 10, "purchase", 300)]
+
+    in_dir = str(tmp_path / "ooo")
+    os.makedirs(in_dir)
+    base = _time.time() - 100
+    all_rows = rows_b0 + rows_b1
+    for i, batch in enumerate([rows_b0, rows_b1]):
+        p = str(tmp_path / f"ooo_stage_{i}")
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        f = glob.glob(f"{p}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{i:02d}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+    # two far-future flush files: advance the watermark past every
+    # deadline, then give the timers a micro-batch to fire in
+    for i in (1, 2):
+        p = str(tmp_path / f"ooo_flush_{i}")
+        flush = spark.createDataFrame(
+            [(10_000_000 + i, datetime(2024, 1, 2 + i), -1, "noop", 0.0, "{}")],
+            SCHEMA,
+        )
+        flush.coalesce(1).write.mode("overwrite").parquet(p)
+        f = glob.glob(f"{p}/part-*.parquet")[0]
+        dst = f"{in_dir}/z_flush{i}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (base + 100 + i * 10, base + 100 + i * 10))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "3600 seconds")
+    )
+    q = (
+        CEP.not_followed_by_stream(stream, "signup", "purchase", gap)
+        .writeStream.format("memory")
+        .queryName("nfb_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT key, a_id FROM nfb_ooo").collect()
+    )
+    batch = CEP.not_followed_by(
+        spark.createDataFrame(all_rows, SCHEMA), "signup", "purchase", gap
+    )
+    want = sorted(tuple(r) for r in batch.select("key", "a_id").collect())
+    # user 10 suppressed by the late-arriving in-gap B; 20 and 30 alert
+    assert want == [(20, 3), (30, 5)]
+    assert got == want

@@ -41,3 +41,18 @@ def test_pagerank_partition_invariant_and_empty(spark):
     b = sorted(map(tuple, pagerank(df.repartition(13)).collect()))
     assert a == b  # per-iteration rounding pins the float trajectory
     assert pagerank(_pairs(spark, [])).count() == 0
+
+
+def test_pagerank_reliable_releases_iteration_blocks(spark):
+    """reliable=True must unpersist each iteration's rank table once
+    the next one materializes (ADVICE r5): only the edge frames and
+    the final ranks may stay pinned, not one frame per iteration."""
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    out = pagerank(
+        _pairs(spark, [(0, 1), (0, 2), (1, 2), (2, 3)]), n_iter=8, reliable=True
+    ).collect()
+    assert len(out) == 4
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    # edges + ed + final pr = 3 pinned frames max, NOT 8 iterations'
+    assert after - before <= 3

@@ -129,3 +129,18 @@ def test_lm_score_vocab_override_and_no_array_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "tokens" not in line
+
+
+def test_lm_score_reliable_identical(spark):
+    """reliable=True (lineage-keeping DISK_ONLY materialization of the
+    corpus-sized docgram table) is value-identical to the default
+    localCheckpoint path (VERDICT r4 item 5)."""
+    from bitquery_kafka_streams_rust_spark.operators.ngrams import lm_score
+
+    df = _docs(
+        spark,
+        [("a", [1, 2, 3, 2, 3, 2, 3]), ("b", [1, 2, 4]), ("d", [1, 2, 3, 4])],
+    )
+    base = sorted(map(tuple, lm_score(df, n=3, alpha=0.5).collect()))
+    rel = sorted(map(tuple, lm_score(df, n=3, alpha=0.5, reliable=True).collect()))
+    assert base == rel and len(base) == 3

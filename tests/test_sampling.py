@@ -572,3 +572,29 @@ def test_curation_cli_leakage_audit(spark, sf_dir, tmp_path, capsys):
     for v in m["leakage"].values():
         assert 0 <= v["n_leaked"] <= v["n_docs"]
         assert abs(v["leak_frac"] - round(v["n_leaked"] / v["n_docs"], 6)) < 1e-9
+
+
+def test_round_half_up_matches_sql_convention():
+    """Driver-side literals must round like F.round/DuckDB (HALF_UP),
+    not Python's banker's round (ADVICE r5): exact halves go UP."""
+    from bitquery_kafka_streams_rust_spark.operators.sampling import _round_half_up
+
+    assert _round_half_up(2.5, 0) == 3.0 and round(2.5) == 2
+    assert _round_half_up(0.125, 2) == 0.13 and round(0.125, 2) == 0.12
+    assert _round_half_up(1.0000000005, 9) == 1.000000001
+
+
+def test_mix_weights_uniform_zero_size_stratum(spark):
+    """A stratum whose total size is 0 (or NULL) keeps everything
+    (keep_frac 1.0) instead of raising ZeroDivisionError — the column
+    form's least(1.0, Inf) semantics (ADVICE r5)."""
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 0), (3, "b", 0), (4, "c", None)],
+        "doc_id long, source string, n_chars int",
+    )
+    w = {
+        r["source"]: r["keep_frac"]
+        for r in SAMP.mix_weights(df, None, total_budget=50).collect()
+    }
+    assert w["b"] == 1.0 and w["c"] == 1.0
+    assert 0.0 < w["a"] < 1.0  # 50 * (1/3) / 100

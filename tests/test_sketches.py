@@ -57,3 +57,25 @@ def test_cms_estimate_broadcasts_the_sketch(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_candidates_injection(spark):
+    """The scale path (VERDICT r4): an explicit candidate frame replaces
+    the full-corpus key distinct; estimates/threshold are unchanged, so
+    any true heavy hitter PRESENT in the candidates still surfaces and
+    absent keys simply aren't probed."""
+    df = _traffic(spark)
+    cand = spark.createDataFrame([(7,), (1,)], "user_id long")
+    got = sorted(
+        r["user_id"]
+        for r in SK.heavy_hitters(
+            df, "user_id", mean_ratio=2.0, candidates=cand
+        ).collect()
+    )
+    assert got == [7]  # 13 not in candidates → not probed; 1 is cold
+    # default path unchanged
+    full = sorted(
+        r["user_id"]
+        for r in SK.heavy_hitters(df, "user_id", mean_ratio=2.0).collect()
+    )
+    assert full == [7, 13]

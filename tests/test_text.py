@@ -118,3 +118,74 @@ def test_normalize_text_collapses_variants(spark):
     assert nts[1] == nts[2] == nts[3] == nts[4] == "hello world"
     assert len({fps[1], fps[2], fps[3], fps[4]}) == 1
     assert fps[5] != fps[1]
+
+
+def test_classifier_logit_matches_python(spark):
+    """classifier_logit replays the hashing-trick arithmetic exactly:
+    poly-hash each word into 256 buckets, Knuth-lattice weight per
+    bucket, mean + bias.  Weights are dyadic rationals so the Python
+    float replay is bit-exact (no summation-order slack to hide in)."""
+    text = "The quick brown Fox jumps  over the lazy dog"
+
+    def py_logit(t, dim=256, bias=0.0):
+        words = [w for w in t.lower().split() if w]
+        tot = 0.0
+        for w in words:
+            h = 0
+            for ch in w:
+                h = (h * 313 + ord(ch)) % 2147483647
+            b = h % dim
+            tot += ((b + 1) * 2654435761 % 2**31) / 2**31 - 0.5
+        return round(bias + tot / max(len(words), 1), 6)
+
+    got = one(spark, text, TX.classifier_logit(F.col("text")))
+    assert got == py_logit(text)
+    # score = sigmoid of the ROUNDED logit, rounded to 6
+    import math
+
+    s = one(spark, text, TX.classifier_score(F.col("text")))
+    assert s == round(1.0 / (1.0 + math.exp(-py_logit(text))), 6)
+
+
+def test_classifier_deterministic_and_bounded(spark, sf_dir):
+    """Scores are pure functions of the text (rerun-identical) and land
+    in (0, 1); empty text yields the bias-only logit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = docs.select(
+        "doc_id", TX.classifier_score(F.col("text")).alias("s")
+    )
+    rows = {r["doc_id"]: r["s"] for r in out.collect()}
+    again = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert rows == again
+    assert all(0.0 < v < 1.0 for v in rows.values())
+    assert one(spark, "", TX.classifier_logit(F.col("text"), bias=1.5)) == 1.5
+
+
+def test_curation_cli_classifier_gate(spark, sf_dir, tmp_path):
+    """--classifier-min-score cuts exactly the docs below the score
+    threshold (same surviving set as applying the column filter
+    directly)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    rc = J.main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--classifier-min-score", "0.5",
+        "--splits", "all=1.0",
+        "--output", str(tmp_path / "cls"),
+    ])
+    assert rc == 0
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "cls")).select("doc_id").collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expect = {
+        r["doc_id"]
+        for r in docs.where(
+            TX.classifier_score(F.col("text")) >= 0.5
+        ).select("doc_id").collect()
+    }
+    assert kept == expect and 0 < len(kept) < docs.count()
