@@ -570,6 +570,65 @@ def _amortization_section() -> list[str]:
     return lines
 
 
+def _query_times_section() -> list[str]:
+    """Per-query timing history (BENCH/query_times.jsonl, appended by
+    every tools/verify_oracle.py sweep): slowest-10 table for the most
+    recent FULL sweep plus the biggest movers vs the previous full
+    sweep at the same sf_dir — makes a silent regression in any of the
+    90+ non-headline queries falsifiable round-over-round (the r4
+    verdict's missing item 2)."""
+    path = "BENCH/query_times.jsonl"
+    if not os.path.exists(path):
+        return []
+    by_sweep: dict[tuple, dict] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("partial"):
+                    continue
+                by_sweep.setdefault((r["sf_dir"], r["sweep"]), {})[r["query"]] = r[
+                    "spark_s"
+                ]
+    except (json.JSONDecodeError, OSError, KeyError):
+        return []
+    # most recent sf_dir with >= 1 full sweep; sweeps sort by tag (ISO-ish)
+    if not by_sweep:
+        return []
+    sf = sorted(by_sweep)[-1][0]
+    sweeps = sorted(k for k in by_sweep if k[0] == sf)
+    cur = by_sweep[sweeps[-1]]
+    prev = by_sweep[sweeps[-2]] if len(sweeps) >= 2 else {}
+    lines = [
+        "### Per-query oracle-sweep timings (all contract queries)\n",
+        f"Latest full sweep `{sweeps[-1][1]}` at `{sf}` ({len(cur)} queries, "
+        f"total {round(sum(cur.values()), 1)} s). Slowest 10:\n",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for q, v in sorted(cur.items(), key=lambda kv: -kv[1])[:10]:
+        lines.append(f"| {q} | {v} |")
+    if prev:
+        movers = []
+        for q in sorted(set(cur) & set(prev)):
+            a, b = prev[q], cur[q]
+            if min(a, b) > 0.5 and max(a / b, b / a) >= 2.0:
+                movers.append((q, a, b))
+        lines += [
+            "",
+            f"Biggest movers vs previous full sweep `{sweeps[-2][1]}` "
+            "(>=2x, both sides >0.5 s):\n",
+        ]
+        if movers:
+            lines += ["| query | prev (s) | now (s) |", "|---|---|---|"]
+            for q, a, b in sorted(movers, key=lambda m: -max(m[2] / m[1], m[1] / m[2])):
+                lines.append(f"| {q} | {a} | {b} |")
+        else:
+            lines.append("(none — no query moved 2x between the sweeps)")
+        lines.append("")
+    return lines
+
+
 def dur_headline_cells(s: dict) -> dict:
     """Headline cells per provider in the same cell-dict shape as the
     sweep (for same-cores comparisons)."""
@@ -643,6 +702,7 @@ def _write_baseline_md(r: dict) -> None:
         *_phase_and_sweep_sections(s),
         *_amortization_section(),
         *_history_section(),
+        *_query_times_section(),
         "## Headline batch queries (noop sink, local[{}])\n".format(CPUS),
         "| query | sec |",
         "|---|---|",

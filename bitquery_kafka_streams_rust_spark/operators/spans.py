@@ -167,26 +167,45 @@ def dup_span_trim(
     comparator.  Untouched docs appear with removed_tok = 0; fully
     covered docs with kept_n_tok = 0 / checksum 0.
 
-    Scale shape: the token ARRAY never crosses a shuffle — it is
-    exploded map-side into narrow (id, pos, token) scalar rows; the
-    covered-position set is a narrow explode of the span table; the
-    anti-join, rank window, and final aggregate all move 3-long rows,
-    partitioned by doc id (never a global window).  Input rows are
-    first collapsed per doc id (fixture aliases are bit-identical, so
-    first-wins is content-invariant — repo invariant)."""
+    Scale shape — the shuffle is bounded by DUP-AFFECTED volume, not
+    the corpus (round-5 fix: previously EVERY token crossed the
+    anti-join + rank exchanges as a scalar (id, pos, token) row, ~6x
+    the raw token bytes, even though typically only a small fraction
+    of docs contain any cross-doc duplicated span):
+
+    - docs are split by a semi/anti join against the span-bearing ids
+      (the span table is already narrow and materialized);
+    - only SPAN-BEARING docs take the explode → anti-join → per-doc
+      rank window → aggregate path (token arrays still never cross a
+      shuffle — the explode is map-side after the semi join);
+    - untouched docs never leave the scan: their kept sequence IS the
+      original, so ``kept_n_tok = n_tok`` and ``kept_checksum`` is the
+      map-side HOF ``sum(token * (1-based pos)) mod P31`` (the
+      token_checksum shape with this operator's modulus).
+
+    Input rows are first collapsed per doc id (fixture aliases are
+    bit-identical, so first-wins is content-invariant — repo
+    invariant)."""
     docs = seq.dropDuplicates([id_col])
     pos = _materialize(
         gram_positions(docs, id_col=id_col, tokens_col=tokens_col, n=n),
         reliable,
     )
-    spans = _dup_spans(pos, n=n, min_docs=min_docs)
+    # spans has three consumers below (covered positions, the semi
+    # split, the anti split) — materialize once; it is narrow and
+    # bounded by dup positions, tiny next to pos
+    spans = _materialize(_dup_spans(pos, n=n, min_docs=min_docs), reliable)
+    span_ids = spans.select(F.col("id").alias(id_col)).distinct()
+    affected = docs.join(span_ids, id_col, "left_semi")
+    untouched = docs.join(span_ids, id_col, "left_anti")
+
     covered = spans.select(
         "id",
         F.explode(
             F.sequence(F.col("s"), F.col("e") + F.lit(n - 1))
         ).alias("pos"),
     )
-    tok = docs.select(
+    tok = affected.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.transform(F.col(tokens_col), lambda t: t.cast("long"))).alias(
             "pos0", "token"
@@ -203,19 +222,32 @@ def dup_span_trim(
             "kept_checksum"
         ),
     )
-    lens = docs.select(
+    lens = affected.select(
         F.col(id_col).alias("id"), F.size(tokens_col).cast("long").alias("n_tok")
     )
-    return (
-        lens.join(kept_agg, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_tok",
-            F.coalesce("kept_n_tok", F.lit(0)).alias("kept_n_tok"),
-            (F.col("n_tok") - F.coalesce("kept_n_tok", F.lit(0))).alias(
-                "removed_tok"
-            ),
-            F.coalesce("kept_checksum", F.lit(0)).alias("kept_checksum"),
-        )
-        .orderBy(id_col)
+    affected_out = lens.join(kept_agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_tok",
+        F.coalesce("kept_n_tok", F.lit(0)).alias("kept_n_tok"),
+        (F.col("n_tok") - F.coalesce("kept_n_tok", F.lit(0))).alias("removed_tok"),
+        F.coalesce("kept_checksum", F.lit(0)).alias("kept_checksum"),
     )
+    # untouched docs: pure map-side — same weighted-sum checksum the
+    # ranked aggregate computes, since newpos == pos for an untrimmed
+    # doc (indexed transform, no second index array — token_checksum's
+    # measured-faster shape)
+    toks = F.col(tokens_col)
+    weighted = F.transform(toks, lambda t, i: t.cast("long") * (i.cast("long") + 1))
+    cks = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_tok_u = F.size(toks).cast("long")
+    untouched_out = untouched.select(
+        F.col(id_col),
+        n_tok_u.alias("n_tok"),
+        n_tok_u.alias("kept_n_tok"),
+        F.lit(0).cast("long").alias("removed_tok"),
+        F.when(F.size(toks) == 0, F.lit(0).cast("long"))
+        .otherwise(cks % F.lit(mod))
+        .cast("long")
+        .alias("kept_checksum"),
+    )
+    return affected_out.unionByName(untouched_out).orderBy(id_col)

@@ -141,3 +141,153 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def _ev_frames(spark, sf="/root/testdata/sf0.001"):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ivs = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    pts = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    return pts, ivs
+
+
+_PTS_SCHEMA = "purchase_id long, ts timestamp, value double"
+_IVS_SCHEMA = "signup_id long, start_ts timestamp, end_ts timestamp"
+
+
+def _pairs_of(rows):
+    return sorted((r["signup_id"], r["purchase_id"]) for r in rows)
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream twin == batch bucketed interval join on the same
+    input (single micro-batch per side: nothing is watermark-late), so
+    the state-bounded streaming form is semantics-identical."""
+    from bitquery_kafka_streams_rust_spark.operators.rangejoin import (
+        interval_join_stream,
+    )
+
+    pts, ivs = _ev_frames(spark)
+    p_dir, i_dir = str(tmp_path / "pts"), str(tmp_path / "ivs")
+    pts.coalesce(1).write.mode("overwrite").parquet(p_dir)
+    ivs.coalesce(1).write.mode("overwrite").parquet(i_dir)
+
+    out = interval_join_stream(
+        spark.readStream.schema(_PTS_SCHEMA).parquet(p_dir),
+        spark.readStream.schema(_IVS_SCHEMA).parquet(i_dir),
+        bucket_s=1800,
+        watermark_s=300,
+        max_interval_s=1800,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _pairs_of(spark.sql("SELECT signup_id, purchase_id FROM ij_stream").collect())
+    want = _pairs_of(
+        bucketed_interval_join(
+            pts, ivs, point_ts="ts", start_col="start_ts", end_col="end_ts",
+            bucket_s=1800, max_interval_s=1800,
+        ).collect()
+    )
+    assert len(want) > 0
+    assert got == want
+
+
+def test_interval_join_stream_restart_identical(spark, tmp_path):
+    """T9 for the interval join: kill after the points side's first
+    micro-batch, resume from checkpoint — the watermark-bounded join
+    state survives and the final pair set matches an uninterrupted run
+    (pins the state-cleanup claim: event-time conjuncts let Spark
+    evict, and eviction never loses a still-matchable pair)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from bitquery_kafka_streams_rust_spark.operators.rangejoin import (
+        interval_join_stream,
+    )
+    from bitquery_kafka_streams_rust_spark.streaming import sink as SNK
+    from bitquery_kafka_streams_rust_spark.streaming.sink import ExactlyOnceParquetSink
+
+    pts, ivs = _ev_frames(spark)
+    i_dir = str(tmp_path / "ivs")
+    ivs.coalesce(1).write.mode("overwrite").parquet(i_dir)
+    # points in two event-time-ordered files (in-order arrival contract)
+    full_dir = str(tmp_path / "pts_full")
+    os.makedirs(full_dir)
+    n = pts.count()
+    ordered = pts.withColumn(
+        "_rn", SF.row_number().over(Window.orderBy("ts", "purchase_id"))
+    )
+    base = _time.time() - 100
+    paths = []
+    for b in range(2):
+        half = ordered.where(
+            (SF.col("_rn") > b * -(-n // 2)) & (SF.col("_rn") <= (b + 1) * -(-n // 2))
+        ).drop("_rn")
+        stage = str(tmp_path / f"pstage_{b}")
+        half.coalesce(1).write.mode("overwrite").parquet(stage)
+        f = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{full_dir}/b{b}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (base + b * 10, base + b * 10))
+        paths.append(dst)
+
+    def run(p_dir, ck, out_dir):
+        out = interval_join_stream(
+            spark.readStream.schema(_PTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(p_dir),
+            spark.readStream.schema(_IVS_SCHEMA).parquet(i_dir),
+            bucket_s=1800,
+            watermark_s=300,
+            max_interval_s=1800,
+        ).select("signup_id", "purchase_id", "value")
+        q = (
+            out.writeStream.foreachBatch(ExactlyOnceParquetSink(out_dir, lineage=False))
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    half_dir = str(tmp_path / "pts_half")
+    os.makedirs(half_dir)
+    shutil.copy2(paths[0], os.path.join(half_dir, os.path.basename(paths[0])))
+    ck_r, out_r = str(tmp_path / "ck_r"), str(tmp_path / "out_r")
+    run(half_dir, ck_r, out_r)  # ── kill after batch 0 ──
+    shutil.copy2(paths[1], os.path.join(half_dir, os.path.basename(paths[1])))
+    run(half_dir, ck_r, out_r)  # resume, same checkpoint
+
+    ck_u, out_u = str(tmp_path / "ck_u"), str(tmp_path / "out_u")
+    run(full_dir, ck_u, out_u)
+
+    def rows(d):
+        return sorted(
+            tuple(r)
+            for r in SNK.read_output(spark, d)
+            .select("signup_id", "purchase_id")
+            .collect()
+        )
+
+    resumed, uninterrupted = rows(out_r), rows(out_u)
+    assert len(uninterrupted) > 0
+    assert resumed == uninterrupted

@@ -286,3 +286,31 @@ def test_span_family_randomized_vs_python_reference(spark):
         for r in SP.dup_span_trim(df, n=4).collect()
     }
     assert got_trim == exp_t
+
+
+def test_trim_rank_window_gated_by_span_semi_join(spark):
+    """Round-5 scale fix pin: the explode → rank-window path must be
+    gated by a semi join against the span-bearing ids (its exchange
+    carries only dup-affected docs' tokens), and the untouched branch
+    must be window-free map-side work behind an anti join."""
+    df = _seqs(
+        spark,
+        [
+            ("a", list(range(20))),
+            ("b", list(range(5, 25))),
+            ("u", [900 + i for i in range(30)]),  # untouched
+        ],
+    )
+    plan = (
+        SP.dup_span_trim(df, n=8)._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    win = [i for i, l in enumerate(lines) if "Window" in l]
+    semi = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    anti = [i for i, l in enumerate(lines) if "LeftAnti" in l]
+    assert len(win) == 1, plan          # one rank window, span branch only
+    # the semi join appears under both consumers of `affected` (lens
+    # and the window's tok explode); the one INSIDE the window subtree
+    # prints below the Window line — that's the gate being pinned
+    assert semi and max(semi) > win[0], plan
+    assert anti, plan                   # untouched docs split off map-side
