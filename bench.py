@@ -570,6 +570,37 @@ def _amortization_section() -> list[str]:
     return lines
 
 
+def _calibrated_headline_section() -> list[str]:
+    """Render scripts/calibrated_headline.py's result (if run): the
+    headline suite measured only inside a calibration-gated quiet
+    window, with the flagship verdict vs the r3 band — the apples-to-
+    apples number single noisy sessions can't give."""
+    path = "BENCH/calibrated_headline.json"
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return []
+    lines = [
+        "### Calibration-gated headline re-measure\n",
+        f"`scripts/calibrated_headline.py` ({d['measured_at']}): suite run only\n"
+        f"after the pure-CPU calibration settled ({d['calibration_gate']};\n"
+        f"attempts {d['calibration_attempts_s']}, post-suite "
+        f"{d['post_suite_calibration_s']} s).\n",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for k, v in d["queries"].items():
+        lines.append(f"| {k} | {v} |")
+    lines += [
+        "",
+        f"Total {d['total_s']} s. **{d['verdict']}**\n",
+    ]
+    return lines
+
+
 def _query_times_section() -> list[str]:
     """Per-query timing history (BENCH/query_times.jsonl, appended by
     every tools/verify_oracle.py sweep): slowest-10 table for the most
@@ -702,6 +733,7 @@ def _write_baseline_md(r: dict) -> None:
         *_phase_and_sweep_sections(s),
         *_amortization_section(),
         *_history_section(),
+        *_calibrated_headline_section(),
         *_query_times_section(),
         "## Headline batch queries (noop sink, local[{}])\n".format(CPUS),
         "| query | sec |",

@@ -1,0 +1,94 @@
+"""Lexical retrieval scoring — BM25 top-k over the document corpus.
+
+The retrieval-side twin of the embedding ANN family
+(operators/similarity.py): score every document against a small query
+term set with Okapi BM25 and keep the top-k.  A training-data pipeline
+uses this for targeted corpus slicing ("pull the docs about X"),
+retrieval-based decontamination review, and as the lexical baseline
+next to embedding search.  Reference analog: the filter+score+select
+shape of ``src/processors/dex_processor.rs:179-223``, generalized to
+ranked retrieval.
+
+Scale shape: term frequencies and doc length are MAP-SIDE per-row
+array expressions (the text never crosses a shuffle); the corpus
+statistics BM25 needs (N, avgdl, per-term document frequencies) come
+from ONE partial-aggregated pass, collected driver-side (a handful of
+scalars) and inlined as literals — the repo's aggregate-then-inline
+convention (a scalar-subquery formulation would constant-fold into the
+BroadcastNestedLoopJoin the plan audit bans).  The final top-k is
+``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition bounded
+heaps, no global sort).
+
+Cross-engine float parity: doc-length sums are integers (exact in
+double), so N/avgdl/df are bit-identical on both engines without
+rounding; the only libm call is the IDF log, computed ONCE driver-side
+and rounded to 9 decimals (the oracle rounds its SQL-side ln the same
+way); the per-doc saturation fraction is a fixed sequence of IEEE
+ops on identical inputs; the final score rounds to 6.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against ``terms``
+    (lowercased whole-word matches), ties broken by ascending id.
+    Output: (id_col, dl, score) with score rounded to 6 decimals.
+
+    score(D) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+    idf(t)   = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)   (Robertson/Lucene form)
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    terms = [t.lower() for t in terms]
+    w = _words(F.col(text_col))
+
+    def _tf(term: str) -> Column:
+        # bind via closure, NOT a default arg: HOF lambdas dispatch on
+        # declared arity, and `lambda x, t=t` reads as the two-arg
+        # (element, index) form — t would silently become the index
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)]
+    per_doc = docs.select(F.col(id_col), F.size(w).alias("dl"), *tf_cols)
+    # ONE metadata pass: N, Σdl (ints — exact in double on both engines),
+    # df per term; collected and inlined as literals
+    aggs = [F.count("*").alias("n"), F.sum("dl").alias("sum_dl")] + [
+        F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+        for i in range(len(terms))
+    ]
+    m = per_doc.agg(*aggs).collect()[0]
+    n_docs, avgdl = m["n"], (float(m["sum_dl"]) / m["n"] if m["n"] else 1.0)
+    score: Column = F.lit(0.0)
+    for i in range(len(terms)):
+        df_t = m[f"_df{i}"]
+        idf = round(math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0), 9)
+        tf = F.col(f"_tf{i}").cast("double")
+        sat = (tf * (k1 + 1.0)) / (
+            tf + F.lit(k1) * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
+        )
+        score = score + F.lit(idf) * sat
+    return (
+        per_doc.select(id_col, "dl", F.round(score, 6).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
