@@ -3941,6 +3941,78 @@ WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 25
 """
 
 
+def _q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (operators/sketches.py
+    hll_distinct): p=8 -> 256 max-merged registers per group, the
+    bounded-state analog of COUNT(DISTINCT) at 10^12-key cardinality
+    (the reference's per-key seen-sets, src/processors/dex_processor.rs
+    counter maps, cannot).  Every hash/register step is portable
+    integer arithmetic (stage salt 9) and the harmonic sum is an exact
+    integer, so the ESTIMATE itself — not just the exact twin — is
+    bit-reproducible and oracle-checked.  exact/rel_err columns grade
+    the sketch against COUNT(DISTINCT) in the same output."""
+    from bitquery_kafka_streams_rust_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = hll_distinct(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_EVENTS_HLL = """
+WITH h0 AS (
+  SELECT event_type, user_id,
+         ((xor(user_id, 23889921921) % 2147483648) * 2654435761) % 2147483648 AS h
+  FROM events
+), h1 AS (SELECT event_type, (xor(h, h >> 13) * 2654435761) % 2147483648 AS h FROM h0
+), h2 AS (SELECT event_type, (xor(h, h >> 17) * 2654435761) % 2147483648 AS h FROM h1
+), reg AS (
+  SELECT event_type, h % 256 AS bucket,
+         CASE WHEN (h // 256) = 0 THEN 24
+              ELSE CAST(round(log2(CAST(((h // 256) & -(h // 256)) AS DOUBLE)), 0) AS INTEGER) + 1
+         END AS rho
+  FROM h2
+), mx AS (
+  SELECT event_type, bucket, max(rho) AS reg FROM reg GROUP BY 1, 2
+), ag AS (
+  SELECT event_type,
+         sum(CAST(1 AS BIGINT) << (24 - reg)) AS s_int,
+         count(*) AS used
+  FROM mx GROUP BY 1
+), est AS (
+  SELECT event_type,
+    round(CASE WHEN (0.7213/(1.0 + 1.079/256) * 256 * 256)
+                    / (CAST(s_int AS DOUBLE)/16777216.0 + CAST(256 - used AS DOUBLE)) <= 640.0
+                AND used < 256
+          THEN 256.0 * ln(256.0 / CAST(256 - used AS DOUBLE))
+          ELSE (0.7213/(1.0 + 1.079/256) * 256 * 256)
+               / (CAST(s_int AS DOUBLE)/16777216.0 + CAST(256 - used AS DOUBLE))
+          END, 4) AS est_distinct
+  FROM ag
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1
+)
+SELECT e.event_type, e.est_distinct, x.exact_distinct,
+       round((e.est_distinct - x.exact_distinct) / x.exact_distinct, 6) AS rel_err
+FROM est e JOIN ex x USING (event_type) ORDER BY e.event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -3953,6 +4025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "doc_classifier_score": _shipped(_q_doc_classifier_score),
         "doc_bm25_topk": _shipped(_q_doc_bm25_topk),
+        "events_hll_distinct": _shipped(_q_events_hll_distinct),
         # --- r01-r03 set: rotate back into the driver window ---
         "seq_sliding_window": _shipped(_q_seq_sliding),
         "seq_salted_agg": _shipped(_q_seq_salted),
@@ -4057,6 +4130,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_pipeline": _FLAGSHIP_SQL,
         "doc_classifier_score": _SQL_DOC_CLASSIFIER,
         "doc_bm25_topk": _SQL_DOC_BM25,
+        "events_hll_distinct": _SQL_EVENTS_HLL,
         "seq_filter": _SQL_SEQ_FILTER,
         "seq_dedup": _SQL_SEQ_DEDUP,
         "seq_token_stats": _SQL_SEQ_TOKEN_STATS,

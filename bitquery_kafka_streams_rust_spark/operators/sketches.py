@@ -129,6 +129,131 @@ def cms_estimate(
     )
 
 
+# --- HyperLogLog distinct-count -------------------------------------------
+#
+# Same portability contract as count-min: every hash/register/estimate
+# step is integer-or-dyadic arithmetic both engines replay bit-exactly,
+# so the ESTIMATE (not just the exact count) is cross-engine checkable.
+#
+#   h0     = ((key XOR 9*0x9E3779B9) mod 2^31) * 2654435761 mod 2^31
+#            (stage salt 9 in the repo's XOR salt registry)
+#   h1     = (h0 XOR (h0 >> 13)) * 2654435761 mod 2^31
+#   h      = (h1 XOR (h1 >> 17)) * 2654435761 mod 2^31
+#   bucket = h mod m                (m = 2^p buckets)
+#   w      = h div m                ((31-p)-bit suffix)
+#   rho    = trailing_zeros(w) + 1  (w = 0 -> 31-p+1)
+#
+# The two xorshift-multiply rounds on top of the repo's Knuth hash are
+# REQUIRED here (unlike the sampling/split uses): one multiplicative
+# round mod 2^31 is bijective on the low b bits as a function of the
+# key's low b bits, so consecutive ids never collide in low-bit buckets
+# and never share trailing-zero patterns — occupancy stops being
+# Poisson and linear counting reads 50% high (measured, 150 consecutive
+# ids -> est 225.7).  With the avalanche rounds the measured error on
+# consecutive AND random id sets is within +-9.5% for p=8 (HLL stderr
+# 1.04/sqrt(256) = 6.5%).
+#
+# rho uses TRAILING zeros — equally geometric on the uniform hash
+# suffix, and exactly computable on both engines as
+# round(log2(w & -w)) + 1: `w & -w` isolates the lowest set bit, a
+# power of two whose log2 is exact in double, so the round() is safe
+# (leading-zero rank would need a float floor(log2(w)) at non-powers,
+# which is NOT safe at boundary ulps).
+#
+# Registers are max-merged per bucket — the classic mergeable sketch:
+# map-side partials collapse to <= m rows per group before the shuffle,
+# and the same max-merge makes it a streaming update-mode aggregate
+# with O(m) state per group regardless of key cardinality.
+#
+# The estimate keeps the float surface to ONE libm call: the harmonic
+# sum Σ 2^-reg is accumulated as the INTEGER Σ 2^(31-p+1-reg) (reg <=
+# 31-p+1, so every term is a non-negative power of two), then scaled by
+# the dyadic 2^-(31-p+1) — order-independent and exact; alpha_m and the
+# raw-estimate division are fixed literals/IEEE ops; only the
+# small-range linear-counting branch calls ln(), rounded identically on
+# both engines.
+
+
+def hll_bucket_rho(key_col: Column, p: int) -> Column:
+    """(bucket, rho) struct for one key — pure portable integer/dyadic
+    Catalyst arithmetic (see module comment)."""
+    m = 1 << p
+    w_bits = 31 - p
+    base = key_col.cast("long").bitwiseXOR(F.lit(9 * _ROW_SALT))
+    h = F.pmod(F.pmod(base, F.lit(_MOD)) * F.lit(_KNUTH), F.lit(_MOD))
+    for shift in (13, 17):  # avalanche rounds — see module comment
+        h = F.pmod(h.bitwiseXOR(F.shiftright(h, shift)) * F.lit(_KNUTH), F.lit(_MOD))
+    w = (h / F.lit(m)).cast("long")  # h div m: h >= 0 so truncation == floor
+    low = w.bitwiseAND(-w)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.round(F.log2(low.cast("double")), 0).cast("int") + F.lit(1)
+    )
+    return F.struct(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("rho"))
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None, *, p: int = 8
+) -> DataFrame:
+    """Max-merged HLL registers per group: (*group_cols, bucket, reg),
+    <= 2^p rows per group.  bucket/rho are map-side; the groupBy's
+    partial max collapses to register cardinality before the shuffle."""
+    group_cols = list(group_cols or [])
+    br = hll_bucket_rho(_key_as_long(df, key_col), p)
+    return (
+        df.select(*group_cols, br.alias("br"))
+        .groupBy(*group_cols, F.col("br.bucket").alias("bucket"))
+        .agg(F.max("br.rho").alias("reg"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None, *, p: int = 8
+) -> DataFrame:
+    """Distinct-count estimate per group from max-merged registers.
+
+    Standard HLL with the small-range correction: raw estimate
+    alpha_m * m^2 / Σ 2^-reg (absent buckets contribute 2^0 = 1);
+    if raw <= 2.5m and empty buckets exist, linear counting
+    m * ln(m / V).  Output: (*group_cols, est_distinct) rounded to 4.
+    """
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    w_bits = 31 - p
+    # alpha_m for m >= 128 (Flajolet et al. 2007), emitted as the same
+    # decimal literal the oracle uses
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(
+            # Column-valued bit offset: F.shiftleft only takes int offsets
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.lit(w_bits + 1) - F.col("reg")
+            )
+        ).alias("s_int"),
+        F.count("*").alias("used"),
+    )
+    v = (F.lit(m) - F.col("used")).cast("double")  # empty buckets
+    sum_inv = F.col("s_int").cast("double") / F.lit(float(1 << (w_bits + 1))) + v
+    raw = F.lit(alpha * m * m) / sum_inv
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("used") < F.lit(m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None, *, p: int = 8
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT key) per group in O(2^p) state —
+    the bounded-memory analog of the reference's per-key seen-sets
+    (src/processors/dex_processor.rs counter maps) at cardinalities
+    where exact sets cannot fit.  Two narrow shuffles: register
+    cardinality, then group cardinality."""
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, p=p), group_cols, p=p
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,

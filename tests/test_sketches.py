@@ -79,3 +79,97 @@ def test_heavy_hitters_candidates_injection(spark):
         for r in SK.heavy_hitters(df, "user_id", mean_ratio=2.0).collect()
     )
     assert full == [7, 13]
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+
+def test_hll_accuracy_consecutive_and_random_ids(spark):
+    """p=8 -> stderr ~6.5%; the avalanche rounds must hold that on
+    CONSECUTIVE ids too (a single multiplicative round provably cannot
+    — its low bits are a bijection of the key's low bits)."""
+    import random
+
+    cons = spark.createDataFrame([(i,) for i in range(1500)], "user_id long")
+    est = SK.hll_distinct(cons, "user_id").collect()[0]["est_distinct"]
+    assert abs(est - 1500) / 1500 < 0.15
+    rng = random.Random(7)
+    rand = spark.createDataFrame(
+        [(x,) for x in rng.sample(range(10**9), 1500)], "user_id long"
+    )
+    est = SK.hll_distinct(rand, "user_id").collect()[0]["est_distinct"]
+    assert abs(est - 1500) / 1500 < 0.15
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    once = spark.createDataFrame([(i,) for i in range(400)], "user_id long")
+    tenfold = spark.createDataFrame(
+        [(i,) for i in range(400) for _ in range(10)], "user_id long"
+    )
+    a = SK.hll_distinct(once, "user_id").collect()[0]["est_distinct"]
+    b = SK.hll_distinct(tenfold, "user_id").collect()[0]["est_distinct"]
+    assert a == b
+
+
+def test_hll_registers_merge_like_union(spark):
+    """max-merge of two halves' registers == registers of the union —
+    the property that makes the sketch a distributed/streaming
+    aggregate."""
+    left = spark.createDataFrame([(i,) for i in range(0, 600)], "user_id long")
+    right = spark.createDataFrame([(i,) for i in range(300, 900)], "user_id long")
+    both = left.union(right)
+    merged = (
+        SK.hll_registers(left, "user_id")
+        .union(SK.hll_registers(right, "user_id"))
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    want = {
+        (r["bucket"], r["reg"]) for r in SK.hll_registers(both, "user_id").collect()
+    }
+    got = {(r["bucket"], r["reg"]) for r in merged.collect()}
+    assert got == want
+    est = SK.hll_estimate(merged).collect()[0]["est_distinct"]
+    direct = SK.hll_distinct(both, "user_id").collect()[0]["est_distinct"]
+    assert est == direct
+
+
+def test_hll_streaming_update_mode_matches_batch(spark, sf_dir, tmp_path):
+    """hll_registers is a streaming max-aggregate with O(2^p) state per
+    group: streamed registers == batch registers, so the estimate is
+    identical."""
+    in_dir = str(tmp_path / "in")
+    spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(2).write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        SK.hll_registers(stream, "user_id", ["event_type"])
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT * FROM hll_stream")
+    want = {
+        (r["event_type"], r["bucket"]): r["reg"]
+        for r in SK.hll_registers(batch, "user_id", ["event_type"]).collect()
+    }
+    got = {(r["event_type"], r["bucket"]): r["reg"] for r in streamed.collect()}
+    assert got == want and len(got) > 0
+    est_s = sorted(
+        (r["event_type"], r["est_distinct"])
+        for r in SK.hll_estimate(streamed, ["event_type"]).collect()
+    )
+    est_b = sorted(
+        (r["event_type"], r["est_distinct"])
+        for r in SK.hll_distinct(batch, "user_id", ["event_type"]).collect()
+    )
+    assert est_s == est_b
