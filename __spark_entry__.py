@@ -3941,6 +3941,119 @@ WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 25
 """
 
 
+def _q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.py rrf_fuse): reciprocal-
+    rank fusion of the BM25 lexical top-30 and the IVF-ANN dense top-30
+    (query = embedding 0), top-15 by fused score — the standard hybrid
+    search shape for targeted corpus slicing.  Both candidate lists are
+    bounded heaps/bucket joins before fusion, so the outer-join chain
+    and final TakeOrdered touch metadata-scale rows only; rank_lex's
+    global window runs over the 30-row BM25 list (GLOBAL_WINDOW_OK —
+    candidate list, never a corpus).  1/(60+rank) terms are exact-input
+    IEEE divisions summed in fixed list order, rounded to 9 on both
+    engines."""
+    from bitquery_kafka_streams_rust_spark.operators.retrieval import (
+        add_rank,
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lex = add_rank(bm25_topk(docs, ["hash", "merge", "window"], k=30))
+    dense = SIM.ivf_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=30, n_cells=16, n_probe=2
+    ).select(F.col("c_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        {"lex": lex.select("doc_id", "rank"), "dense": dense}, k=15
+    )
+
+
+_SQL_DOC_HYBRID_RRF = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), tf AS (
+  SELECT doc_id, length(words) AS dl,
+         length(list_filter(words, x -> x = 'hash'))   AS tf0,
+         length(list_filter(words, x -> x = 'merge'))  AS tf1,
+         length(list_filter(words, x -> x = 'window')) AS tf2
+  FROM w
+), st AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM tf
+), idf AS (
+  SELECT avgdl,
+         round(ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0), 9) AS idf0,
+         round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0), 9) AS idf1,
+         round(ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0), 9) AS idf2
+  FROM st
+), sc AS (
+  SELECT t.doc_id,
+         round(0.0
+           + i.idf0 * (t.tf0 * 2.2) / (t.tf0 + 1.2 * (0.25 + 0.75 * t.dl / i.avgdl))
+           + i.idf1 * (t.tf1 * 2.2) / (t.tf1 + 1.2 * (0.25 + 0.75 * t.dl / i.avgdl))
+           + i.idf2 * (t.tf2 * 2.2) / (t.tf2 + 1.2 * (0.25 + 0.75 * t.dl / i.avgdl)),
+           6) AS score
+  FROM tf t, idf i
+), lexlist AS (
+  SELECT doc_id, score FROM sc WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT 30
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM lexlist
+), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cent_vec
+  FROM e
+  ORDER BY (vec_id * 2654435761) % 2147483648 ASC, vec_id ASC
+  LIMIT 16
+),
+assigned AS (
+  SELECT e.vec_id, e.v, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, c.cent_vec) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 9) DESC,
+                      c.cent_id ASC) AS cr
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id AS c_id, v AS c_vec, cent_id AS cell FROM assigned WHERE cr = 1),
+qcells AS (SELECT vec_id AS q_id, v AS q_vec, cent_id AS cell
+           FROM assigned WHERE cr <= 2 AND vec_id = 0),
+scored AS (
+  SELECT q.q_id, c.c_id,
+         round(list_dot_product(q.q_vec, c.c_vec) /
+               (sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+                sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) AS cos_sim
+  FROM corpus c JOIN qcells q USING (cell) WHERE q.q_id <> c.c_id
+),
+dense AS (
+  SELECT c_id AS doc_id, rank FROM (
+    SELECT c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 30
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(l.rank, -1) AS rank_lex,
+         coalesce(d.rank, -1) AS rank_dense,
+         round(
+           (CASE WHEN l.rank IS NULL THEN 0.0 ELSE 1.0 / (60 + CAST(l.rank AS DOUBLE)) END)
+           + (CASE WHEN d.rank IS NULL THEN 0.0 ELSE 1.0 / (60 + CAST(d.rank AS DOUBLE)) END),
+         9) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, rank_lex, rank_dense, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 15
+"""
+
+
 def _q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct users per event type (operators/sketches.py
     hll_distinct): p=8 -> 256 max-merged registers per group, the
@@ -4026,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_score": _shipped(_q_doc_classifier_score),
         "doc_bm25_topk": _shipped(_q_doc_bm25_topk),
         "events_hll_distinct": _shipped(_q_events_hll_distinct),
+        "doc_hybrid_rrf": _shipped(_q_doc_hybrid_rrf),
         # --- r01-r03 set: rotate back into the driver window ---
         "seq_sliding_window": _shipped(_q_seq_sliding),
         "seq_salted_agg": _shipped(_q_seq_salted),
@@ -4131,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_classifier_score": _SQL_DOC_CLASSIFIER,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
+        "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,
         "seq_filter": _SQL_SEQ_FILTER,
         "seq_dedup": _SQL_SEQ_DEDUP,
         "seq_token_stats": _SQL_SEQ_TOKEN_STATS,

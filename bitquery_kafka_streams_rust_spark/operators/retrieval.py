@@ -29,9 +29,10 @@ ops on identical inputs; the final score rounds to 6.
 
 from __future__ import annotations
 
+import functools
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -90,5 +91,70 @@ def bm25_topk(
         per_doc.select(id_col, "dl", F.round(score, 6).alias("score"))
         .where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def add_rank(ranking: DataFrame, *, score_col: str = "score", id_col: str = "doc_id") -> DataFrame:
+    """1-based rank by (score DESC, id ASC) over a CANDIDATE-LIST frame.
+
+    The window is intentionally unpartitioned: its input is a top-k
+    candidate list already collapsed by a bounded heap (bm25_topk's
+    ``limit`` / an ANN's per-query ``rank <= k`` cut), metadata-scale by
+    construction — never a corpus.  Corpus-input global windows stay
+    banned by tools/audit_plans.py; the contract query carries the
+    GLOBAL_WINDOW_OK allowlist entry for exactly this node."""
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return ranking.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    *,
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of named ranked
+    lists: score(d) = Σ_lists 1/(rrf_k + rank_list(d)), absent treated
+    as zero contribution.  Output: (id_col, rank_<name>... with -1 for
+    absent, rrf_score) top-``k`` by (rrf_score DESC, id ASC).
+
+    Each input frame needs (id_col, rank).  Inputs are bounded
+    candidate lists, so the full-outer join chain and the final
+    TakeOrdered heap run on metadata-scale rows regardless of corpus
+    size; the per-list retrieval (BM25 heap, ANN bucket join) is where
+    the data-scale work already happened.
+
+    Float parity: each 1/(rrf_k+rank) is one IEEE division on exact
+    integers, accumulated in the FIXED order of ``rankings``; the sum
+    rounds to 9 on both engines (the -1 sentinel keeps rank columns
+    NULL-free — NULL ints become NaN floats in the comparator and never
+    hash-match)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    named = [
+        (name, df.select(F.col(id_col), F.col("rank").alias(f"rank_{name}")))
+        for name, df in rankings.items()
+    ]
+    fused = functools.reduce(
+        lambda a, b: a.join(b, on=id_col, how="full_outer"), [df for _, df in named]
+    )
+    score: Column = F.lit(0.0)
+    for name, _ in named:
+        r = F.col(f"rank_{name}")
+        score = score + F.when(r.isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / (F.lit(rrf_k) + r.cast("double"))
+        )
+    return (
+        fused.select(
+            id_col,
+            *[
+                F.coalesce(F.col(f"rank_{name}"), F.lit(-1)).alias(f"rank_{name}")
+                for name, _ in named
+            ],
+            F.round(score, 9).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -62,3 +62,42 @@ def test_bm25_plan_takeordered_no_nlj(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# --- reciprocal-rank fusion ---------------------------------------------------
+
+
+def test_rrf_matches_hand_model(spark):
+    from bitquery_kafka_streams_rust_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rank int")
+    dense = spark.createDataFrame([(11, 1), (13, 2)], "doc_id long, rank int")
+    rows = {
+        r["doc_id"]: (r["rank_lex"], r["rank_dense"], r["rrf_score"])
+        for r in rrf_fuse({"lex": lex, "dense": dense}, k=10).collect()
+    }
+    # doc 11 in both lists: 1/62 + 1/61
+    assert rows[11] == (2, 1, round(1 / 62 + 1 / 61, 9))
+    # absent list contributes 0 and surfaces the -1 sentinel
+    assert rows[10] == (1, -1, round(1 / 61, 9))
+    assert rows[13] == (-1, 2, round(1 / 62, 9))
+    assert set(rows) == {10, 11, 12, 13}
+
+
+def test_rrf_topk_and_tiebreak(spark):
+    from bitquery_kafka_streams_rust_spark.operators.retrieval import rrf_fuse
+
+    # equal scores -> ascending id wins; k cuts after the sort
+    a = spark.createDataFrame([(i, 1) for i in (5, 3, 9)], "doc_id long, rank int")
+    rows = rrf_fuse({"only": a}, k=2).collect()
+    assert [r["doc_id"] for r in rows] == [3, 5]
+
+
+def test_rrf_fixed_sum_order_is_deterministic(spark):
+    from bitquery_kafka_streams_rust_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(i, i + 1) for i in range(20)], "doc_id long, rank int")
+    dense = spark.createDataFrame([(i, 20 - i) for i in range(20)], "doc_id long, rank int")
+    one = [(r["doc_id"], r["rrf_score"]) for r in rrf_fuse({"lex": lex, "dense": dense}, k=20).collect()]
+    two = [(r["doc_id"], r["rrf_score"]) for r in rrf_fuse({"lex": lex, "dense": dense}, k=20).collect()]
+    assert one == two and len(one) == 20

@@ -33,7 +33,13 @@ NESTED_LOOP_OK = {"emb_cosine_topk", "emb_ann_recall"}
 # over the per-key aggregate (one corpus scan; the broadcast-scalar
 # alternative costs a second full scan).  Corpus-input global windows
 # (the 10^12-row scale killer) still fail the audit.
-GLOBAL_WINDOW_OK: set[str] = {"events_rollup_share"}
+GLOBAL_WINDOW_OK: set[str] = {
+    "events_rollup_share",
+    # doc_hybrid_rrf: rank_lex's window input is the 30-row BM25
+    # candidate list (already collapsed by a TakeOrdered heap), never
+    # the corpus — see retrieval.add_rank
+    "doc_hybrid_rrf",
+}
 
 
 def _single_partition_window(plan: str) -> bool:
