@@ -4054,6 +4054,96 @@ ORDER BY rrf_score DESC, doc_id LIMIT 15
 """
 
 
+def _q_emb_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval of the IVF ANN against the exact
+    brute-force baseline (operators/retrieval.py retrieval_eval):
+    recall@10 / MRR@10 / binary NDCG@10 per query — emb_ann_recall
+    grades set overlap, this grades the ORDER.  The brute-force truth
+    side is the allowlisted BNLJ baseline (same as emb_cosine_topk);
+    the eval itself is a metadata-scale join of two (queries x 10)-row
+    lists.  Discounted sums run on the inlined integer 1e9 grid of
+    1/log2(rank+1), so NDCG is bit-exact cross-engine (float SUM order
+    and Spark-vs-libm log2 ulps both removed)."""
+    from bitquery_kafka_streams_rust_spark.operators.retrieval import retrieval_eval
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    truth = SIM.brute_force_topk(emb, q, k=10)
+    cand = SIM.ivf_topk(emb, q, k=10, n_cells=16, n_probe=2)
+    return retrieval_eval(cand, truth, k=10)
+
+
+_SQL_EMB_RETRIEVAL_EVAL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+tscored AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         round(list_dot_product(q.q_vec, c.v) /
+               (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cos_sim
+  FROM e c CROSS JOIN q WHERE q.q_id <> c.vec_id
+),
+truth AS (
+  SELECT q_id, c_id, rank FROM (
+    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+    FROM tscored
+  ) WHERE rank <= 10
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cent_vec FROM e
+  ORDER BY (vec_id * 2654435761) % 2147483648 ASC, vec_id ASC LIMIT 16
+),
+assigned AS (
+  SELECT e.vec_id, e.v, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, c.cent_vec) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 9) DESC,
+                      c.cent_id ASC) AS cr
+  FROM e CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id AS c_id, v AS c_vec, cent_id AS cell FROM assigned WHERE cr = 1),
+qcells AS (SELECT vec_id AS q_id, v AS q_vec, cent_id AS cell
+           FROM assigned WHERE cr <= 2 AND vec_id < 5),
+cscored AS (
+  SELECT q.q_id, c.c_id,
+         round(list_dot_product(q.q_vec, c.c_vec) /
+               (sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+                sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) AS cos_sim
+  FROM corpus c JOIN qcells q USING (cell) WHERE q.q_id <> c.c_id
+),
+cand AS (
+  SELECT q_id, c_id, rank FROM (
+    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+    FROM cscored
+  ) WHERE rank <= 10
+),
+j AS (
+  SELECT c.q_id, c.rank, CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM cand c LEFT JOIN truth t ON c.q_id = t.q_id AND c.c_id = t.c_id
+),
+perq AS (
+  SELECT q_id,
+         sum(CASE WHEN rel = 1 THEN list_extract(
+           [1000000000, 630929754, 500000000, 430676558, 386852807,
+            356207187, 333333333, 315464877, 301029996, 289064826], rank)
+           ELSE 0 END) AS dcg_int,
+         sum(rel) AS n_hit,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_hit
+  FROM j GROUP BY 1
+),
+ts AS (SELECT q_id, count(*) AS n_truth FROM truth GROUP BY 1)
+SELECT p.q_id,
+       round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
+       round(coalesce(1.0 / CAST(first_hit AS DOUBLE), 0.0), 6) AS mrr,
+       round(CAST(dcg_int AS DOUBLE) / CAST(list_extract(
+         [1000000000, 1630929754, 2130929754, 2561606312, 2948459119,
+          3304666306, 3637999639, 3953464516, 4254494512, 4543559338], n_truth) AS DOUBLE),
+         6) AS ndcg
+FROM perq p JOIN ts USING (q_id) ORDER BY p.q_id
+"""
+
+
 def _q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct users per event type (operators/sketches.py
     hll_distinct): p=8 -> 256 max-merged registers per group, the
@@ -4140,6 +4230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": _shipped(_q_doc_bm25_topk),
         "events_hll_distinct": _shipped(_q_events_hll_distinct),
         "doc_hybrid_rrf": _shipped(_q_doc_hybrid_rrf),
+        "emb_retrieval_eval": _shipped(_q_emb_retrieval_eval),
         # --- r01-r03 set: rotate back into the driver window ---
         "seq_sliding_window": _shipped(_q_seq_sliding),
         "seq_salted_agg": _shipped(_q_seq_salted),
@@ -4246,6 +4337,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,
+        "emb_retrieval_eval": _SQL_EMB_RETRIEVAL_EVAL,
         "seq_filter": _SQL_SEQ_FILTER,
         "seq_dedup": _SQL_SEQ_DEDUP,
         "seq_token_stats": _SQL_SEQ_TOKEN_STATS,

@@ -95,6 +95,73 @@ def bm25_topk(
     )
 
 
+def dcg_discount_grid(k: int) -> list[int]:
+    """DCG rank discounts 1/log2(rank+1) for ranks 1..k, as 9-dp
+    integers scaled by 1e9.  Inlined as literals on BOTH engines so the
+    discounted sums are INTEGER sums — order-independent and bit-exact
+    (a float SUM's accumulation order is engine/partitioning-dependent
+    in the last ulp, and Spark's log2 = ln/ln2 vs DuckDB's libm log2
+    can differ by 1 ulp; literals remove both hazards)."""
+    return [int(round((1.0 / math.log2(r + 1)) * 10**9)) for r in range(1, k + 1)]
+
+
+def retrieval_eval(
+    candidates: DataFrame,
+    truth: DataFrame,
+    *,
+    k: int = 10,
+    q_col: str = "q_id",
+    id_col: str = "c_id",
+) -> DataFrame:
+    """Per-query ranking quality of ``candidates`` against ``truth``
+    (both: (q_col, id_col, rank) with rank 1-based): recall@k, MRR@k,
+    binary-relevance NDCG@k.  The eval harness for the ANN family —
+    ``similarity.ann_recall`` grades set overlap only; this grades the
+    ORDER.
+
+    Scale shape: one equi-join of two (queries x k)-row candidate
+    lists + two narrow aggregates — metadata-scale, like the lists
+    themselves.  All discounted sums run on the integer grid from
+    ``dcg_discount_grid`` (see there); the only divisions are one
+    per-query IEEE op, rounded to 6.
+    """
+    grid = dcg_discount_grid(k)
+    disc = F.element_at(F.lit(grid), F.col("rank").cast("int"))
+    c = candidates.where(F.col("rank") <= k).select(
+        q_col, id_col, F.col("rank"), disc.cast("long").alias("disc_int")
+    )
+    t = truth.where(F.col("rank") <= k).select(q_col, id_col, F.lit(1).alias("rel"))
+    joined = c.join(t, on=[q_col, id_col], how="left")
+    per_q = joined.groupBy(q_col).agg(
+        F.sum(F.when(F.col("rel").isNotNull(), F.col("disc_int")).otherwise(0)).alias(
+            "dcg_int"
+        ),
+        F.sum(F.when(F.col("rel").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+        F.min(F.when(F.col("rel").isNotNull(), F.col("rank"))).alias("first_hit"),
+    )
+    # ideal DCG = prefix sum of the grid up to the truth-list size
+    prefix = [sum(grid[: i + 1]) for i in range(k)]
+    t_sizes = truth.where(F.col("rank") <= k).groupBy(q_col).agg(
+        F.count("*").alias("n_truth")
+    )
+    idcg = F.element_at(F.lit(prefix), F.col("n_truth").cast("int")).cast("double")
+    return (
+        per_q.join(t_sizes, q_col)
+        .select(
+            q_col,
+            F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_hit").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("mrr"),
+            F.round(F.col("dcg_int").cast("double") / idcg, 6).alias("ndcg"),
+        )
+        .orderBy(q_col)
+    )
+
+
 def add_rank(ranking: DataFrame, *, score_col: str = "score", id_col: str = "doc_id") -> DataFrame:
     """1-based rank by (score DESC, id ASC) over a CANDIDATE-LIST frame.
 

@@ -101,3 +101,50 @@ def test_rrf_fixed_sum_order_is_deterministic(spark):
     one = [(r["doc_id"], r["rrf_score"]) for r in rrf_fuse({"lex": lex, "dense": dense}, k=20).collect()]
     two = [(r["doc_id"], r["rrf_score"]) for r in rrf_fuse({"lex": lex, "dense": dense}, k=20).collect()]
     assert one == two and len(one) == 20
+
+
+# --- retrieval_eval (recall / MRR / NDCG) --------------------------------------
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, "q_id long, c_id long, rank int")
+
+
+def test_retrieval_eval_perfect_and_disjoint(spark):
+    from bitquery_kafka_streams_rust_spark.operators.retrieval import retrieval_eval
+
+    truth = _ranked(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    perfect = retrieval_eval(truth, truth, k=3).collect()[0]
+    assert (perfect["recall"], perfect["mrr"], perfect["ndcg"]) == (1.0, 1.0, 1.0)
+    miss = _ranked(spark, [(1, 90, 1), (1, 91, 2), (1, 92, 3)])
+    zero = retrieval_eval(miss, truth, k=3).collect()[0]
+    assert (zero["recall"], zero["mrr"], zero["ndcg"]) == (0.0, 0.0, 0.0)
+
+
+def test_retrieval_eval_hand_values(spark):
+    from bitquery_kafka_streams_rust_spark.operators.retrieval import (
+        dcg_discount_grid,
+        retrieval_eval,
+    )
+
+    truth = _ranked(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    # candidate list hits truth docs at ranks 2 and 3 only
+    cand = _ranked(spark, [(1, 99, 1), (1, 10, 2), (1, 12, 3)])
+    r = retrieval_eval(cand, truth, k=3).collect()[0]
+    g = dcg_discount_grid(3)
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["mrr"] == 0.5
+    assert r["ndcg"] == round((g[1] + g[2]) / sum(g), 6)
+
+
+def test_retrieval_eval_order_sensitivity(spark):
+    """Same hit SET, better order -> higher NDCG (recall ties)."""
+    from bitquery_kafka_streams_rust_spark.operators.retrieval import retrieval_eval
+
+    truth = _ranked(spark, [(1, 10, 1), (1, 11, 2)])
+    good = _ranked(spark, [(1, 10, 1), (1, 99, 2)])
+    bad = _ranked(spark, [(1, 99, 1), (1, 10, 2)])
+    rg = retrieval_eval(good, truth, k=2).collect()[0]
+    rb = retrieval_eval(bad, truth, k=2).collect()[0]
+    assert rg["recall"] == rb["recall"]
+    assert rg["ndcg"] > rb["ndcg"] and rg["mrr"] > rb["mrr"]

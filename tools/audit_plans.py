@@ -25,7 +25,7 @@ sys.path.insert(0, "/root/repo")
 # Queries where a BroadcastNestedLoopJoin is the intended plan: the
 # broadcast side is a handful of query vectors and the "join" is an
 # intentional scored scan (brute-force ANN baseline).
-NESTED_LOOP_OK = {"emb_cosine_topk", "emb_ann_recall"}
+NESTED_LOOP_OK = {"emb_cosine_topk", "emb_ann_recall", "emb_retrieval_eval"}
 
 # Queries where a window over Exchange SinglePartition is intended
 # because its input is an aggregated METADATA frame (|keys| / n_strata
