@@ -56,6 +56,22 @@ ROCKSDB_PROVIDER = (
 )
 
 
+def run_cpu_calibration(spark, cores: int) -> float:
+    """Pure-CPU scaling calibration: a no-I/O, no-state codegen
+    aggregate — the best ANY Spark job can parallelize on this box.
+    ONE definition, imported by scripts/calibrated_headline.py and
+    scripts/scaling_small_n.py: their ceiling comparisons assume the
+    kernel is bit-identical to the one bench.py measures."""
+    from pyspark.sql import functions as F
+
+    cal = spark.range(0, 2_000_000_000, 1, cores * 4).agg(
+        F.sum(F.xxhash64(F.col("id")) % 1000 + F.xxhash64(F.col("id") + 1) % 1000)
+    )
+    t0 = time.time()
+    cal.collect()
+    return time.time() - t0
+
+
 def _progress_durations(query) -> dict[str, int]:
     """Sum the per-epoch ``durationMs`` phases (addBatch = micro-batch
     execution incl. state commit inside tasks, walCommit/commitOffsets =
@@ -208,17 +224,12 @@ def _stream_scaling(input_dir: str, levels: list[int]) -> dict:
             if cell not in walls or wall < min(walls[cell]):
                 breakdown[cell] = durations  # breakdown of the BEST run
             walls.setdefault(cell, []).append(wall)
-            # CPU-scaling calibration in the SAME context: pure codegen
-            # compute with no I/O — measures this sandbox's achievable
-            # parallel ceiling (a shared-memory VM, not a real cluster)
-            from pyspark.sql import functions as F
-
-            cal = spark.range(0, 2_000_000_000, 1, cores * 4).agg(
-                F.sum(F.xxhash64(F.col("id")) % 1000 + F.xxhash64(F.col("id") + 1) % 1000)
+            # CPU-scaling calibration in the SAME context: measures this
+            # sandbox's achievable parallel ceiling (a shared-memory VM,
+            # not a real cluster)
+            cpu_cal[cores] = min(
+                cpu_cal.get(cores, 1e9), run_cpu_calibration(spark, cores)
             )
-            t0 = time.time()
-            cal.collect()
-            cpu_cal[cores] = min(cpu_cal.get(cores, 1e9), time.time() - t0)
         n_out = S.read_output(spark, f"{cfg.output_dir}/events").count()
         spark.stop()
         shutil.rmtree(f"{tmp}/ckpt_{run_id}", ignore_errors=True)
@@ -352,6 +363,28 @@ def main() -> None:
             "state_parts_sweep": stream_res.get("parts_sweep", {}),
         },
     }
+
+    # compact N=2→8 evidence (measured by scripts/scaling_small_n.py at a
+    # bus-unsaturated executor pair — where the >=0.8 criterion measures
+    # the plan, not this VM's memory bus; full table in BASELINE.md)
+    if os.path.exists("BENCH/scaling_small_n.json"):
+        try:
+            with open("BENCH/scaling_small_n.json") as f:
+                sn = json.load(f)
+            best = sn.get("best", sn)
+            result["stream"]["small_n"] = {
+                "levels": best["levels"],
+                "heap_efficiency_best": best["heap"]["scaling_efficiency"],
+                "heap_efficiency_sessions": sn.get(
+                    "heap_efficiency_sessions",
+                    [best["heap"]["scaling_efficiency"]],
+                ),
+                "cpu_ceiling": best["heap"]["sandbox_cpu_ceiling_efficiency"],
+                "north_rule_met": sn["north_rule_met"],
+                "measured_at": best["measured_at"],
+            }
+        except (json.JSONDecodeError, OSError, KeyError):
+            pass
 
     _append_history(result)
     _write_baseline_md(result)
@@ -601,6 +634,49 @@ def _calibrated_headline_section() -> list[str]:
     return lines
 
 
+def _small_n_section() -> list[str]:
+    """Render scripts/scaling_small_n.py's result (if run): the N=2→8
+    executor pair, where the sandbox's memory bus is not saturated at
+    either level and the north rule's >=0.8 criterion is therefore a
+    measurement of the PLAN rather than the box."""
+    path = "BENCH/scaling_small_n.json"
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return []
+    best = d.get("best", d)  # pre-history schema fallback
+    lines = [
+        "### N→4N scaling at N=2 (below bus saturation)\n",
+        f"`scripts/scaling_small_n.py`: same job, same input, same fixed\n"
+        f"state partitions ({best['state_partitions']}), levels {best['levels']} —\n"
+        "the exact --stream-worker protocol, calibration-gated to quiet\n"
+        "windows, at an executor pair where the pure-CPU calibration itself\n"
+        "scales well (the 8→32 pair's ~0.55-0.65 calibration ceiling shows\n"
+        "that pair measures the shared memory bus, not the plan).  Best\n"
+        f"session ({best['measured_at']}, {best['input_rows']} rows,"
+        f" best-of-{best['runs_per_cell']} interleaved):\n",
+        "| provider | N wall (s) | 4N wall (s) | raw efficiency | CPU ceiling | vs ceiling |",
+        "|---|---|---|---|---|---|",
+    ]
+    for prov in ("heap", "rocksdb"):
+        p = best[prov]
+        lines.append(
+            f"| {prov} | {p['n_cores']['wall_s']} | {p['4n_cores']['wall_s']} |"
+            f" {p['scaling_efficiency']} | {p['sandbox_cpu_ceiling_efficiency']} |"
+            f" {p['efficiency_vs_ceiling']} |"
+        )
+    if d.get("heap_efficiency_sessions"):
+        lines += [
+            "",
+            f"Heap raw efficiency across sessions: {d['heap_efficiency_sessions']}\n",
+        ]
+    lines += ["", f"**{d['verdict']}**\n"]
+    return lines
+
+
 def _query_times_section() -> list[str]:
     """Per-query timing history (BENCH/query_times.jsonl, appended by
     every tools/verify_oracle.py sweep): slowest-10 table for the most
@@ -623,10 +699,13 @@ def _query_times_section() -> list[str]:
                 ]
     except (json.JSONDecodeError, OSError, KeyError):
         return []
-    # most recent sf_dir with >= 1 full sweep; sweeps sort by tag (ISO-ish)
+    # the sf_dir of the most RECENT full sweep (sweep tags are ISO-ish
+    # and sort chronologically) — sorting by the (sf_dir, sweep) tuple
+    # would pin 'sf0.1' forever ('sf0.1' > 'sf0.01' lexicographically)
+    # and the movers table would stop seeing new sf0.01 sweeps
     if not by_sweep:
         return []
-    sf = sorted(by_sweep)[-1][0]
+    sf = max(by_sweep, key=lambda k: k[1])[0]
     sweeps = sorted(k for k in by_sweep if k[0] == sf)
     cur = by_sweep[sweeps[-1]]
     prev = by_sweep[sweeps[-2]] if len(sweeps) >= 2 else {}
@@ -734,6 +813,7 @@ def _write_baseline_md(r: dict) -> None:
         *_amortization_section(),
         *_history_section(),
         *_calibrated_headline_section(),
+        *_small_n_section(),
         *_query_times_section(),
         "## Headline batch queries (noop sink, local[{}])\n".format(CPUS),
         "| query | sec |",

@@ -278,8 +278,16 @@ _CLS_KNUTH = 2654435761
 _CLS_MOD = 2**31
 
 
-def _cls_words(text: Column) -> Column:
+def whitespace_words(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped — THE shared
+    tokenizer of the hashed-BoW classifier and BM25 retrieval.  Its
+    DuckDB twin is ``list_filter(string_split_regex(lower(text),
+    '\\s+'), x -> length(x) > 0)`` in every oracle that replays either
+    operator — change both sides in lockstep only."""
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0)
+
+
+_cls_words = whitespace_words
 
 
 def _cls_bucket(word: Column, dim: int) -> Column:

@@ -27,6 +27,7 @@ tie-break.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -268,7 +269,6 @@ def _nfb_match(
     else:
         a_ids, a_ts_us = [], []
     pending = list(zip(a_ids, a_ts_us))
-    gap_us = int(gap_s * 1_000_000)
     rows = {"key": [], "a_id": [], "a_ts": []}
 
     def emit(aid: int, aus: int) -> None:
@@ -289,26 +289,46 @@ def _nfb_match(
         )
         types = pdf[type_col].values
         ids = pdf[id_col].values
+        # the batch twin compares WHOLE-SECOND gaps (unix_timestamp
+        # floors) and only over rows STRICTLY following in (ts, id)
+        # order — mirror both exactly, or sub-second boundaries
+        # (a=.900, b=gap+.950: floored diff == gap, suppress) and
+        # same-ts id ties diverge between the twins
         for pos in range(len(pdf)):
             if types[pos] == type_a:
                 pending.append((int(ids[pos]), int(ts_us[pos])))
             elif types[pos] == type_b:
                 b_us = int(ts_us[pos])
+                b_id = int(ids[pos])
+                b_sec = b_us // 10**6
                 # in-gap B → matched, suppress; strictly-earlier or
                 # too-late B → keep the A pending (see docstring: only
                 # the watermark certifies absence)
                 pending = [
                     (aid, aus)
                     for aid, aus in pending
-                    if not (0 <= b_us - aus <= gap_us)
+                    if not (
+                        ((b_us > aus) or (b_us == aus and b_id > aid))
+                        and b_sec - aus // 10**6 <= gap_s
+                    )
                 ]
     # expire pending A's the watermark has passed (covers both the
-    # timed-out invocation and late watermark advancement with data)
+    # timed-out invocation and late watermark advancement with data).
+    # Under the batch twin's floored-second gap, the LAST suppressing
+    # B for an A lies anywhere below (floor(a_ts) + floor(gap) + 1) s —
+    # absence is certain only once the watermark reaches that bucket
+    # end, not a_ts + gap exactly (a sub-second A would otherwise emit
+    # while a still-admissible in-floor-gap B is outstanding).
+    gap_floor = math.floor(gap_s)
+
+    def deadline_us(aus: int) -> int:
+        return (aus // 10**6 + gap_floor + 1) * 10**6
+
     wm_us = state.getCurrentWatermarkMs() * 1000
     if wm_us > 0:
         still = []
         for aid, aus in pending:
-            if aus + gap_us < wm_us:
+            if deadline_us(aus) <= wm_us:
                 emit(aid, aus)  # no B within gap, watermark certain
             else:
                 still.append((aid, aus))
@@ -320,7 +340,7 @@ def _nfb_match(
         ))
         # earliest outstanding deadline; must be strictly ahead of the
         # watermark or Spark rejects it
-        deadline_ms = min(u for _, u in pending) // 1000 + int(gap_s * 1000) + 1
+        deadline_ms = min(deadline_us(u) for _, u in pending) // 1000
         state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
     else:
         state.remove()

@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 
 
 def _words(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0)
+    # the classifier/BM25 shared tokenizer — one definition, one DuckDB
+    # twin (see functions/text.whitespace_words)
+    from bitquery_kafka_streams_rust_spark.functions.text import whitespace_words
+
+    return whitespace_words(text)
 
 
 def bm25_topk(
@@ -77,7 +81,15 @@ def bm25_topk(
         for i in range(len(terms))
     ]
     m = per_doc.agg(*aggs).collect()[0]
-    n_docs, avgdl = m["n"], (float(m["sum_dl"]) / m["n"] if m["n"] else 1.0)
+    n_docs = m["n"]
+    if not n_docs:
+        # empty corpus: every df/sum is NULL — short-circuit to an
+        # empty frame with the output schema instead of feeding None
+        # into the IDF arithmetic
+        return per_doc.select(
+            id_col, "dl", F.lit(0.0).alias("score")
+        ).where(F.lit(False))
+    avgdl = float(m["sum_dl"]) / n_docs
     score: Column = F.lit(0.0)
     for i in range(len(terms)):
         df_t = m[f"_df{i}"]

@@ -176,8 +176,12 @@ def dup_span_trim(
     - docs are split by a semi/anti join against the span-bearing ids
       (the span table is already narrow and materialized);
     - only SPAN-BEARING docs take the explode → anti-join → per-doc
-      rank window → aggregate path (token arrays still never cross a
-      shuffle — the explode is map-side after the semi join);
+      rank window → aggregate path — the TRIM path adds no token-array
+      shuffle (the explode is map-side after the semi join).  Token
+      arrays cross exactly ONE exchange in the whole operator: the
+      per-id first-wins collapse below, unavoidable for multiset input
+      and shared by every downstream branch via ReuseExchange (one
+      physical shuffle, four consumers);
     - untouched docs never leave the scan: their kept sequence IS the
       original, so ``kept_n_tok = n_tok`` and ``kept_checksum`` is the
       map-side HOF ``sum(token * (1-based pos)) mod P31`` (the

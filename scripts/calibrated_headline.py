@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -47,19 +48,22 @@ R3_QUERIES_PATH = "BENCH_r03_local.json"
 
 
 def _calibrate(spark) -> float:
-    from pyspark.sql import functions as F
+    from bench import run_cpu_calibration
 
-    cal = spark.range(0, 2_000_000_000, 1, CPUS * 4).agg(
-        F.sum(F.xxhash64(F.col("id")) % 1000 + F.xxhash64(F.col("id") + 1) % 1000)
-    )
-    t0 = time.time()
-    cal.collect()
-    return time.time() - t0
+    return run_cpu_calibration(spark, CPUS)
 
 
 def main() -> int:
     import __spark_entry__ as E
     from bitquery_kafka_streams_rust_spark.session import get_spark
+
+    # resolve + load the r3 reference BEFORE the multi-minute gated
+    # measurement: a missing file must fail fast, not discard a
+    # completed suite run
+    r3_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), R3_QUERIES_PATH
+    )
+    r3 = json.load(open(r3_path))
 
     spark = get_spark(app_name="calibrated-headline", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
@@ -95,13 +99,14 @@ def main() -> int:
     if not gated:
         return 1
 
-    r3 = json.load(open(R3_QUERIES_PATH))
     r3q = r3.get("parsed", r3).get("queries", r3.get("queries", {}))
     ratios = {
         q: round(q_times[q] / r3q[q], 3) for q in q_times if r3q.get(q)
     }
     others = sorted(v for q, v in ratios.items() if q != "flagship_pipeline")
-    med = others[len(others) // 2] if others else None
+    # true median (even-length lists average the middle pair — the
+    # upper-middle element alone would bias the <= med*1.15 gate high)
+    med = round(statistics.median(others), 3) if others else None
     flag_r = ratios.get("flagship_pipeline")
     if med is None or flag_r is None:
         verdict = "no r3 reference overlap — ratios unavailable"

@@ -643,3 +643,92 @@ def test_not_followed_by_stream_out_of_order_in_gap_b(spark, tmp_path):
     # user 10 suppressed by the late-arriving in-gap B; 20 and 30 alert
     assert want == [(20, 3), (30, 5)]
     assert got == want
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_not_followed_by_stream_subsecond_and_tie_parity(spark, tmp_path):
+    """Regression (round-5 review): the batch twin compares FLOORED
+    whole-second gaps (unix_timestamp) over rows STRICTLY following in
+    (ts, id) order.  The stream kernel must mirror both: (a) an in-gap
+    B at sub-second offset (a=.900, b=gap+.950 -> floored diff == gap)
+    suppresses in batch, so the stream must not alert; (b) a cross-batch
+    B at the SAME timestamp as the A but a LOWER id is not 'strictly
+    following' in batch order, so the stream must still alert."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    from datetime import timedelta
+
+    def _evf(eid, uid, etype, secs_f):
+        return (
+            eid,
+            datetime(2024, 1, 1) + timedelta(seconds=secs_f),
+            uid,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    gap = 600
+    rows_b0 = [
+        _evf(1, 10, "signup", 0.900),    # A — floored gap to B == 600
+        _evf(3, 20, "signup", 0.0),      # A — B at 601 is truly late
+        _evf(4, 20, "purchase", 601.0),
+        _evf(6, 30, "signup", 50.0),     # A — same-ts lower-id B below
+    ]
+    rows_b1 = [
+        _evf(2, 10, "purchase", 600.950),  # sub-second in-floor-gap B
+        _evf(5, 30, "purchase", 50.0),     # same ts as A 6, id 5 < 6
+    ]
+    in_dir = str(tmp_path / "subsec")
+    os.makedirs(in_dir)
+    base = _time.time() - 100
+    all_rows = rows_b0 + rows_b1
+    for i, batch in enumerate([rows_b0, rows_b1]):
+        p = str(tmp_path / f"subsec_stage_{i}")
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        f = glob.glob(f"{p}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{i:02d}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+    for i in (1, 2):
+        p = str(tmp_path / f"subsec_flush_{i}")
+        flush = spark.createDataFrame(
+            [(10_000_000 + i, datetime(2024, 1, 2 + i), -1, "noop", 0.0, "{}")],
+            SCHEMA,
+        )
+        flush.coalesce(1).write.mode("overwrite").parquet(p)
+        f = glob.glob(f"{p}/part-*.parquet")[0]
+        dst = f"{in_dir}/z_flush{i}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (base + 100 + i * 10, base + 100 + i * 10))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "3600 seconds")
+    )
+    q = (
+        CEP.not_followed_by_stream(stream, "signup", "purchase", gap)
+        .writeStream.format("memory")
+        .queryName("nfb_subsec")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT key, a_id FROM nfb_subsec").collect()
+    )
+    batch = CEP.not_followed_by(
+        spark.createDataFrame(all_rows, SCHEMA), "signup", "purchase", gap
+    )
+    want = sorted((r["key"], r["a_id"]) for r in batch.collect())
+    # ground truth: user 10 suppressed (floored 600 <= 600), 20 and 30 alert
+    assert want == [(20, 3), (30, 6)]
+    assert got == want
