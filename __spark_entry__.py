@@ -4054,6 +4054,96 @@ ORDER BY rrf_score DESC, doc_id LIMIT 15
 """
 
 
+def _q_seq_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary coverage / OOV profile of the token
+    stream against a vocab id bound (tokens >= 40000 are
+    out-of-vocabulary here — the tokenizer-compatibility check a
+    training pipeline runs before mixing a new source in).  OOV counts
+    are MAP-SIDE per-row array folds (tokens never cross the shuffle —
+    repo invariant); the groupBy ships three longs per source."""
+    seq = _seq(spark, sf_dir)
+    oov = F.size(F.filter("tokens", lambda t: t >= F.lit(40000)))
+    per_row = seq.select(
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        oov.cast("long").alias("oov"),
+    )
+    return (
+        per_row.groupBy("source")
+        .agg(
+            F.count("*").alias("n_seq"),
+            F.sum("n_tok").alias("total_tok"),
+            F.sum("oov").alias("oov_tok"),
+        )
+        .select(
+            "source",
+            "n_seq",
+            "total_tok",
+            "oov_tok",
+            F.round(F.col("oov_tok") / F.col("total_tok"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SEQ_VOCAB = (
+    _SEQ
+    + """
+SELECT source, count(*) AS n_seq,
+       sum(CAST(n_tok AS BIGINT)) AS total_tok,
+       sum(CAST(length(list_filter(tokens, t -> t >= 40000)) AS BIGINT)) AS oov_tok,
+       round(sum(CAST(length(list_filter(tokens, t -> t >= 40000)) AS BIGINT))
+             / CAST(sum(CAST(n_tok AS BIGINT)) AS DOUBLE), 6) AS oov_rate
+FROM seq GROUP BY source ORDER BY source
+"""
+)
+
+
+def _q_events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per (10-minute tumbling window, type) —
+    the T5 x O1 composition (windowed ranking, the 'loudest alerts per
+    interval' report).  The rank filter plans as WindowGroupLimit
+    (Spark 4 pushes the limit into per-partition group heaps before
+    the window sort — no full per-group sort at scale); ties break by
+    ascending event_id for determinism."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("win", "event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            F.window("ts", "10 minutes").getField("start").alias("win"),
+            "event_type",
+            "event_id",
+            "value",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.unix_timestamp("win").alias("win_start_s"),
+            "event_type",
+            "event_id",
+            "value",
+            "rk",
+        )
+        .orderBy("win_start_s", "event_type", "rk")
+    )
+
+
+_SQL_EVENTS_WINDOWED_TOPK = """
+SELECT win_start_s, event_type, event_id, value, rk FROM (
+  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start_s,
+         event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY CAST(floor(epoch(ts) / 600) * 600 AS BIGINT), event_type
+           ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+) WHERE rk <= 3 ORDER BY win_start_s, event_type, rk
+"""
+
+
 def _q_emb_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality eval of the IVF ANN against the exact
     brute-force baseline (operators/retrieval.py retrieval_eval):
@@ -4231,6 +4321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_distinct": _shipped(_q_events_hll_distinct),
         "doc_hybrid_rrf": _shipped(_q_doc_hybrid_rrf),
         "emb_retrieval_eval": _shipped(_q_emb_retrieval_eval),
+        "seq_vocab_coverage": _shipped(_q_seq_vocab_coverage),
+        "events_windowed_topk": _shipped(_q_events_windowed_topk),
         # --- r01-r03 set: rotate back into the driver window ---
         "seq_sliding_window": _shipped(_q_seq_sliding),
         "seq_salted_agg": _shipped(_q_seq_salted),
@@ -4338,6 +4430,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,
         "emb_retrieval_eval": _SQL_EMB_RETRIEVAL_EVAL,
+        "seq_vocab_coverage": _SQL_SEQ_VOCAB,
+        "events_windowed_topk": _SQL_EVENTS_WINDOWED_TOPK,
         "seq_filter": _SQL_SEQ_FILTER,
         "seq_dedup": _SQL_SEQ_DEDUP,
         "seq_token_stats": _SQL_SEQ_TOKEN_STATS,
