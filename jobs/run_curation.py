@@ -56,6 +56,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--budget", type=int, default=None,
                    help="total char budget; rebalances sources toward uniform shares")
+    p.add_argument("--slice-terms", default=None, metavar="T1,T2",
+                   help="BM25 corpus slice FIRST: keep only the "
+                        "--slice-topk documents best matching these "
+                        "comma-separated terms (operators/retrieval.py "
+                        "bm25_topk) — 'pull the docs about X' before "
+                        "any gate runs")
+    p.add_argument("--slice-topk", type=int, default=10000)
     p.add_argument("--repetition-gate", action="store_true")
     p.add_argument("--exact-dedup", action="store_true",
                    help="drop exact-content duplicates (md5 hash-groupBy, min doc_id wins)")
@@ -92,6 +99,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 def curate(docs, a: argparse.Namespace):
     if not a.splits:
         raise SystemExit("--splits requires at least one name=weight pair")
+    if a.slice_terms:
+        # targeted slice BEFORE the gates: all downstream stages see
+        # only the matching subset.  bm25_topk's id list is a bounded
+        # TakeOrdered heap (k rows); the semi-join is the only touch on
+        # the corpus and AQE broadcasts the small side
+        from bitquery_kafka_streams_rust_spark.operators.retrieval import bm25_topk
+
+        terms = [t for t in a.slice_terms.split(",") if t]
+        ids = bm25_topk(docs, terms, k=a.slice_topk).select("doc_id")
+        docs = docs.join(ids, "doc_id", "left_semi")
     if a.repetition_gate:
         docs = docs.where(TX.repetition_gate(F.col("text")))
     if a.exact_dedup:

@@ -598,3 +598,30 @@ def test_mix_weights_uniform_zero_size_stratum(spark):
     }
     assert w["b"] == 1.0 and w["c"] == 1.0
     assert 0.0 < w["a"] < 1.0  # 50 * (1/3) / 100
+
+
+def test_curation_cli_slice_terms(spark, sf_dir, tmp_path):
+    """--slice-terms keeps exactly the BM25 top-k id set — the export
+    is the targeted slice, and every kept doc matches a query term."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    from bitquery_kafka_streams_rust_spark.operators.retrieval import bm25_topk
+
+    rc = J.main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--slice-terms", "hash,merge", "--slice-topk", "40",
+        "--splits", "all=1.0",
+        "--output", str(tmp_path / "s"),
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "s"))
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {r["doc_id"] for r in bm25_topk(docs, ["hash", "merge"], k=40).collect()}
+    assert got == want and len(got) > 0
+    # every sliced doc actually contains a query term
+    hit = out.where(F.lower(F.col("text")).rlike(r"\b(hash|merge)\b")).count()
+    assert hit == out.count()
