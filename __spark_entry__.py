@@ -4090,10 +4090,10 @@ _SQL_SEQ_VOCAB = (
     _SEQ
     + """
 SELECT source, count(*) AS n_seq,
-       sum(CAST(n_tok AS BIGINT)) AS total_tok,
-       sum(CAST(length(list_filter(tokens, t -> t >= 40000)) AS BIGINT)) AS oov_tok,
-       round(sum(CAST(length(list_filter(tokens, t -> t >= 40000)) AS BIGINT))
-             / CAST(sum(CAST(n_tok AS BIGINT)) AS DOUBLE), 6) AS oov_rate
+       CAST(sum(n_tok) AS BIGINT) AS total_tok,
+       CAST(sum(length(list_filter(tokens, t -> t >= 40000))) AS BIGINT) AS oov_tok,
+       round(CAST(sum(length(list_filter(tokens, t -> t >= 40000))) AS BIGINT)
+             / CAST(sum(n_tok) AS DOUBLE), 6) AS oov_rate
 FROM seq GROUP BY source ORDER BY source
 """
 )
