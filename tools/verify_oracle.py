@@ -61,7 +61,18 @@ def cells_equal(a, b) -> bool:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept space- AND comma-separated names; tolerate an "--only"
+    # marker token.  Unknown names are a hard error: a typo'd or
+    # mis-joined list that silently matches nothing prints a hollow
+    # "ALL OK" that reads as verification (exactly what happened with
+    # "--only a,b" before commas were split — round-5 postmortem)
+    only = {
+        x
+        for a in sys.argv[2:]
+        if a != "--only"
+        for x in a.split(",")
+        if x
+    }
 
     import __spark_entry__ as E
     from bitquery_kafka_streams_rust_spark.session import get_spark
@@ -72,6 +83,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query names in selection: {sorted(unknown)}")
+        return 2
     failures = []
     sweep = time.strftime("%Y-%m-%dT%H:%M:%S")
     timing_rows: list[dict] = []
