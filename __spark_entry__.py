@@ -4144,6 +4144,223 @@ SELECT win_start_s, event_type, event_id, value, rk FROM (
 """
 
 
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel view→click→purchase within 1 h of the first
+    view (operators/funnel.py) — the aggregate face of cep_followed_by
+    (reference: the per-key stage-progression caches of
+    src/processors/dex_processor.rs, rolled up corpus-wide).  Each
+    step is a type-filtered min-aggregate on the user key; the frames
+    re-join on that same key, so identical aggregate subtrees dedup
+    via ReusedExchange and a hot user is one partial per partition.
+    The summary explodes ONE 1-row aggregate — no global window."""
+    from bitquery_kafka_streams_rust_spark.operators.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, ["view", "click", "purchase"], horizon_s=3600)
+
+
+_SQL_EVENTS_FUNNEL = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS et,
+         CAST(floor(epoch(ts)) AS BIGINT) AS uts
+  FROM events
+), s0 AS (
+  SELECT u, min(uts) AS t0 FROM e WHERE et = 'view' GROUP BY u
+), s1 AS (
+  SELECT e.u, s0.t0, min(e.uts) AS t1
+  FROM e JOIN s0 ON e.u = s0.u
+  WHERE e.et = 'click' AND e.uts >= s0.t0 AND e.uts <= s0.t0 + 3600
+  GROUP BY e.u, s0.t0
+), s2 AS (
+  SELECT e.u, min(e.uts) AS t2
+  FROM e JOIN s1 ON e.u = s1.u
+  WHERE e.et = 'purchase' AND e.uts >= s1.t1 AND e.uts <= s1.t0 + 3600
+  GROUP BY e.u
+), c AS (
+  SELECT (SELECT count(*) FROM s0) AS n0,
+         (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2
+)
+SELECT step, step_name, n_users, conv_overall, conv_prev FROM (
+  SELECT 1 AS step, 'view' AS step_name, n0 AS n_users,
+         CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / n0, 9) ELSE 0.0 END AS conv_overall,
+         CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE) / n0, 9) ELSE 0.0 END AS conv_prev
+  FROM c
+  UNION ALL
+  SELECT 2, 'click', n1,
+         CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / n0, 9) ELSE 0.0 END,
+         CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / n0, 9) ELSE 0.0 END
+  FROM c
+  UNION ALL
+  SELECT 3, 'purchase', n2,
+         CASE WHEN n0 > 0 THEN round(CAST(n2 AS DOUBLE) / n0, 9) ELSE 0.0 END,
+         CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 9) ELSE 0.0 END
+  FROM c
+) ORDER BY step
+"""
+
+
+def _q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening paths (operators/funnel.py): sessionize
+    by 30-min inactivity gap (the events_sessionize arithmetic,
+    (ts, event_id)-ordered so ties are deterministic), '>'-join each
+    session's first 3 event types, count, TakeOrdered top-10.  The
+    per-session fold is one aggregate whose array is bounded by
+    events-per-session — never corpus-wide."""
+    from bitquery_kafka_streams_rust_spark.operators.funnel import top_session_paths
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return top_session_paths(ev, gap_s=1800, depth=3, k=10)
+
+
+_SQL_EVENTS_TOP_PATHS = """
+WITH o AS (
+  SELECT user_id AS u, event_id AS eid, event_type AS et,
+         CAST(floor(epoch(ts)) AS BIGINT) AS uts,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+         ) AS prev_uts
+  FROM events
+), i AS (
+  SELECT u, eid, et, uts,
+         sum(CASE WHEN prev_uts IS NULL OR uts - prev_uts > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY u ORDER BY uts, eid ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+), p AS (
+  SELECT u, sess,
+         array_to_string((list(et ORDER BY uts, eid))[1:3], '>') AS path
+  FROM i GROUP BY u, sess
+)
+SELECT path, count(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 10
+"""
+
+
+def _q_doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (operators/sampling.py
+    importance_resample): score each doc by the Laplace-smoothed
+    log-likelihood ratio of its hashed-unigram buckets under a target
+    slice (source='src7') vs the raw pool, keep the top 30%.  The
+    bucket table is a 64-row metadata aggregate inlined as literals;
+    scoring is map-side; the cut is a TakeOrdered heap.  The oracle
+    recomputes the ratios in SQL and replays the per-doc left fold."""
+    from bitquery_kafka_streams_rust_spark.operators.sampling import (
+        importance_resample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return importance_resample(docs, "src7", dim=64, keep_frac=0.3)
+
+
+_SQL_DOC_IMPORTANCE = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), x AS (
+  SELECT doc_id, source,
+         list_transform(words, w ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 313 + b) % 2147483647) % 64) AS bks
+  FROM w
+), f AS (
+  SELECT unnest(bks) AS b,
+         CASE WHEN source = 'src7' THEN 1 ELSE 0 END AS is_tgt
+  FROM x
+), cnt AS (
+  SELECT b, count(*) AS n_raw, sum(is_tgt) AS n_tgt FROM f GROUP BY b
+), tot AS (
+  SELECT sum(n_raw) AS tr, sum(n_tgt) AS tt FROM cnt
+), lrt AS (
+  SELECT g.b,
+         round(ln((coalesce(cnt.n_tgt, 0) + 1.0) / (tot.tt + 64))
+             - ln((coalesce(cnt.n_raw, 0) + 1.0) / (tot.tr + 64)), 9) AS lr
+  FROM (SELECT unnest(generate_series(0, 63)) AS b) g
+  LEFT JOIN cnt ON g.b = cnt.b CROSS JOIN tot
+), lrs AS (
+  SELECT list(lr ORDER BY b) AS arr FROM lrt
+), s AS (
+  SELECT doc_id, source,
+         round(list_reduce(list_prepend(0.0,
+                 list_transform(bks, b -> arr[CAST(b AS INTEGER) + 1])),
+               (a, v) -> a + v)
+               / CAST(greatest(length(bks), 1) AS DOUBLE), 6) AS importance
+  FROM x CROSS JOIN lrs
+), sel AS (
+  SELECT doc_id, source, importance,
+         row_number() OVER (ORDER BY importance DESC, doc_id ASC) AS rk,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT doc_id, source, importance FROM sel
+WHERE rk <= CAST(ceil(0.3 * n) AS BIGINT) ORDER BY doc_id
+"""
+
+
+def _q_emb_rand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims
+    (operators/similarity.py random_projection) with the fixed-probe
+    cosine-preservation error per row.  Pure map-side ±1 sign-matrix
+    arithmetic — no shuffle; the oracle inlines the IDENTICAL
+    driver-generated sign literals (jl_sign, stage salt 10) and
+    replays the folds and roundings in SQL."""
+    from bitquery_kafka_streams_rust_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection(emb, out_dim=16, dim=64)
+
+
+def _make_sql_rand_projection(out_dim: int = 16, dim: int = 64) -> str:
+    # the oracle inlines the SAME driver-side sign literals the Spark
+    # operator uses — parity by construction (centroid-literal pattern)
+    from bitquery_kafka_streams_rust_spark.operators.similarity import jl_sign
+
+    coeffs = [[jl_sign(j * dim + d) for d in range(dim)] for j in range(out_dim)]
+    pp = [sum(c) for c in coeffs]
+    pp_dot = float(sum(p * p for p in pp))
+    arrs = ", ".join(
+        "list_dot_product(v, [%s])" % ", ".join(f"{float(c):.1f}" for c in row)
+        for row in coeffs
+    )
+    pp_arr = "[%s]" % ", ".join(f"{float(p):.1f}" for p in pp)
+    p_cols = ",\n       ".join(
+        f"round(proj[{j + 1}], 6) AS p{j}" for j in range(out_dim)
+    )
+    cos_orig = (
+        "CASE WHEN vn = 0 THEN 0.0 "
+        "ELSE round(list_sum(v) / (vn * sqrt(64.0)), 6) END"
+    )
+    cos_proj = (
+        "CASE WHEN pn = 0 THEN 0.0 "
+        f"ELSE round(list_dot_product(proj, {pp_arr}) / (pn * sqrt({pp_dot!r})), 6) END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT vec_id, v, [{arrs}] AS proj FROM e),
+m AS (
+  SELECT vec_id, v, proj,
+         sqrt(list_dot_product(v, v)) AS vn,
+         sqrt(list_dot_product(proj, proj)) AS pn
+  FROM p
+)
+SELECT vec_id,
+       {p_cols},
+       {cos_orig} AS cos_orig,
+       {cos_proj} AS cos_proj,
+       round(abs(({cos_proj}) - ({cos_orig})), 6) AS cos_err
+FROM m ORDER BY vec_id
+"""
+
+
+_SQL_EMB_RAND_PROJECTION = _make_sql_rand_projection()
+
+
 def _q_emb_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality eval of the IVF ANN against the exact
     brute-force baseline (operators/retrieval.py retrieval_eval):
@@ -4323,6 +4540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_retrieval_eval": _shipped(_q_emb_retrieval_eval),
         "seq_vocab_coverage": _shipped(_q_seq_vocab_coverage),
         "events_windowed_topk": _shipped(_q_events_windowed_topk),
+        "events_funnel": _shipped(_q_events_funnel),
+        "events_top_paths": _shipped(_q_events_top_paths),
+        "doc_importance_resample": _shipped(_q_doc_importance_resample),
+        "emb_rand_projection": _shipped(_q_emb_rand_projection),
         # --- r01-r03 set: rotate back into the driver window ---
         "seq_sliding_window": _shipped(_q_seq_sliding),
         "seq_salted_agg": _shipped(_q_seq_salted),
@@ -4432,6 +4653,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_retrieval_eval": _SQL_EMB_RETRIEVAL_EVAL,
         "seq_vocab_coverage": _SQL_SEQ_VOCAB,
         "events_windowed_topk": _SQL_EVENTS_WINDOWED_TOPK,
+        "events_funnel": _SQL_EVENTS_FUNNEL,
+        "events_top_paths": _SQL_EVENTS_TOP_PATHS,
+        "doc_importance_resample": _SQL_DOC_IMPORTANCE,
+        "emb_rand_projection": _SQL_EMB_RAND_PROJECTION,
         "seq_filter": _SQL_SEQ_FILTER,
         "seq_dedup": _SQL_SEQ_DEDUP,
         "seq_token_stats": _SQL_SEQ_TOKEN_STATS,

@@ -444,3 +444,91 @@ def temperature_resample(
         rate_col.alias("rate"),
         (base_col + (draw < frac_col).cast("int")).alias("n_copies"),
     )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target_source: str,
+    *,
+    dim: int = 64,
+    keep_frac: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data-selection-by-importance-resampling (the DSIR shape, Xie et
+    al. 2023): score every document by how much its hashed-unigram
+    feature distribution looks like a TARGET slice of the corpus vs
+    the raw pool, then keep the top ``keep_frac`` by score.
+
+    Two passes, both scale-flat:
+
+    1. **Feature distributions** — explode hashed word buckets (the
+       classifier's ``_cls_bucket`` polynomial hash, ``dim`` buckets)
+       → one partial-combined groupBy with ``dim`` output rows.  The
+       bucket table is METADATA (64 rows here, ≤4096 in any sane
+       config), so it is collected driver-side and the per-bucket
+       Laplace-smoothed log-likelihood ratios are inlined as a literal
+       array — the alternative (joining a 64-row frame on a computed
+       key, or a scalar subquery) either broadcasts a dim-row table
+       per task or constant-folds into the BNLJ the plan audit bans.
+    2. **Scoring + selection** — per-doc mean log-ratio of its word
+       buckets, computed entirely map-side from the literal array
+       (text never shuffles); the top-n cut is ``orderBy().limit()``
+       → a TakeOrdered heap, never a global window.
+
+    Float parity: log-ratios are ``_round_half_up(..., 9)`` driver-side
+    (Python and DuckDB both evaluate glibc ``ln`` on bit-identical
+    IEEE quotients of exact integer counts); the per-doc fold runs in
+    document word order on both engines (``F.aggregate`` here, an
+    explicit ``list_reduce`` left fold in the oracle); the single
+    final rounding is 6 dp on the mean."""
+    import math
+
+    from bitquery_kafka_streams_rust_spark.functions.text import (
+        _cls_bucket,
+        whitespace_words,
+    )
+
+    words = whitespace_words(docs[text_col])
+    occ = docs.select(
+        (F.col(source_col) == target_source).cast("long").alias("is_tgt"),
+        F.explode(words).alias("w"),
+    ).select("is_tgt", _cls_bucket(F.col("w"), dim).alias("b"))
+    # dim-row metadata aggregate (see docstring for the collect
+    # justification vs the scalar-subquery-BNLJ alternative)
+    rows = (
+        occ.groupBy("b")
+        .agg(F.count("*").alias("n_raw"), F.sum("is_tgt").alias("n_tgt"))
+        .collect()
+    )
+    n_raw = {int(r["b"]): int(r["n_raw"]) for r in rows}
+    n_tgt = {int(r["b"]): int(r["n_tgt"]) for r in rows}
+    tot_raw = sum(n_raw.values())
+    tot_tgt = sum(n_tgt.values())
+    lr = [
+        _round_half_up(
+            math.log((n_tgt.get(b, 0) + 1.0) / (tot_tgt + dim))
+            - math.log((n_raw.get(b, 0) + 1.0) / (tot_raw + dim)),
+            9,
+        )
+        for b in range(dim)
+    ]
+    lr_lit = F.array(*[F.lit(v) for v in lr])
+    wlr = F.transform(words, lambda w: F.element_at(lr_lit, (_cls_bucket(w, dim) + 1).cast("int")))
+    score = F.round(
+        F.aggregate(wlr, F.lit(0.0), lambda acc, x: acc + x)
+        / F.greatest(F.size(words), F.lit(1)).cast("double"),
+        6,
+    )
+    n_docs = docs.count()  # scalar metadata, same justification
+    n_keep = int(math.ceil(keep_frac * n_docs))
+    return (
+        docs.select(
+            docs[id_col],
+            docs[source_col],
+            score.alias("importance"),
+        )
+        .orderBy(F.col("importance").desc(), F.col(id_col).asc())
+        .limit(n_keep)
+    )

@@ -404,3 +404,104 @@ def ann_recall(
         )
         .orderBy("q_id")
     )
+
+
+_JL_KNUTH = 2654435761
+_JL_MOD = 2**31
+_JL_SALT = 10 * 0x9E3779B9  # XOR stage salt 10 (registry in CLAUDE.md)
+
+
+def jl_sign(idx: int) -> int:
+    """±1 Achlioptas projection coefficient for flat matrix index
+    ``idx`` — the sketches.py avalanche pipeline (Knuth multiply + two
+    xorshift-multiply rounds) on stage salt 10, evaluated DRIVER-side:
+    the signs are inlined as literals on both engines, so the hash
+    only has to be deterministic, not Catalyst-expressible.  A plain
+    LCG lattice (the LSH ±1000 lattice) is NOT usable here: its rows
+    are shifts of one periodic sequence, and the correlated planes
+    destroy the JL angle-preservation this operator exists for
+    (measured: median fixed-probe cos error 0.42 vs ~0.17 avalanche)."""
+    h = ((idx ^ _JL_SALT) % _JL_MOD * _JL_KNUTH) % _JL_MOD
+    for s in (13, 17):
+        h = ((h ^ (h >> s)) * _JL_KNUTH) % _JL_MOD
+    return 1 if h < 2**30 else -1
+
+
+def random_projection(
+    df: DataFrame,
+    *,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions, plus a per-row angle-preservation probe — the
+    dimensionality-reduction front end of the ANN/dedup family (project
+    once, then bucket/search in the cheap space).
+
+    The projection matrix is a deterministic ±1 sign matrix
+    (``jl_sign`` — Achlioptas 2003's database-friendly JL variant),
+    inlined as literal coefficient arrays, so the operator is pure
+    map-side Catalyst expression work: no shuffle, no Python, and any
+    engine can replay it bit-for-bit.  Each output coordinate is one
+    ``zip_with``+fold pass in index order (the emb_lsh_ann oracle
+    precedent for cross-engine float parity).
+
+    The JL quality metric reported per row is cosine preservation
+    against a fixed all-ones probe vector: ``cos_err = |cos(Pv, Pu) -
+    cos(v, u)|`` with ``u = 1⃗`` — computable map-side on both engines
+    (pairwise distances would need a quadratic join; the fixed-probe
+    angle error is the standard one-pass proxy).  All cosines round to
+    6 dp before the error subtraction."""
+    coeffs = [
+        [jl_sign(j * dim + d) for d in range(dim)] for j in range(out_dim)
+    ]
+    import math
+
+    pp = [sum(c) for c in coeffs]  # projection of the all-ones probe (exact ints)
+    pp_dot = float(sum(p * p for p in pp))
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    # Each 64-element fold lands ONCE as an alias; later selects only
+    # reference the columns.  Inlining the folds into every use (the
+    # p_j rounds, both norms, the probe dot) multiplies the expression
+    # tree ~20x and pays seconds of pure compile/serialize time —
+    # CollapseProject keeps non-cheap exprs referenced >1x
+    # materialized, so this staging is what bounds the plan size.
+    s1 = df.select(F.col(id_col), x.alias("_x"))
+    s2 = s1.select(
+        F.col(id_col),
+        F.aggregate(s1["_x"], F.lit(0.0), lambda a, v: a + v).alias("_sx"),
+        dot(s1["_x"], s1["_x"]).alias("_vd"),
+        *[
+            dot(s1["_x"], F.array(*[F.lit(float(c)) for c in coeffs[j]])).alias(
+                f"_pj{j}"
+            )
+            for j in range(out_dim)
+        ],
+    )
+    proj_cols = [s2[f"_pj{j}"] for j in range(out_dim)]
+    vnorm = F.sqrt(s2["_vd"])
+    pnorm = F.sqrt(
+        sum((c * c for c in proj_cols[1:]), proj_cols[0] * proj_cols[0])
+    )
+    probe_dot = sum(
+        (c * F.lit(float(p)) for c, p in zip(proj_cols[1:], pp[1:])),
+        proj_cols[0] * F.lit(float(pp[0])),
+    )
+    # cos(v, ones) = sum(v) / (||v|| * sqrt(dim))
+    cos_orig = F.when(vnorm == 0, F.lit(0.0)).otherwise(
+        F.round(s2["_sx"] / (vnorm * F.lit(math.sqrt(float(dim)))), 6)
+    )
+    cos_proj = F.when(pnorm == 0, F.lit(0.0)).otherwise(
+        F.round(probe_dot / (pnorm * F.lit(math.sqrt(pp_dot))), 6)
+    )
+    out = s2.select(
+        F.col(id_col),
+        *[F.round(proj_cols[j], 6).alias(f"p{j}") for j in range(out_dim)],
+        cos_orig.alias("cos_orig"),
+        cos_proj.alias("cos_proj"),
+    )
+    return out.withColumn(
+        "cos_err", F.round(F.abs(F.col("cos_proj") - F.col("cos_orig")), 6)
+    )

@@ -625,3 +625,37 @@ def test_curation_cli_slice_terms(spark, sf_dir, tmp_path):
     # every sliced doc actually contains a query term
     hit = out.where(F.lower(F.col("text")).rlike(r"\b(hash|merge)\b")).count()
     assert hit == out.count()
+
+
+def test_importance_resample_prefers_target_vocab(spark):
+    """Disjoint vocabularies: every kept doc is from the target-like
+    slice (its words' buckets carry positive log-ratios), and the cut
+    size is ceil(keep_frac * n)."""
+    from bitquery_kafka_streams_rust_spark.operators.sampling import (
+        importance_resample,
+    )
+
+    rows = [(i, "alpha beta gamma", "en", "tgt", 16) for i in range(10)] + [
+        (i + 10, "delta epsilon zeta", "en", "other", 18) for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kept = importance_resample(docs, "tgt", dim=64, keep_frac=0.5).collect()
+    assert len(kept) == 10
+    assert {r["source"] for r in kept} == {"tgt"}
+    assert all(r["importance"] > 0 for r in kept)
+
+
+def test_importance_resample_empty_text_scores_zero(spark):
+    from bitquery_kafka_streams_rust_spark.operators.sampling import (
+        importance_resample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "a", 0), (2, "word", "en", "b", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r["importance"]
+           for r in importance_resample(docs, "a", keep_frac=1.0).collect()}
+    assert out[1] == 0.0 and len(out) == 2
