@@ -4361,6 +4361,213 @@ FROM m ORDER BY vec_id
 _SQL_EMB_RAND_PROJECTION = _make_sql_rand_projection()
 
 
+def _q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/funnel.py retention_cohorts):
+    users cohorted by the day of their first event, cell (cohort,
+    offset) = distinct users of that cohort active offset days later +
+    the retention ratio vs the cohort's size.  The corpus-wide rollup
+    of the reference's per-key first-seen caches
+    (src/processors/dex_processor.rs).  One user-keyed min-aggregate,
+    a same-key join-back, a narrow-triple distinct, and a
+    calendar-bounded count; the size side is broadcast."""
+    from bitquery_kafka_streams_rust_spark.operators.funnel import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, bucket_s=86400)
+
+
+_SQL_EVENTS_RETENTION_COHORTS = """
+WITH e AS (
+  SELECT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b
+  FROM events
+), f AS (
+  SELECT u, min(b) AS cohort_b FROM e GROUP BY u
+), a AS (
+  SELECT DISTINCT e.u, f.cohort_b, e.b - f.cohort_b AS day_offset
+  FROM e JOIN f ON e.u = f.u
+), c AS (
+  SELECT cohort_b, day_offset, count(*) AS n_users
+  FROM a GROUP BY cohort_b, day_offset
+), s AS (
+  SELECT cohort_b, n_users AS size FROM c WHERE day_offset = 0
+)
+SELECT c.cohort_b AS cohort_day, c.day_offset, c.n_users,
+       round(CAST(c.n_users AS DOUBLE) / s.size, 9) AS retention
+FROM c JOIN s ON c.cohort_b = s.cohort_b
+ORDER BY cohort_day, day_offset
+"""
+
+
+def _q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch (operators/sketches.py
+    quantile_sketch/quantile_estimate): per event_type p50/p90/p99
+    estimates as bucket lower bounds on a width-0.25 grid — the
+    partial-combinable, streaming-composable, cross-engine-exact
+    alternative to exact F.percentile (which buffers every value per
+    group and cannot partial-combine at 100 TB).  The sketch is
+    <= 4096 rows per type BEFORE the shuffle; the rank scan is one
+    window partitioned by type."""
+    from bitquery_kafka_streams_rust_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = quantile_sketch(ev, "value", by="event_type", width=0.25, n_buckets=4096)
+    return quantile_estimate(
+        sk, (0.5, 0.9, 0.99), by="event_type", width=0.25
+    ).orderBy("event_type")
+
+
+_SQL_EVENTS_QUANTILE_SKETCH = """
+WITH sk AS (
+  SELECT event_type,
+         least(4095, greatest(0, CAST(floor(value / 0.25) AS BIGINT))) AS bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM sk
+)
+SELECT event_type,
+       CAST(sum(cnt) AS BIGINT) AS n,
+       round(min(CASE WHEN cum >= CAST(ceil(0.5 * total) AS BIGINT)
+                      THEN bucket END) * 0.25, 6) AS p50_est,
+       round(min(CASE WHEN cum >= CAST(ceil(0.9 * total) AS BIGINT)
+                      THEN bucket END) * 0.25, 6) AS p90_est,
+       round(min(CASE WHEN cum >= CAST(ceil(0.99 * total) AS BIGINT)
+                      THEN bucket END) * 0.25, 6) AS p99_est
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers (operators/anomaly.py mad_outliers): events
+    whose value deviates from their type's median by > 3 MADs — the
+    adaptive version of the reference's fixed alert thresholds
+    (src/processors/dex_processor.rs min-amount gates).  med and mad
+    are rounded to 6 dp AT COMPUTATION on both engines (the
+    events_percentiles parity precedent), so the gate comparison is
+    IEEE-exact arithmetic on identical inputs and cannot flip."""
+    from bitquery_kafka_streams_rust_spark.operators.anomaly import mad_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        mad_outliers(ev, "value", "event_type", k=3.0)
+        .select("event_id", "event_type", "value", "med", "mad", "deviation")
+        .orderBy("event_type", "event_id")
+    )
+
+
+_SQL_EVENTS_ANOMALY_MAD = """
+WITH m AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT e.event_id, e.event_type, e.value, m.med
+  FROM events e JOIN m ON e.event_type = m.event_type
+), s AS (
+  SELECT event_type, round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+  FROM d GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.med, s.mad,
+       round(abs(d.value - d.med), 6) AS deviation
+FROM d JOIN s ON d.event_type = s.event_type
+WHERE abs(d.value - d.med) > 3.0 * s.mad
+ORDER BY d.event_type, d.event_id
+"""
+
+
+def _q_doc_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    near-dup graph (operators/graph.triangle_stats): is a dup family a
+    clique (one template — keep one doc) or a star/chain (transitive
+    similarity only)?  Degree-orientation algorithm: edges oriented
+    from the lower (deg, id) endpoint bound wedge fan-out at
+    O(sqrt(m)) regardless of hub skew; each triangle is counted at its
+    unique oriented source.  Edges are the portable MinHash pairs
+    (same prefix as doc_pagerank's oracle)."""
+    from bitquery_kafka_streams_rust_spark.operators import graph as GR
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.4, portable=True)
+    return GR.triangle_stats(pairs)
+
+
+_SQL_DOC_NEARDUP_TRIANGLES = """
+WITH cs AS (
+  SELECT doc_id AS id,
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+         length(text) AS n
+  FROM documents
+), sh AS (
+  SELECT id, list_distinct(
+      CASE WHEN n < 5 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                            (a, x) -> (a * 313 + x) % 2147483647)]
+      ELSE list_transform(range(1, n - 3),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_slice(codes, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER))),
+                (a, x) -> (a * 313 + x) % 2147483647)) END) AS sset
+  FROM cs
+), sig AS (
+  SELECT id, list_transform(range(0, 64),
+      j -> list_min(list_transform(sset,
+           x -> (x * (2654435761 + j * 40503) + j * 7919 + 7) % 4294967311))) AS sg
+  FROM sh
+), banded AS (
+  SELECT id, sg, band,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_slice(sg, CAST(band * 4 + 1 AS INTEGER), CAST(band * 4 + 4 AS INTEGER))),
+             (a, x) -> (a * 1000003 + x) % 2147483647) AS bh
+  FROM sig, LATERAL unnest(range(0, 16)) AS t(band)
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.sg) AS sig_a, any_value(b.sg) AS sig_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+  GROUP BY 1, 2
+), est AS (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN sig_a[CAST(i AS INTEGER)] = sig_b[CAST(i AS INTEGER)]
+                  THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard
+  FROM cand
+), tp AS MATERIALIZED (
+  -- MATERIALIZED: referenced by both directions of und AND the closure
+  -- probe; inlining would re-run the MinHash subplan three times
+  SELECT id_a AS a, id_b AS b FROM est WHERE est_jaccard >= 0.4
+), und AS MATERIALIZED (
+  SELECT a, b FROM tp UNION SELECT b, a FROM tp
+), deg AS MATERIALIZED (
+  SELECT a AS id, count(*) AS deg FROM und GROUP BY a
+), o AS MATERIALIZED (
+  SELECT und.a AS u, und.b AS v
+  FROM und JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b
+  WHERE da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+), w AS (
+  SELECT o1.u, o1.v AS x, o2.v AS y
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+), tri AS (
+  SELECT u, x, y FROM w JOIN tp ON w.x = tp.a AND w.y = tp.b
+), pn AS (
+  SELECT id, count(*) AS triangles FROM (
+    SELECT u AS id FROM tri
+    UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri
+  ) GROUP BY id
+)
+SELECT deg.id, deg.deg,
+       coalesce(pn.triangles, 0) AS triangles,
+       CASE WHEN deg.deg >= 2
+            THEN round(2.0 * coalesce(pn.triangles, 0) / (deg.deg * (deg.deg - 1)), 9)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN pn ON deg.id = pn.id
+ORDER BY deg.id
+"""
+
+
 def _q_emb_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality eval of the IVF ANN against the exact
     brute-force baseline (operators/retrieval.py retrieval_eval):
@@ -4544,6 +4751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_paths": _shipped(_q_events_top_paths),
         "doc_importance_resample": _shipped(_q_doc_importance_resample),
         "emb_rand_projection": _shipped(_q_emb_rand_projection),
+        "events_retention_cohorts": _shipped(_q_events_retention_cohorts),
+        "events_quantile_sketch": _shipped(_q_events_quantile_sketch),
+        "events_anomaly_mad": _shipped(_q_events_anomaly_mad),
+        "doc_neardup_triangles": _shipped(_q_doc_neardup_triangles),
         # --- r01-r03 set: rotate back into the driver window ---
         "seq_sliding_window": _shipped(_q_seq_sliding),
         "seq_salted_agg": _shipped(_q_seq_salted),
@@ -4657,6 +4868,10 @@ def oracle_sql() -> dict[str, str]:
         "events_top_paths": _SQL_EVENTS_TOP_PATHS,
         "doc_importance_resample": _SQL_DOC_IMPORTANCE,
         "emb_rand_projection": _SQL_EMB_RAND_PROJECTION,
+        "events_retention_cohorts": _SQL_EVENTS_RETENTION_COHORTS,
+        "events_quantile_sketch": _SQL_EVENTS_QUANTILE_SKETCH,
+        "events_anomaly_mad": _SQL_EVENTS_ANOMALY_MAD,
+        "doc_neardup_triangles": _SQL_DOC_NEARDUP_TRIANGLES,
         "seq_filter": _SQL_SEQ_FILTER,
         "seq_dedup": _SQL_SEQ_DEDUP,
         "seq_token_stats": _SQL_SEQ_TOKEN_STATS,

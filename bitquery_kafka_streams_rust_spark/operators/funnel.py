@@ -201,3 +201,66 @@ def top_session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    bucket_s: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the time bucket
+    of their FIRST event; cell (cohort, offset) counts the distinct
+    users of that cohort active ``offset`` buckets later, plus the
+    retention ratio against the cohort's size (its offset-0 cell —
+    every user is active in their own first bucket by construction).
+
+    The reference's per-key first-seen caches
+    (src/processors/dex_processor.rs) track exactly this "when did the
+    key first appear / is it still active" progression per key; this is
+    the corpus-wide rollup a product-analytics user reads as the
+    retention triangle.
+
+    Scale shape: one min-aggregate on the user key, a join back to the
+    activity rows on that SAME key (AQE reuses the user partitioning,
+    identical subtrees dedup via ReusedExchange), a distinct on the
+    narrow (user, cohort, offset) triple, then a count whose
+    (cohort, offset) key space is calendar-bounded metadata.  The
+    cohort-size side is that same aggregate filtered to offset 0 —
+    broadcast, never a global window.  A hot user folds to one partial
+    per partition through the min; the distinct bounds any user's
+    contribution to one row per (cohort, offset) cell.
+
+    Retention is rounded to 9 dp (repo float-parity convention).
+    """
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(int(bucket_s))).cast("long")
+    e = events.select(F.col(user_col).alias("u"), b.alias("b"))
+    first = e.groupBy("u").agg(F.min("b").alias("cohort_b"))
+    act = (
+        e.join(first, "u")
+        .select("u", "cohort_b", (F.col("b") - F.col("cohort_b")).alias("day_offset"))
+    )
+    if max_offset is not None:
+        act = act.where(F.col("day_offset") <= int(max_offset))
+    cells = (
+        act.distinct()
+        .groupBy("cohort_b", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+    sizes = cells.where(F.col("day_offset") == 0).select(
+        "cohort_b", F.col("n_users").alias("_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_b")
+        .select(
+            F.col("cohort_b").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("_size"), 9).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

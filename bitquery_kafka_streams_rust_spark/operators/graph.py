@@ -81,3 +81,101 @@ def pagerank(
             pr.unpersist()
         pr = new_pr
     return pr.select("id", F.round("pr", 6).alias("pr")).orderBy("id")
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    reliable: bool = False,
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected pair list: (id, deg, triangles, clustering), ordered by
+    id.  PageRank ranks a near-dup family's hub; the clustering
+    coefficient tells whether the family is a clique (every variant
+    near-duplicates every other — one template, safe to keep one doc)
+    or a star/chain (transitive SIMILARITY without transitive
+    duplication — collapsing to one winner loses content).  The same
+    statistic profiles any doc/link graph.
+
+    Scale shape — the degree-orientation algorithm, NOT the naive
+    wedge join: each undirected edge is oriented from its lower
+    (deg, id) endpoint, which makes the graph acyclic with max
+    out-degree O(sqrt(m)) regardless of skew — the hub of a
+    1e7-satellite star gets out-degree ~0 instead of fanning 1e14
+    wedges (the naive join's failure mode at 100 TB).  Every triangle
+    then has exactly ONE vertex with oriented edges to the other two,
+    so the wedge self-join counts each triangle once, and the closure
+    probe is an equi-join against the canonical (a < b) edge list.
+    Three narrow-key shuffles total; the per-node rollup explodes 3
+    ids per triangle and partial-combines.
+
+    ``clustering`` = round(2 * triangles / (deg * (deg - 1)), 9)
+    (0.0 when deg < 2) — integer inputs, so the 9-dp rounding replays
+    identically on any engine.
+    """
+    p = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    p = _materialize(p, reliable)
+    und = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    # orient each edge from its lower (deg, id) endpoint
+    o = (
+        und.join(deg.select(F.col("a").alias("a"), F.col("deg").alias("dega")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("degb")),
+            "b",
+        )
+        .where(
+            (F.col("dega") < F.col("degb"))
+            | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    o = _materialize(o, reliable)
+    # wedges at the oriented source; (x < y) by id so the closure probe
+    # hits the canonical edge form directly
+    w = (
+        o.alias("o1")
+        .join(o.alias("o2"), F.col("o1.u") == F.col("o2.u"))
+        .where(F.col("o1.v") < F.col("o2.v"))
+        .select(
+            F.col("o1.u").alias("u"),
+            F.col("o1.v").alias("x"),
+            F.col("o2.v").alias("y"),
+        )
+    )
+    tris = w.join(p, (w["x"] == p["a"]) & (w["y"] == p["b"])).select("u", "x", "y")
+    per_node = (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.withColumnRenamed("a", "id")
+        .join(per_node, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+        .orderBy("id")
+    )

@@ -292,3 +292,79 @@ def heavy_hitters(
     keys = (candidates if candidates is not None else df).select(key_col).distinct()
     est = cms_estimate(keys, sketch, key_col, depth=depth, width=width)
     return est.where(F.col("est_count") >= F.lit(thresh))
+
+
+# --- fixed-grid quantile sketch ---------------------------------------------
+#
+# Same portability + mergeability contract as count-min/HLL: the sketch
+# is a bounded histogram on a FIXED value grid, so (a) map-side partial
+# aggregation collapses each partition to <= n_buckets rows before the
+# shuffle, (b) two sketches merge by adding counts (the property that
+# makes it a streaming update-mode aggregate with O(n_buckets) state
+# per group, and lets a 1000-executor fleet union per-shard sketches
+# for free), and (c) every step is integer-or-IEEE-exact arithmetic
+# both engines replay bit-identically: bucket = clamp(floor(v / width))
+# (one IEEE double division, identical on both engines), estimate =
+# bucket * width (exact for grid-scale ints).  No interpolation — the
+# estimate is the LOWER BOUND of the bucket holding the target rank
+# (rank = ceil(p * n), the inverted-CDF convention), so the error is
+# bounded by one grid step and the result is bit-reproducible across
+# engines, partitionings, and arrival orders — unlike exact
+# F.percentile, which buffers every value per group and cannot
+# partial-combine at 100 TB.
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | None = None,
+    width: float = 0.25,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Bounded histogram sketch: (by?, bucket, cnt), <= n_buckets rows
+    per group regardless of input size.  Values below 0 clamp to
+    bucket 0, values beyond the grid to bucket n_buckets-1 (documented
+    saturation — size the grid to the domain, like count-min width)."""
+    bucket = F.least(
+        F.lit(int(n_buckets) - 1),
+        F.greatest(F.lit(0), F.floor(F.col(value_col) / F.lit(float(width)))),
+    ).cast("long")
+    keys = ([F.col(by)] if by else []) + [bucket.alias("bucket")]
+    return df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    ps: "Sequence[float]" = (0.5, 0.9, 0.99),
+    *,
+    by: str | None = None,
+    width: float = 0.25,
+) -> DataFrame:
+    """Per-group quantile estimates from the sketch: for each p, the
+    lower bound (bucket * width) of the first bucket whose cumulative
+    count reaches rank ceil(p * n).  One window partitioned by the
+    group key (parallelism = group cardinality — never a global
+    window), then a conditional min-aggregate per p."""
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(by) if by else Window.partitionBy()
+    w_cum = part.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        *([by] if by else []),
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(part).alias("total"),
+    )
+    aggs = [F.sum("cnt").alias("n")]
+    for p in ps:
+        rank = F.ceil(F.lit(float(p)) * F.col("total"))
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("cum") >= rank, F.col("bucket"))) * F.lit(float(width)),
+                6,
+            ).alias(f"p{int(round(float(p) * 100))}_est")
+        )
+    g = cum.groupBy(by) if by else cum.groupBy()
+    return g.agg(*aggs)

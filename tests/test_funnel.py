@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from bitquery_kafka_streams_rust_spark.operators.funnel import (
     funnel_counts,
     funnel_step_times,
+    retention_cohorts,
     top_session_paths,
 )
 
@@ -107,3 +108,36 @@ def test_top_paths_ts_tie_breaks_by_event_id(spark):
     rows = [(0, 1, "view"), (0, 1, "click")]  # event_ids 0, 1 in row order
     got = top_session_paths(_ev(spark, rows), depth=2, k=1).collect()
     assert got[0]["path"] == "view>click"
+
+
+# --- retention cohorts -------------------------------------------------------
+
+
+def test_retention_cohorts_hand_values(spark):
+    """u1,u2 cohort day 0 (u1 active days 0,1; u2 day 0 only);
+    u3 cohort day 1, active days 1 and 3."""
+    day = 86400
+    rows = [
+        (0, 1, "view"), (day + 5, 1, "click"),           # u1: offsets 0, 1
+        (10, 2, "view"), (20, 2, "view"),                # u2: offset 0 (dedup)
+        (day, 3, "view"), (3 * day + 1, 3, "purchase"),  # u3: offsets 0, 2
+    ]
+    out = retention_cohorts(_ev(spark, rows))
+    got = {(r["cohort_day"], r["day_offset"]): (r["n_users"], r["retention"]) for r in out.collect()}
+    # fixture epoch base 1704067200 = day 19723 exactly (divisible by 86400)
+    base = 1704067200 // day
+    assert got == {
+        (base, 0): (2, 1.0),
+        (base, 1): (1, 0.5),
+        (base + 1, 0): (1, 1.0),
+        (base + 1, 2): (1, 1.0),
+    }
+
+
+def test_retention_cohorts_max_offset_and_broadcast(spark):
+    day = 86400
+    rows = [(0, 1, "view"), (5 * day, 1, "view")]
+    out = retention_cohorts(_ev(spark, rows), max_offset=2)
+    assert [r["day_offset"] for r in out.collect()] == [0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

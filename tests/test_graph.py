@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from bitquery_kafka_streams_rust_spark.operators.graph import pagerank
+from bitquery_kafka_streams_rust_spark.operators.graph import pagerank, triangle_stats
 
 
 def _pairs(spark, rows):
@@ -56,3 +56,35 @@ def test_pagerank_reliable_releases_iteration_blocks(spark):
     after = sc._jsc.sc().getPersistentRDDs().size()
     # edges + ed + final pr = 3 pinned frames max, NOT 8 iterations'
     assert after - before <= 3
+
+
+# --- triangle counting -------------------------------------------------------
+
+
+def test_triangles_k4_is_all_cliques(spark):
+    # K4: every node deg 3, sits in C(3,2)=3 triangles, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out = {r["id"]: (r["deg"], r["triangles"], r["clustering"]) for r in triangle_stats(_pairs(spark, k4)).collect()}
+    assert out == {i: (3, 3, 1.0) for i in range(4)}
+
+
+def test_triangles_star_has_none(spark):
+    out = {r["id"]: (r["deg"], r["triangles"], r["clustering"]) for r in triangle_stats(_pairs(spark, [(0, 1), (0, 2), (0, 3)])).collect()}
+    assert out == {0: (3, 0, 0.0), 1: (1, 0, 0.0), 2: (1, 0, 0.0), 3: (1, 0, 0.0)}
+
+
+def test_triangles_mixed_graph_hand_values(spark):
+    # triangle 0-1-2 plus pendant 2-3: node 2 has deg 3, 1 triangle,
+    # clustering 2*1/(3*2) = 1/3
+    out = {r["id"]: (r["deg"], r["triangles"], r["clustering"]) for r in triangle_stats(_pairs(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])).collect()}
+    assert out[0] == (2, 1, 1.0)
+    assert out[1] == (2, 1, 1.0)
+    assert out[2] == (3, 1, round(1 / 3, 9))
+    assert out[3] == (1, 0, 0.0)
+
+
+def test_triangles_input_orientation_is_canonicalized(spark):
+    # reversed / duplicated input pairs collapse to the same graph
+    a = triangle_stats(_pairs(spark, [(0, 1), (0, 2), (1, 2)])).collect()
+    b = triangle_stats(_pairs(spark, [(1, 0), (2, 0), (1, 2), (2, 1)])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -173,3 +173,43 @@ def test_hll_streaming_update_mode_matches_batch(spark, sf_dir, tmp_path):
         for r in SK.hll_distinct(batch, "user_id", ["event_type"]).collect()
     )
     assert est_s == est_b
+# appended to test_sketches.py
+
+
+def test_quantile_sketch_is_mergeable_and_bounded(spark):
+    import random
+
+    rng = random.Random(42)
+    vals = [(i, rng.uniform(0, 100)) for i in range(2000)]
+    df = spark.createDataFrame(vals, "id long, value double")
+    a = df.where(F.col("id") < 1000)
+    b = df.where(F.col("id") >= 1000)
+    whole = SK.quantile_sketch(df, "value", width=0.5, n_buckets=256)
+    merged = (
+        SK.quantile_sketch(a, "value", width=0.5, n_buckets=256)
+        .unionByName(SK.quantile_sketch(b, "value", width=0.5, n_buckets=256))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+    assert whole.count() <= 256
+
+
+def test_quantile_estimate_within_one_grid_step(spark):
+    # values 0.0, 0.1, ..., 99.9 — true p50 = 49.95, p90 = 89.91
+    df = spark.createDataFrame([(i, i / 10.0) for i in range(1000)], "id long, value double")
+    sk = SK.quantile_sketch(df, "value", width=0.25, n_buckets=4096)
+    row = SK.quantile_estimate(sk, (0.5, 0.9, 0.99), width=0.25).collect()[0]
+    assert row["n"] == 1000
+    # lower-bound convention: estimate in [true - width, true]
+    assert abs(row["p50_est"] - 49.95) <= 0.25
+    assert abs(row["p90_est"] - 89.91) <= 0.25
+    assert abs(row["p99_est"] - 98.9) <= 0.25
+
+
+def test_quantile_sketch_saturates_at_grid_edges(spark):
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, 0.1), (3, 1e9)], "id long, value double"
+    )
+    rows = {r["bucket"]: r["cnt"] for r in SK.quantile_sketch(df, "value", width=0.25, n_buckets=16).collect()}
+    assert rows == {0: 2, 15: 1}  # -5.0 clamps to 0, 1e9 to n_buckets-1
