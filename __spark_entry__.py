@@ -4568,6 +4568,113 @@ ORDER BY deg.id
 """
 
 
+def _q_seq_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): 3 merge
+    rounds over the sequences corpus — per round, adjacent-pair counts
+    are a map-side zip_with explode partial-combined to narrow
+    (pair, count) rows (token arrays never shuffle), the winner is a
+    1-row metadata collect (count DESC, ascending pair tiebreak), and
+    the corpus rewrite is a greedy left-to-right map-side fold.  The
+    oracle replays TRAINING itself (selection included — no
+    Spark-derived literals): 3 unrolled count/argmax/fold layers."""
+    from bitquery_kafka_streams_rust_spark.operators.bpe import (
+        bpe_merge_table,
+        bpe_train,
+    )
+
+    merges, _ = bpe_train(_seq(spark, sf_dir), n_merges=3)
+    return bpe_merge_table(spark, merges).orderBy("merge_round")
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round: pair counts over stream s{r-1}, argmax
+    m{r}, rewritten stream s{r}.  The fold mirrors operators/bpe.py
+    _merge_fold exactly (acc[-1] is NULL on empty — no short-circuit
+    needed); streams and winners are MATERIALIZED because each is
+    referenced by two later layers (the DuckDB CTE-inlining gotcha)."""
+    new_id = 1_000_000 + r
+    return f"""
+, p{r} AS (
+  SELECT tokens[CAST(i AS INTEGER)] AS l, tokens[CAST(i + 1 AS INTEGER)] AS r,
+         count(*) AS cnt
+  FROM s{r - 1}, LATERAL unnest(range(1, len(tokens))) AS t(i)
+  GROUP BY 1, 2
+), m{r} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1
+), s{r} AS MATERIALIZED (
+  SELECT doc_id, source, n_tok,
+         CASE WHEN len(tokens) = 0 THEN tokens
+         ELSE list_reduce(list_transform(tokens, x -> [x]),
+              (acc, x) -> CASE WHEN acc[-1] = m{r}.l AND x[1] = m{r}.r
+                          THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                           CAST({new_id} AS INTEGER))
+                          ELSE list_append(acc, x[1]) END)
+         END AS tokens
+  FROM s{r - 1}, m{r}
+)"""
+
+
+def _make_sql_bpe(final_select: str) -> str:
+    return (
+        _SEQ
+        + ", s0 AS MATERIALIZED (SELECT doc_id, source, n_tok, tokens FROM seq)"
+        + "".join(_bpe_round_sql(r) for r in (1, 2, 3))
+        + final_select
+    )
+
+
+_SQL_SEQ_BPE_TRAIN = _make_sql_bpe(
+    """
+SELECT merge_round, left_tok, right_tok, new_tok, pair_count FROM (
+  SELECT 1 AS merge_round, l AS left_tok, r AS right_tok,
+         1000001 AS new_tok, cnt AS pair_count FROM m1
+  UNION ALL SELECT 2, l, r, 1000002, cnt FROM m2
+  UNION ALL SELECT 3, l, r, 1000003, cnt FROM m3
+) ORDER BY merge_round
+"""
+)
+
+
+def _q_seq_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer eval: per-source compression after applying the 3
+    learned merges — the standard 'is the vocab spending merges on MY
+    domain' fairness check (tok_after / tok_before per source; a
+    source whose ratio stays ~1.0 is under-served).  Shares the
+    training arithmetic with seq_bpe_train; the rollup is one
+    partial-combined aggregate over the rewritten corpus, token
+    arrays reduced to their lengths map-side."""
+    from bitquery_kafka_streams_rust_spark.operators.bpe import bpe_train
+
+    _, corpus = bpe_train(_seq(spark, sf_dir), n_merges=3)
+    return (
+        corpus.groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("tok_before"),
+            F.sum(F.size("tokens")).alias("tok_after"),
+        )
+        .select(
+            "source",
+            "tok_before",
+            "tok_after",
+            F.round(F.col("tok_after") / F.col("tok_before"), 9).alias(
+                "compression"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SEQ_BPE_COMPRESSION = _make_sql_bpe(
+    """
+SELECT source,
+       CAST(sum(n_tok) AS BIGINT) AS tok_before,
+       CAST(sum(len(tokens)) AS BIGINT) AS tok_after,
+       round(CAST(sum(len(tokens)) AS DOUBLE) / sum(n_tok), 9) AS compression
+FROM s3 GROUP BY source ORDER BY source
+"""
+)
+
+
 def _q_emb_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality eval of the IVF ANN against the exact
     brute-force baseline (operators/retrieval.py retrieval_eval):
@@ -4755,6 +4862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_sketch": _shipped(_q_events_quantile_sketch),
         "events_anomaly_mad": _shipped(_q_events_anomaly_mad),
         "doc_neardup_triangles": _shipped(_q_doc_neardup_triangles),
+        "seq_bpe_train": _shipped(_q_seq_bpe_train),
+        "seq_bpe_compression": _shipped(_q_seq_bpe_compression),
         # --- r01-r03 set: rotate back into the driver window ---
         "seq_sliding_window": _shipped(_q_seq_sliding),
         "seq_salted_agg": _shipped(_q_seq_salted),
@@ -4872,6 +4981,8 @@ def oracle_sql() -> dict[str, str]:
         "events_quantile_sketch": _SQL_EVENTS_QUANTILE_SKETCH,
         "events_anomaly_mad": _SQL_EVENTS_ANOMALY_MAD,
         "doc_neardup_triangles": _SQL_DOC_NEARDUP_TRIANGLES,
+        "seq_bpe_train": _SQL_SEQ_BPE_TRAIN,
+        "seq_bpe_compression": _SQL_SEQ_BPE_COMPRESSION,
         "seq_filter": _SQL_SEQ_FILTER,
         "seq_dedup": _SQL_SEQ_DEDUP,
         "seq_token_stats": _SQL_SEQ_TOKEN_STATS,

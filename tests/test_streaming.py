@@ -388,3 +388,49 @@ def test_streaming_ngram_counts_match_batch(spark, sf_dir, tmp_path):
         for r in NG.ngram_stats(batch, 3, min_count=1, top_k=None).collect()
     }
     assert len(got) > 0 and got == want
+
+
+@pytest.mark.watchdog_timeout(300)
+def test_streaming_quantile_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The fixed-grid quantile sketch is the same mergeable-counts
+    shape as count-min: streaming the events through the bucket
+    aggregation must land on the identical histogram — and therefore
+    identical quantile ESTIMATES — as the batch pass (order- and
+    batching-invariant by construction: counts just add)."""
+    from bitquery_kafka_streams_rust_spark.operators import sketches as SK
+
+    in_dir = str(tmp_path / "in")
+    spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(3).write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        SK.quantile_sketch(stream, "value", by="event_type", width=0.25, n_buckets=4096)
+        .writeStream.format("memory")
+        .queryName("qsk_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT * FROM qsk_stream")
+    want_sketch = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in SK.quantile_sketch(batch, "value", by="event_type", width=0.25, n_buckets=4096).collect()
+    }
+    got_sketch = {(r["event_type"], r["bucket"]): r["cnt"] for r in streamed.collect()}
+    assert got_sketch == want_sketch and len(got_sketch) > 0
+
+    # estimates from the STREAMED sketch == estimates from the batch one
+    est = lambda sk: {  # noqa: E731
+        r["event_type"]: (r["n"], r["p50_est"], r["p90_est"], r["p99_est"])
+        for r in SK.quantile_estimate(sk, (0.5, 0.9, 0.99), by="event_type", width=0.25).collect()
+    }
+    assert est(streamed) == est(
+        SK.quantile_sketch(batch, "value", by="event_type", width=0.25, n_buckets=4096)
+    )
