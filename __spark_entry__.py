@@ -1274,6 +1274,82 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
 """
 
 
+def _q_doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment (dedup.ngram_containment_pairs):
+    the quote/subset detector Jaccard structurally misses — a short
+    doc fully embedded in a long one has tiny Jaccard but containment
+    1.0.  Same inverted-index candidate plan + DF cap as
+    doc_ngram_jaccard; both directed ratios derive from ONE
+    intersection count, rounded to 6 dp on both engines before the
+    threshold."""
+    out = DD.ngram_containment_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        n=3,
+        threshold=0.5,
+        hash_grams=False,
+        max_gram_doc_freq=50,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+_SQL_DOC_NGRAM_CONTAINMENT = r"""
+WITH g AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+     CASE WHEN len(string_split_regex(lower(text), '\s+')) < 3
+          THEN [lower(text)]
+          ELSE list_transform(range(0, len(string_split_regex(lower(text), '\s+')) - 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(text), '\s+'),
+                                               i + 1, i + 3), ' ')) END)) AS gr
+  FROM documents
+), sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+rare AS (SELECT gr FROM g GROUP BY gr HAVING count(*) <= 50),
+gj AS (SELECT g.* FROM g JOIN rare USING (gr)),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM gj a JOIN gj b ON a.gr = b.gr AND a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, containment FROM (
+  SELECT inter.id_a, inter.id_b, round(i * 1.0 / sa.n, 6) AS containment
+  FROM inter JOIN sz sa ON inter.id_a = sa.id
+  UNION ALL
+  SELECT inter.id_b, inter.id_a, round(i * 1.0 / sb.n, 6)
+  FROM inter JOIN sz sb ON inter.id_b = sb.id
+)
+WHERE containment >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def _q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing, alpha = 1/2 on a 16-row frame
+    (operators/timeseries.ewma): dyadic weights make the float
+    trajectory bit-exact across engines — the left fold (acc+x)/2 and
+    the 1-2^-m renormalizer are all powers of two.  One key-partitioned
+    bounded-ROWS window; ties (ts, event_id)-deterministic."""
+    from bitquery_kafka_streams_rust_spark.operators.timeseries import ewma
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ewma(ev, "user_id", "ts", "value", window=16).select(
+        "user_id", "event_id", "value", "ewma"
+    ).orderBy("user_id", "event_id")
+
+
+_SQL_EVENTS_EWMA = """
+WITH e AS (
+  SELECT event_id, user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS uts
+  FROM events
+), fr AS (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                           ROWS 15 PRECEDING) AS lst
+  FROM e
+)
+SELECT user_id, event_id, value,
+       round(list_reduce(list_prepend(0.0, lst), (acc, x) -> (acc + x) / 2.0)
+             / (1 - pow(2.0, -len(lst))), 9) AS ewma
+FROM fr ORDER BY user_id, event_id
+"""
+
+
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload + metadata → mapInPandas
     feature extraction (stubbed decode, real Arrow batch path)."""
@@ -4864,6 +4940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_triangles": _shipped(_q_doc_neardup_triangles),
         "seq_bpe_train": _shipped(_q_seq_bpe_train),
         "seq_bpe_compression": _shipped(_q_seq_bpe_compression),
+        "doc_ngram_containment": _shipped(_q_doc_ngram_containment),
+        "events_ewma": _shipped(_q_events_ewma),
         # --- r01-r03 set: rotate back into the driver window ---
         "seq_sliding_window": _shipped(_q_seq_sliding),
         "seq_salted_agg": _shipped(_q_seq_salted),
@@ -4983,6 +5061,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_neardup_triangles": _SQL_DOC_NEARDUP_TRIANGLES,
         "seq_bpe_train": _SQL_SEQ_BPE_TRAIN,
         "seq_bpe_compression": _SQL_SEQ_BPE_COMPRESSION,
+        "doc_ngram_containment": _SQL_DOC_NGRAM_CONTAINMENT,
+        "events_ewma": _SQL_EVENTS_EWMA,
         "seq_filter": _SQL_SEQ_FILTER,
         "seq_dedup": _SQL_SEQ_DEDUP,
         "seq_token_stats": _SQL_SEQ_TOKEN_STATS,

@@ -556,6 +556,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_grams: bool = True,
+    max_gram_doc_freq: int | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT: |grams(A) & grams(B)| / |grams(A)|
+    — the asymmetric companion to :func:`ngram_jaccard_pairs`.
+    Jaccard misses the quote/subset case a curation pipeline cares
+    about most: a short doc fully embedded in a long one has tiny
+    Jaccard (union is dominated by the long doc) but containment 1.0.
+    Emits BOTH directions per candidate pair: row (id_a, id_b, c) reads
+    "c of id_a's distinct grams also occur in id_b".
+
+    Scale shape is the Jaccard plan verbatim — one shared-gram
+    inverted-index self-join generates candidates ONCE with the same
+    DF-cap stop-gram pruning, then both directed ratios derive from
+    that single intersection count (no second join pass).  The
+    ratio is rounded to 6 dp on both engines BEFORE the threshold so
+    the boundary cannot flip."""
+    grams = word_gram_index(docs, id_col, text_col, n, hash_grams)
+    grams = _materialize(grams, reliable)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    joinable = grams
+    if max_gram_doc_freq is not None:
+        rare = (
+            grams.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_gram_doc_freq)
+            .select("g")
+        )
+        joinable = grams.join(rare, "g", "left_semi")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.round(F.col("inter") / F.col("na"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.round(F.col("inter") / F.col("nb"), 6).alias("containment"),
+                ),
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.src").alias("id_a"),
+        F.col("r.dst").alias("id_b"),
+        F.col("r.containment").alias("containment"),
+    )
+    return directed.where(F.col("containment") >= threshold)
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

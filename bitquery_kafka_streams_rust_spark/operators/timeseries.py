@@ -77,3 +77,44 @@ def resample_ffill(
         )
     )
     return filled
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window: int = 16,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Bounded-window exponential moving average with alpha = 1/2 —
+    the time-series smoother (trend line, adaptive threshold input)
+    the reference's every-N window stats approximate with flat means.
+
+    alpha = 1/2 is chosen deliberately: every weight is a power of two
+    (newest 2^-1, then 2^-2, ...), so the left fold ``acc = (acc + x)
+    / 2`` and the ``1 - 2^-m`` truncation renormalizer are EXACT
+    dyadic IEEE arithmetic — the trajectory replays bit-identically on
+    any engine evaluating the same frame order (no libm, no ulp
+    hazard; same portability doctrine as the HLL integer harmonic
+    sum).  The frame is (ts, id)-ordered so ties are deterministic.
+
+    Scale shape: one window partitioned BY KEY (parallelism = key
+    cardinality, never a global window) with a ROWS frame bounded at
+    ``window`` — per-row state is <= ``window`` doubles regardless of
+    stream length, the property that also makes it a streaming
+    transformWithState candidate.  Output adds an ``ewma`` column
+    rounded to 9 dp."""
+    uts = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(uts, F.col(id_col))
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    vals = F.collect_list(F.col(value_col)).over(w)
+    folded = F.aggregate(
+        vals, F.lit(0.0), lambda acc, x: (acc + x) / F.lit(2.0)
+    )
+    norm = F.lit(1.0) - F.pow(F.lit(2.0), -F.size(vals).cast("double"))
+    return df.withColumn("ewma", F.round(folded / norm, 9))

@@ -76,6 +76,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--context-len", type=int, default=2048)
     p.add_argument("--overlap", type=int, default=0, help="chunk mode: window overlap")
     p.add_argument("--shuffle", action="store_true", help="deterministic export order")
+    p.add_argument(
+        "--bpe-merges",
+        default=None,
+        help="JSON merge table from operators/bpe.bpe_train (list of "
+        "{left_tok, right_tok, new_tok} dicts): re-tokenize the deduped "
+        "corpus with the learned merges before example construction",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -104,6 +111,18 @@ def build_examples(spark, seq, a: argparse.Namespace):
         F.min_by("n_tok", "ts").alias("n_tok"),
         F.min_by("tokens", "ts").alias("tokens"),
     )
+    if getattr(a, "bpe_merges", None):
+        # re-tokenize AFTER the vocab-validation gate (merged ids live
+        # above the vocab) and dedup (fewer rewrites), BEFORE example
+        # construction so chunk/pack/fim geometry sees the real
+        # post-merge lengths.  Map-side only — composes with every mode.
+        from bitquery_kafka_streams_rust_spark.operators.bpe import bpe_apply
+
+        with open(a.bpe_merges) as fh:
+            merges = json.load(fh)
+        deduped = bpe_apply(deduped, merges).withColumn(
+            "n_tok", F.size("tokens")
+        )
     if a.mode == "chunk":
         chunks = PK.chunk_sequences(deduped, max_len=a.context_len, overlap=a.overlap)
         return chunks.select(

@@ -363,3 +363,53 @@ def test_split_leakage_report_semantics(spark):
         ).collect()
     }
     assert out_h["val"] == (2, 1)
+
+
+# --- directed containment ----------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # A (2 grams) fully embedded in B (8 grams): containment A->B = 1.0
+    # while Jaccard = 2/8 = 0.25 — below any dedup threshold
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in DD.ngram_containment_pairs(
+            docs, n=3, threshold=0.8, hash_grams=False
+        ).collect()
+    }
+    assert out == {(1, 2): 1.0}
+    jac = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5, hash_grams=False)
+    assert jac.count() == 0
+
+
+def test_containment_identical_docs_both_directions(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in DD.ngram_containment_pairs(
+            docs, n=3, threshold=0.8, hash_grams=False
+        ).collect()
+    )
+    assert rows == [(1, 2, 1.0), (2, 1, 1.0)]
+
+
+def test_containment_df_cap_prunes_stop_grams(spark):
+    # the shared gram appears in all 60 docs; a DF cap of 50 removes it
+    # from candidate generation entirely -> no pairs at all
+    docs = spark.createDataFrame(
+        [(i, "the same stop gram") for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = DD.ngram_containment_pairs(
+        docs, n=3, threshold=0.5, hash_grams=False, max_gram_doc_freq=50
+    )
+    assert out.count() == 0

@@ -239,3 +239,53 @@ def test_export_fim_mode_structure_and_parity(spark, sf_dir, tmp_path):
         r["example_id"].endswith("#raw")
         for r in spark.read.parquet(str(tmp_path / "f0")).select("example_id").collect()
     )
+
+
+def test_export_bpe_merges_retokenize_before_chunking(spark, sf_dir, tmp_path):
+    """--bpe-merges re-tokenizes the deduped corpus with the learned
+    merge table before example construction: exported chunks glue back
+    to bpe_apply(deduped), and total exported tokens SHRINK vs the raw
+    export by exactly the number of merge applications."""
+    import json as _json
+
+    from bitquery_kafka_streams_rust_spark.operators.bpe import bpe_apply, bpe_train
+
+    merges, _ = bpe_train(_deduped(spark, sf_dir), n_merges=2)
+    assert merges, "fixture must yield at least one merge"
+    mpath = tmp_path / "merges.json"
+    mpath.write_text(_json.dumps(merges))
+
+    rc = X.main([
+        "--sf-dir", sf_dir, "--output", str(tmp_path / "b"),
+        "--mode", "chunk", "--context-len", "512",
+        "--bpe-merges", str(mpath),
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "b"))
+
+    want_df = bpe_apply(_deduped(spark, sf_dir), merges)
+    want_total = want_df.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    assert out.agg(F.sum("n_tok")).collect()[0][0] == want_total
+    raw_total = (
+        _deduped(spark, sf_dir).where("n_tok > 0").agg(F.sum("n_tok")).collect()[0][0]
+    )
+    assert want_total < raw_total  # merges actually fired
+
+    # glue-back: one multi-chunk doc reassembles to its re-tokenized form
+    doc = (
+        want_df.where(F.size("tokens") > 600).orderBy("doc_id").limit(1).collect()[0]
+    )
+    chunks = {
+        int(r["example_id"].split("#")[1]): list(r["tokens"])
+        for r in out.where(
+            F.col("example_id").startswith(doc["doc_id"] + "#")
+        ).collect()
+    }
+    glued = [t for _, ts in sorted(chunks.items()) for t in ts]
+    assert glued == list(doc["tokens"])
+    # merged ids are present and the merged PAIR is absent post-rewrite
+    m0 = merges[0]
+    assert any(t == m0["new_tok"] for t in glued) or all(
+        not (a == m0["left_tok"] and b == m0["right_tok"])
+        for a, b in zip(glued, glued[1:])
+    )

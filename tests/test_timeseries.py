@@ -69,3 +69,53 @@ def test_resample_window_is_keyed_not_global(spark, sf_dir):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "user_id" in line
+
+
+# --- EWMA --------------------------------------------------------------------
+
+
+def test_ewma_hand_values(spark):
+    from bitquery_kafka_streams_rust_spark.operators.timeseries import ewma
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 10, float(v), "{}")
+        for i, v in enumerate([0.0, 1.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double, props string"
+    )
+    got = {r["event_id"]: r["ewma"] for r in ewma(df, "user_id", "ts", "value").collect()}
+    # row 0: fold [0] -> 0/2 = 0, norm 0.5 -> 0.0
+    # row 1: fold [0,1] -> 0.5, norm 0.75 -> 0.666666667
+    assert got == {0: 0.0, 1: round(0.5 / 0.75, 9)}
+
+
+def test_ewma_constant_series_is_identity(spark):
+    from bitquery_kafka_streams_rust_spark.operators.timeseries import ewma
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=i), 7, 3.5, "{}") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double, props string"
+    )
+    assert all(r["ewma"] == 3.5 for r in ewma(df, "user_id", "ts", "value").collect())
+
+
+def test_ewma_window_clamp_and_key_isolation(spark):
+    from bitquery_kafka_streams_rust_spark.operators.timeseries import ewma
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, 4.0, "{}"),
+        (1, base + dt.timedelta(seconds=1), 1, 4.0, "{}"),
+        (2, base + dt.timedelta(seconds=2), 1, 8.0, "{}"),
+        (3, base, 2, 100.0, "{}"),  # other key must not leak in
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double, props string"
+    )
+    got = {r["event_id"]: r["ewma"] for r in ewma(df, "user_id", "ts", "value", window=2).collect()}
+    # event 2: frame [4, 8] -> fold 5.0, norm 0.75 -> 6.666666667
+    assert got[2] == round(5.0 / 0.75, 9)
+    assert got[3] == 100.0
