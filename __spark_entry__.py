@@ -1350,6 +1350,38 @@ FROM fr ORDER BY user_id, event_id
 """
 
 
+def _q_doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage (operators/fuzzy.py
+    fuzzy_pairs): pairs whose lowercased 40-char compare keys are
+    within 5 edits, candidate-generated inside 8-char prefix blocks
+    with the block-size cap (the DF-cap convention).  Levenshtein is
+    integer DP — zero float surface, bit-identical on both engines."""
+    from bitquery_kafka_streams_rust_spark.operators.fuzzy import fuzzy_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fuzzy_pairs(
+        docs, block_len=8, prefix_len=40, max_dist=5, max_block_size=1000
+    ).orderBy("id_a", "id_b")
+
+
+_SQL_DOC_FUZZY_PAIRS = """
+WITH rec AS (
+  SELECT doc_id AS id,
+         substr(lower(substr(text, 1, 40)), 1, 8) AS blk,
+         lower(substr(text, 1, 40)) AS k
+  FROM documents
+), ok AS (
+  SELECT blk FROM rec GROUP BY blk HAVING count(*) <= 1000
+), rj AS (
+  SELECT rec.* FROM rec JOIN ok USING (blk)
+)
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.k, b.k) AS dist
+FROM rj a JOIN rj b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.k, b.k) <= 5
+ORDER BY id_a, id_b
+"""
+
+
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload + metadata → mapInPandas
     feature extraction (stubbed decode, real Arrow batch path)."""
@@ -4942,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_bpe_compression": _shipped(_q_seq_bpe_compression),
         "doc_ngram_containment": _shipped(_q_doc_ngram_containment),
         "events_ewma": _shipped(_q_events_ewma),
+        "doc_fuzzy_pairs": _shipped(_q_doc_fuzzy_pairs),
         # --- r01-r03 set: rotate back into the driver window ---
         "seq_sliding_window": _shipped(_q_seq_sliding),
         "seq_salted_agg": _shipped(_q_seq_salted),
@@ -5063,6 +5096,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_bpe_compression": _SQL_SEQ_BPE_COMPRESSION,
         "doc_ngram_containment": _SQL_DOC_NGRAM_CONTAINMENT,
         "events_ewma": _SQL_EVENTS_EWMA,
+        "doc_fuzzy_pairs": _SQL_DOC_FUZZY_PAIRS,
         "seq_filter": _SQL_SEQ_FILTER,
         "seq_dedup": _SQL_SEQ_DEDUP,
         "seq_token_stats": _SQL_SEQ_TOKEN_STATS,
