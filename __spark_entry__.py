@@ -4945,6 +4945,181 @@ FROM est e JOIN ex x USING (event_type) ORDER BY e.event_type
 """
 
 
+def _q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from the keyed event log
+    (operators/cdc.py scd2_build): per-user event_type validity runs
+    with effective_from/effective_to bounds, is_current, and a version
+    ordinal.  One shuffle on the key, two per-key window passes over
+    the SAME sort (Catalyst reuses the exchange); run boundaries are
+    null-safe value changes under the (ts, event_id) total order."""
+    from bitquery_kafka_streams_rust_spark.operators import cdc as CDC
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = CDC.scd2_build(ev, ["user_id"], ["event_type"], ["ts", "event_id"])
+    # the open-ended current run's NULL effective_to ships as nullable
+    # epoch seconds: the driver comparator equates NULL floats, not
+    # NULL timestamps (same convention as events_asof_forward's gap_s)
+    return dim.select(
+        "user_id",
+        "event_type",
+        "effective_from",
+        F.unix_timestamp("effective_to").alias("effective_to_s"),
+        "is_current",
+        "version",
+    ).orderBy("user_id", "version")
+
+
+_SQL_EVENTS_SCD2 = """
+WITH obs AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN row_number() OVER w = 1
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS opens
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, event_type, ts, event_id FROM obs WHERE opens = 1
+)
+SELECT user_id, event_type,
+       ts AS effective_from,
+       CAST(floor(epoch(lead(ts) OVER w2)) AS BIGINT) AS effective_to_s,
+       lead(ts) OVER w2 IS NULL AS is_current,
+       CAST(row_number() OVER w2 AS INTEGER) AS version
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
+def _q_seq_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by PMI (operators/ngrams.py
+    collocation_pmi) — association strength for phrase/boilerplate
+    detection.  Bigram keys materialize map-side (tokens never
+    shuffle); the unigram table is vocab-bounded so both enrichment
+    joins broadcast; T/U totals are two scalar metadata aggregates;
+    ln() rounds to 6 dp on both engines over an identical IEEE op
+    sequence; top-k cuts on the ROUNDED pmi with (tok_a, tok_b)
+    tie-break."""
+    return NG.collocation_pmi(_seq(spark, sf_dir), min_count=2, top_k=100)
+
+
+_SQL_SEQ_COLLOCATIONS = (
+    _SEQ
+    + """
+, big AS (
+  SELECT array_to_string(list_slice(tokens, CAST(i AS INTEGER) + 1,
+                                    CAST(i AS INTEGER) + 2), ',') AS gram
+  FROM seq, unnest(range(0, greatest(n_tok - 1, 0))) AS u(i)
+), cbi AS (
+  SELECT CAST(split_part(gram, ',', 1) AS INTEGER) AS tok_a,
+         CAST(split_part(gram, ',', 2) AS INTEGER) AS tok_b,
+         count(*) AS c_pair
+  FROM big GROUP BY 1, 2 HAVING count(*) >= 2
+), uni AS (
+  SELECT t AS tok, count(*) AS c_tok FROM seq, unnest(tokens) AS u(t) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(greatest(n_tok - 1, 0)) AS DOUBLE) AS t_bi,
+         CAST(sum(n_tok) AS DOUBLE) AS u_uni
+  FROM seq
+)
+SELECT tok_a, tok_b, c_pair, ca.c_tok AS c_a, cb.c_tok AS c_b,
+       round(ln((c_pair / t_bi) / ((ca.c_tok / u_uni) * (cb.c_tok / u_uni))), 6) AS pmi
+FROM cbi CROSS JOIN tot
+JOIN uni ca ON cbi.tok_a = ca.tok
+JOIN uni cb ON cbi.tok_b = cb.tok
+ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 100
+"""
+)
+
+
+def _q_doc_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-3-gram Jaccard >= 3/10 via PREFIX FILTERING
+    (dedup.allpairs_prefix_jaccard; Bayardo WWW'07 / PPJoin) — the
+    lossless scale alternative to the DF-cap inverted index: only each
+    doc's rarest ``sz - ceil(t*sz) + 1`` grams enter the self-join, and
+    the filter guarantees no qualifying pair is missed, so the oracle
+    is plain brute force.  All pruning/acceptance decisions are exact
+    integer arithmetic (rational threshold, cross-multiplied) — floats
+    appear only in the display-rounded jaccard column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.allpairs_prefix_jaccard(
+        docs, n=3, threshold_num=3, threshold_den=10, hash_grams=False
+    )
+
+
+_SQL_DOC_ALLPAIRS_PREFIX = r"""
+WITH g AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+     CASE WHEN len(string_split_regex(lower(text), '\s+')) < 3
+          THEN [lower(text)]
+          ELSE list_transform(range(0, len(string_split_regex(lower(text), '\s+')) - 2),
+               i -> array_to_string(list_slice(string_split_regex(lower(text), '\s+'),
+                                               i + 1, i + 3), ' ')) END)) AS gr
+  FROM documents
+), sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gr = b.gr AND a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, i AS inter, sa.n AS sz_a, sb.n AS sz_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+WHERE 10 * i >= 3 * (sa.n + sb.n - i)
+"""
+
+
+def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (operators/funnel.py
+    attribution): purchases credit the channel of the user's earliest /
+    latest qualifying touch within a 2 h lookback, 'direct' when none.
+    Type filters shrink both sides BEFORE the user-key join; per-
+    conversion winners are one partial-combined min_by/max_by with a
+    (t_uts, t_id) struct tie-break; the unattributed remainder is a
+    churn-sized anti-join; the rollup is channel-bounded."""
+    from bitquery_kafka_streams_rust_spark.operators.funnel import attribution
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return attribution(ev, lookback_s=7200)
+
+
+_SQL_EVENTS_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id AS u, event_id AS conv_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS c_uts, value AS val
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u, event_type AS channel, event_id AS t_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t_uts
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+), j AS (
+  SELECT conv_id, val, channel, t_uts, t_id
+  FROM conv JOIN touch USING (u)
+  WHERE t_uts <= c_uts AND t_uts >= c_uts - 7200
+), ranked AS (
+  SELECT conv_id, val, channel,
+         row_number() OVER (PARTITION BY conv_id ORDER BY t_uts ASC, t_id ASC) AS rf,
+         row_number() OVER (PARTITION BY conv_id ORDER BY t_uts DESC, t_id DESC) AS rl
+  FROM j
+), per AS (
+  SELECT conv_id, val,
+         max(CASE WHEN rf = 1 THEN channel END) AS first_ch,
+         max(CASE WHEN rl = 1 THEN channel END) AS last_ch
+  FROM ranked GROUP BY 1, 2
+), direct AS (
+  SELECT conv_id, val, 'direct' AS first_ch, 'direct' AS last_ch
+  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM per)
+), allconv AS (
+  SELECT * FROM per UNION ALL SELECT * FROM direct
+), exploded AS (
+  SELECT 'first_touch' AS model, first_ch AS channel, val FROM allconv
+  UNION ALL
+  SELECT 'last_touch' AS model, last_ch AS channel, val FROM allconv
+)
+SELECT model, channel, count(*) AS n_conv, round(sum(val), 6) AS value_sum
+FROM exploded GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -4955,6 +5130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _shipped(flagship),
         # --- new in round 5 ---
+        "events_scd2": _shipped(_q_events_scd2),
+        "seq_collocations": _shipped(_q_seq_collocations),
+        "doc_allpairs_prefix": _shipped(_q_doc_allpairs_prefix),
+        "events_attribution": _shipped(_q_events_attribution),
         "doc_classifier_score": _shipped(_q_doc_classifier_score),
         "doc_bm25_topk": _shipped(_q_doc_bm25_topk),
         "events_hll_distinct": _shipped(_q_events_hll_distinct),
@@ -5077,6 +5256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_pipeline": _FLAGSHIP_SQL,
+        "events_scd2": _SQL_EVENTS_SCD2,
+        "seq_collocations": _SQL_SEQ_COLLOCATIONS,
+        "doc_allpairs_prefix": _SQL_DOC_ALLPAIRS_PREFIX,
+        "events_attribution": _SQL_EVENTS_ATTRIBUTION,
         "doc_classifier_score": _SQL_DOC_CLASSIFIER,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,

@@ -12,6 +12,12 @@ table-maintenance jobs keep it queryable:
 - ``snapshot_diff``: given two snapshots, emit the churn between them
   (added / removed / changed) — the incremental-recuration primitive
   (re-embed only changed docs, re-run dedup only on added ones).
+- ``scd2_build``: fold the same keyed change log into a slowly-changing
+  dimension (type 2): one row per (key, attribute-value run) with
+  ``effective_from``/``effective_to`` validity bounds and an
+  ``is_current`` flag — the point-in-time-join side table every
+  training-data audit needs ("which quality tier was this source in
+  when the doc was sampled?").
 
 Plan shape (what must survive 100 TB):
 
@@ -24,6 +30,12 @@ Plan shape (what must survive 100 TB):
   narrower than the window formulation, which would shuffle and sort
   every key's full history.  The tombstone filter runs post-aggregate
   on snapshot-sized data.
+- ``scd2_build`` is ONE shuffle on the key feeding two per-key ordered
+  window passes (lag to detect value changes, lead to close validity
+  intervals).  Per-key history is bounded (a dimension key changes
+  thousands of times, not billions), so the windows are per-key
+  parallel with no global ordering — the same cost class as
+  sessionization.  Only the key, order and tracked columns shuffle.
 - ``snapshot_diff`` is one full-outer sort-merge join on the key with
   only the key + compared columns shuffled (column pruning cuts the
   payload); unchanged rows — the overwhelming majority between
@@ -37,7 +49,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,6 +83,56 @@ def compact_log(
         latest.where(F.col(f"_last.{op_col}") != F.lit(delete_op))
         .select(*key_cols, "_last.*", "n_ops")
         .drop(op_col)
+    )
+
+
+def scd2_build(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    track_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) table from a keyed change log.
+
+    Each input row is an observation of ``track_cols`` for a key at a
+    point in the ``order_cols`` total order (e.g. ``(ts, event_id)``).
+    Consecutive observations with identical tracked values (null-safe)
+    collapse into one validity run; each emitted row carries
+
+    - ``effective_from``: the first ``order_cols[0]`` of the run,
+    - ``effective_to``: the start of the NEXT run (exclusive bound),
+      NULL for the key's latest run,
+    - ``is_current``: ``effective_to IS NULL``,
+    - ``version``: 1-based run ordinal within the key.
+
+    ``order_cols`` must totally order rows within a key or run
+    boundaries are nondeterministic.  Mirrors the reference's keyed
+    latest-state tracking (``src/consumer.rs:213-230``) extended to
+    full history retention.
+    """
+    if not key_cols or not track_cols or not order_cols:
+        raise ValueError("key_cols, track_cols and order_cols must be non-empty")
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    changed = None
+    for c in track_cols:
+        d = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        changed = d if changed is None else (changed | d)
+    # first row per key: lag is NULL on every tracked col -> eqNullSafe
+    # handles tracked NULLs, but the run-opening row must always open
+    is_open = F.row_number().over(w) == 1
+    runs = log.select(
+        *key_cols, *track_cols, *[c for c in order_cols if c not in track_cols]
+    ).withColumn("_open", is_open | changed)
+    runs = runs.where("_open").drop("_open")
+    # same (key, order) partitioning: Catalyst reuses the sort/exchange
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return runs.select(
+        *key_cols,
+        *track_cols,
+        F.col(order_cols[0]).alias("effective_from"),
+        F.lead(order_cols[0]).over(w2).alias("effective_to"),
+        F.lead(order_cols[0]).over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).alias("version"),
     )
 
 

@@ -624,6 +624,106 @@ def ngram_containment_pairs(
     return directed.where(F.col("containment") >= threshold)
 
 
+def allpairs_prefix_jaccard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    hash_grams: bool = True,
+    reliable: bool = False,
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard >= num/den via PREFIX FILTERING
+    (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity Search";
+    Xiao et al., WWW'08 PPJoin) — the scale alternative to the
+    DF-cap inverted index of ``ngram_jaccard_pairs``.
+
+    Order every doc's gram set by ascending global document frequency
+    (rarest first, gram value as tie-break — any ONE total order shared
+    by all docs works).  A doc with ``sz`` grams indexes only its first
+    ``sz - ceil(t*sz) + 1`` grams: two docs with Jaccard >= t are
+    GUARANTEED to collide on at least one indexed prefix gram, so the
+    filter is lossless — the oracle is plain brute-force all-pairs and
+    must agree exactly.  Candidates additionally pass the length filter
+    (``t*|a| <= |b|`` both ways) before verification.
+
+    Exactness discipline: the threshold is a RATIONAL ``num/den``.
+    Prefix lengths use pure integer ``ceil(num*sz/den) =
+    (num*sz + den - 1) div den`` and the final predicate is the integer
+    cross-multiplication ``den*inter >= num*(sz_a+sz_b-inter)`` — no
+    float enters any pruning or acceptance decision, so Spark and the
+    SQL oracle cannot diverge at the boundary (the reported ``jaccard``
+    column is display-rounded to 6 dp on both engines).
+
+    100 TB plan shape: gram index materialized once (narrow (id, g)
+    rows); DF join keyed on the gram; the per-doc rank window is
+    per-key parallel (docs are KB-sized); ONLY prefixes self-join —
+    for t=0.8 that is ~20% of the index on each side, and the rarest
+    grams by construction, so the quadratic blowup stop-grams cause in
+    a plain inverted-index join is structurally bounded without the
+    lossy DF cap.  Verification re-joins the full index restricted to
+    candidate docs: cost O(sum of candidate doc sizes), partial-combined
+    counts, never a pairwise array ship.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    num, den = threshold_num, threshold_den
+    grams = word_gram_index(docs, id_col, text_col, n, hash_grams)
+    grams = _materialize(grams, reliable)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("id").orderBy(F.asc("_df"), F.asc("g"))
+    ranked = (
+        grams.join(dfreq, "g")
+        .select("id", "g", F.row_number().over(w).alias("_rk"))
+        .join(sizes, "id")
+    )
+    # prefix length p = sz - ceil(t*sz) + 1, ceil in exact integers
+    ceil_t_sz = F.expr(f"({num}L * sz + {den - 1}L) div {den}L")
+    prefix = ranked.where(F.col("_rk") <= F.col("sz") - ceil_t_sz + 1).select(
+        "id", "g", "sz"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        # length filter: t*|a| <= |b| and t*|b| <= |a| (integer form)
+        .where(
+            (F.lit(den) * F.col("b.sz") >= F.lit(num) * F.col("a.sz"))
+            & (F.lit(den) * F.col("a.sz") >= F.lit(num) * F.col("b.sz"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification: |A∩B| from the full index, candidate-restricted
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        cand.join(ga, cand["id_a"] == F.col("ga.id"))
+        .join(
+            gb,
+            (F.col("gb.id") == cand["id_b"]) & (F.col("ga.g") == F.col("gb.g")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.lit(den) * F.col("inter") >= F.lit(num) * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            F.round(F.col("inter") / union_sz, 6).alias("jaccard"),
+        )
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -264,3 +264,89 @@ def retention_cohorts(
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view", "signup"),
+    lookback_s: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: credit each
+    conversion event's value to the channel (event type) of the user's
+    earliest / latest qualifying touch within ``lookback_s`` seconds
+    before the conversion; conversions with no qualifying touch credit
+    the ``'direct'`` channel.  Output one row per (model, channel):
+    ``model in ('first_touch', 'last_touch')``, ``n_conv``,
+    ``value_sum`` (display-rounded to 6 dp on both engines).
+
+    Scale shape: both sides are type-filtered BEFORE the user-key
+    equi-join (the range predicate rides the join as a residual, never
+    a cartesian); per-conversion first/last touches are one partial-
+    combined ``min_by/max_by`` aggregate keyed by the conversion id
+    with a (touch time, touch id) struct tie-break, so a hot user's
+    touch history collapses map-side; the unattributed remainder is a
+    churn-sized anti-join.  The final rollup is channel-cardinality
+    bounded.  Mirrors the reference's per-key event-correlation caches
+    (``src/processors/dex_processor.rs``) rolled up corpus-wide.
+    """
+    uts = F.unix_timestamp(ts_col)
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("conv_id"),
+        uts.alias("c_uts"),
+        F.col(value_col).alias("val"),
+    )
+    touch = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("channel"),
+        F.col(id_col).alias("t_id"),
+        uts.alias("t_uts"),
+    )
+    attributed = (
+        conv.join(touch, "u")
+        .where(
+            (F.col("t_uts") <= F.col("c_uts"))
+            & (F.col("t_uts") >= F.col("c_uts") - F.lit(int(lookback_s)))
+        )
+        .groupBy("conv_id", "val")
+        .agg(
+            F.min_by("channel", F.struct("t_uts", "t_id")).alias("first_ch"),
+            F.max_by("channel", F.struct("t_uts", "t_id")).alias("last_ch"),
+        )
+    )
+    direct = conv.join(attributed.select("conv_id"), "conv_id", "left_anti").select(
+        "conv_id", "val", F.lit("direct").alias("first_ch"), F.lit("direct").alias("last_ch")
+    )
+    per_conv = attributed.select("conv_id", "val", "first_ch", "last_ch").unionByName(
+        direct
+    )
+    models = per_conv.select(
+        "val",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_ch").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_ch").alias("channel"),
+                ),
+            )
+        ).alias("m"),
+    )
+    return (
+        models.groupBy(F.col("m.model").alias("model"), F.col("m.channel").alias("channel"))
+        .agg(
+            F.count("*").alias("n_conv"),
+            F.round(F.sum("val"), 6).alias("value_sum"),
+        )
+        .orderBy("model", "channel")
+    )

@@ -272,3 +272,76 @@ def ngram_continuations(
             F.desc("prefix_total"), F.asc("prefix"), F.asc("rank")
         ).limit(limit_rows)
     return out
+
+
+def collocation_pmi(
+    seq: DataFrame,
+    *,
+    min_count: int = 2,
+    top_k: int | None = 100,
+    token_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information —
+    the association-strength statistic behind phrase tables, tokenizer
+    merge diagnostics, and boilerplate detection (a corpus whose top
+    PMI pairs are navigation chrome is telling you something).
+
+    ``pmi(a,b) = ln( p(a,b) / (p(a) p(b)) )`` with ``p(a,b) =
+    c_pair/T`` over ``T`` total bigram positions and ``p(a) = c_tok/U``
+    over ``U`` total unigram positions.  Computed as the literal
+    composition ``(c_pair/T) / ((c_a/U) * (c_b/U))`` in double on BOTH
+    engines (identical IEEE op sequence), then ``round(ln(.), 6)`` —
+    the repo's log-parity convention (cf. ``drift.py``).
+
+    Plan shape: bigram keys materialize map-side as CSV (tokens never
+    shuffle); pair counts partial-combine (hot pairs contribute one row
+    per partition); the unigram count table is VOCAB-BOUNDED, so both
+    enrichment joins broadcast; ``T``/``U`` are two scalar aggregates
+    over (n_tok) metadata — no token scan.  The min-count HAVING prunes
+    the Zipf tail pre-join; ranking is TakeOrdered on the ROUNDED pmi
+    (desc, gram asc) so the cutoff is deterministic cross-engine.
+    """
+    bi = explode_ngrams(
+        seq, 2, token_col=token_col, n_tok_col=n_tok_col, doc_col=doc_col
+    )
+    c_bi = (
+        bi.groupBy("gram")
+        .agg(F.count("*").alias("c_pair"))
+        .where(F.col("c_pair") >= min_count)
+    )
+    uni = seq.select(F.explode(token_col).alias("tok"))
+    c_uni = uni.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    totals = seq.agg(
+        F.sum(F.greatest(F.col(n_tok_col) - 1, F.lit(0))).alias("t"),
+        F.sum(n_tok_col).alias("u"),
+    ).collect()[0]
+    t_bi, u_uni = float(totals["t"]), float(totals["u"])  # 2 scalars, metadata
+    pairs = c_bi.select(
+        F.split("gram", ",")[0].cast("int").alias("tok_a"),
+        F.split("gram", ",")[1].cast("int").alias("tok_b"),
+        "c_pair",
+    )
+    ca = c_uni.select(F.col("tok").alias("tok_a"), F.col("c_tok").alias("c_a"))
+    cb = c_uni.select(F.col("tok").alias("tok_b"), F.col("c_tok").alias("c_b"))
+    p_pair = F.col("c_pair").cast("double") / F.lit(t_bi)
+    p_a = F.col("c_a").cast("double") / F.lit(u_uni)
+    p_b = F.col("c_b").cast("double") / F.lit(u_uni)
+    out = (
+        pairs.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_pair",
+            "c_a",
+            "c_b",
+            F.round(F.log(p_pair / (p_a * p_b)), 6).alias("pmi"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
+        ).limit(top_k)
+    return out

@@ -76,3 +76,51 @@ def test_snapshot_diff_null_equal_is_unchanged(spark):
     old = spark.createDataFrame([(1, None)], "k int, s string")
     new = spark.createDataFrame([(1, None)], "k int, s string")
     assert cdc.snapshot_diff(old, new, ["k"], ["s"]).count() == 0
+
+
+def _scd_log(spark):
+    # key 1: A A B A -> runs A(v1) B(v2) A(v3); consecutive dup collapses
+    # key 2: one observation -> single current run
+    # key 3: NULL then NULL then X -> null-safe collapse, then change
+    rows = [
+        (1, 10, 100, "A"),
+        (1, 20, 101, "A"),
+        (1, 30, 102, "B"),
+        (1, 40, 103, "A"),
+        (2, 10, 104, "Z"),
+        (3, 10, 105, None),
+        (3, 20, 106, None),
+        (3, 30, 107, "X"),
+    ]
+    return spark.createDataFrame(rows, "k int, ts int, op_id int, attr string")
+
+
+def test_scd2_runs_versions_and_current(spark):
+    out = cdc.scd2_build(_scd_log(spark), ["k"], ["attr"], ["ts", "op_id"])
+    got = {(r["k"], r["version"]): r for r in out.collect()}
+    assert len(got) == 6  # 3 + 1 + 2 runs
+    r11 = got[(1, 1)]
+    assert (r11["attr"], r11["effective_from"], r11["effective_to"]) == ("A", 10, 30)
+    assert not r11["is_current"]
+    r13 = got[(1, 3)]
+    assert (r13["attr"], r13["effective_from"], r13["effective_to"]) == ("A", 40, None)
+    assert r13["is_current"]
+    assert got[(2, 1)]["is_current"]
+    # null-safe: the two NULL observations are ONE run
+    r31 = got[(3, 1)]
+    assert r31["attr"] is None and r31["effective_to"] == 30
+    assert got[(3, 2)]["attr"] == "X" and got[(3, 2)]["is_current"]
+
+
+def test_scd2_single_shuffle(spark):
+    out = cdc.scd2_build(_scd_log(spark), ["k"], ["attr"], ["ts", "op_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # both window passes share the (key, order) sort: ONE exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_scd2_validates_args(spark):
+    with pytest.raises(ValueError):
+        cdc.scd2_build(_scd_log(spark), [], ["attr"], ["ts"])

@@ -413,3 +413,44 @@ def test_containment_df_cap_prunes_stop_grams(spark):
         docs, n=3, threshold=0.5, hash_grams=False, max_gram_doc_freq=50
     )
     assert out.count() == 0
+
+
+def test_allpairs_prefix_matches_bruteforce(spark):
+    docs = docs_df(spark)
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["sz_a"], r["sz_b"], r["jaccard"])
+        for r in DD.allpairs_prefix_jaccard(
+            docs, n=3, threshold_num=3, threshold_den=10, hash_grams=False
+        ).collect()
+    }
+    # brute force reference: every pair above the rational threshold
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(
+            docs, threshold=0.3, hash_grams=False
+        ).collect()
+    }
+    assert set(got) == set(brute)  # prefix filter is LOSSLESS
+    for pair, (inter, sz_a, sz_b, jac) in got.items():
+        assert jac == brute[pair]
+        assert 10 * inter >= 3 * (sz_a + sz_b - inter)
+    # d1/d2 identical -> jaccard 1.0 present
+    assert got[("d1", "d2")][3] == 1.0
+
+
+def test_allpairs_prefix_no_pairs_below_threshold(spark):
+    docs = spark.createDataFrame(
+        [("a", "alpha beta gamma delta"), ("b", "one two three four")],
+        "doc_id string, text string",
+    )
+    out = DD.allpairs_prefix_jaccard(
+        docs, n=3, threshold_num=1, threshold_den=2, hash_grams=False
+    )
+    assert out.count() == 0
+
+
+def test_allpairs_prefix_validates_threshold(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DD.allpairs_prefix_jaccard(docs_df(spark), threshold_num=0)

@@ -141,3 +141,38 @@ def test_retention_cohorts_max_offset_and_broadcast(spark):
     assert [r["day_offset"] for r in out.collect()] == [0]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_attribution_first_last_and_direct(spark):
+    from bitquery_kafka_streams_rust_spark.operators.funnel import attribution
+
+    # user 1: view@0, click@100, purchase@200 (val 10) ->
+    #   first=view, last=click
+    # user 2: purchase@50 (val 5), no touches -> direct/direct
+    # user 3: click@0, purchase@90000 (val 7) -> outside 1-day lookback
+    #   when lookback_s=3600 -> direct
+    # user 4: two clicks at the SAME second (ids 7,8) then purchase ->
+    #   tie broken by event id for both models
+    rows = [
+        (0, 1, "view"), (100, 1, "click"), (200, 1, "purchase"),
+        (50, 2, "purchase"),
+        (0, 3, "click"), (90000, 3, "purchase"),
+        (300, 4, "click"), (300, 4, "click"), (400, 4, "purchase"),
+    ]
+    ev = _ev(spark, rows)
+    out = attribution(
+        ev, lookback_s=3600, touch_types=("click", "view"),
+    )
+    got = {(r["model"], r["channel"]): (r["n_conv"], r["value_sum"]) for r in out.collect()}
+    assert got[("first_touch", "view")][0] == 1       # user 1
+    assert got[("last_touch", "click")][0] == 2       # users 1 and 4
+    assert got[("first_touch", "direct")][0] == 2     # users 2 and 3
+    assert got[("last_touch", "direct")][0] == 2
+    # value conservation: each model credits every conversion exactly once
+    tot = {m: 0.0 for m in ("first_touch", "last_touch")}
+    cnt = {m: 0 for m in ("first_touch", "last_touch")}
+    for (m, _ch), (n, v) in got.items():
+        tot[m] += v
+        cnt[m] += n
+    assert cnt["first_touch"] == cnt["last_touch"] == 4
+    assert abs(tot["first_touch"] - tot["last_touch"]) < 1e-9

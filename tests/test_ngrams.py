@@ -144,3 +144,29 @@ def test_lm_score_reliable_identical(spark):
     base = sorted(map(tuple, lm_score(df, n=3, alpha=0.5).collect()))
     rel = sorted(map(tuple, lm_score(df, n=3, alpha=0.5, reliable=True).collect()))
     assert base == rel and len(base) == 3
+
+
+def test_collocation_pmi_hand_model(spark):
+    import math
+
+    # corpus: [1,2,1,2] and [1,2,3] ->
+    # bigrams: (1,2)x2+(2,1)x1 in doc a; (1,2),(2,3) in doc b
+    # c(1,2)=3, c(2,1)=1, c(2,3)=1; T=5 bigram positions
+    # unigrams: 1x3, 2x3, 3x1; U=7
+    seq = _docs(spark, [("a", [1, 2, 1, 2]), ("b", [1, 2, 3])])
+    out = NG.collocation_pmi(seq, min_count=2, top_k=10)
+    rows = out.collect()
+    assert len(rows) == 1  # only (1,2) clears min_count=2
+    r = rows[0]
+    assert (r["tok_a"], r["tok_b"], r["c_pair"], r["c_a"], r["c_b"]) == (1, 2, 3, 3, 3)
+    expect = round(math.log((3 / 5.0) / ((3 / 7.0) * (3 / 7.0))), 6)
+    assert r["pmi"] == expect
+
+
+def test_collocation_pmi_topk_tiebreak(spark):
+    # two pairs with identical counts -> identical pmi -> (tok_a, tok_b)
+    # ascending tie-break decides the cut
+    seq = _docs(spark, [("a", [5, 6]), ("b", [5, 6]), ("c", [7, 8]), ("d", [7, 8])])
+    out = NG.collocation_pmi(seq, min_count=2, top_k=1)
+    r = out.collect()[0]
+    assert (r["tok_a"], r["tok_b"]) == (5, 6)
