@@ -395,6 +395,56 @@ GROUP BY 1, 2 ORDER BY 1
 )
 
 
+def _q_seq_shard_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER shard correlation (batch twin of
+    streaming/join.shard_correlation_join_outer): every deduped
+    sequence emits with its in-range shard rollup; orphans — sequences
+    whose shards never arrived (the fixture's 'orca' docs have none) —
+    emit n_shards=0, the ingest-completeness signal the inner join
+    silently drops.  Same single-shuffle plan; null shard aggregates
+    coalesce to 0 identically on both engines."""
+    seq = DD.dedup_first_wins(
+        _seq(spark, sf_dir).select("doc_id", "source", "ts"), "doc_id", ["ts", "doc_id"]
+    )
+    sh = datagen.shards_view(spark, sf_dir)
+    j = seq.alias("s").join(
+        sh.alias("h"),
+        (F.col("s.doc_id") == F.col("h.doc_id"))
+        & (F.col("h.ts") >= F.col("s.ts") - F.expr("interval 5 minutes"))
+        & (F.col("h.ts") <= F.col("s.ts") + F.expr("interval 5 minutes")),
+        "left",
+    )
+    return (
+        j.groupBy(F.col("s.doc_id").alias("doc_id"), F.col("s.source").alias("source"))
+        .agg(
+            F.count("h.shard_id").alias("n_shards"),
+            F.coalesce(F.sum(F.size("h.tokens_part")), F.lit(0)).alias("sum_part"),
+        )
+        .withColumn("is_orphan", F.col("n_shards") == 0)
+        .orderBy("doc_id")
+    )
+
+
+_SQL_SEQ_SHARD_JOIN_OUTER = (
+    _SEQ
+    + _SHARDS
+    + """
+, sdedup AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ts, doc_id) AS rn
+                 FROM seq) WHERE rn = 1
+)
+SELECT s.doc_id AS doc_id, s.source AS source,
+       count(h.shard_id) AS n_shards,
+       CAST(coalesce(sum(len(h.tokens_part)), 0) AS BIGINT) AS sum_part,
+       count(h.shard_id) = 0 AS is_orphan
+FROM sdedup s LEFT JOIN shards h
+  ON s.doc_id = h.doc_id
+ AND h.ts >= s.ts - INTERVAL 5 MINUTE AND h.ts <= s.ts + INTERVAL 5 MINUTE
+GROUP BY 1, 2 ORDER BY 1
+"""
+)
+
+
 def _q_seq_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1-D5 vectorized codec: encode tokens → binary payload → decode
     back (pandas UDFs); checksum of decoded must equal the original.
@@ -5134,6 +5184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_collocations": _shipped(_q_seq_collocations),
         "doc_allpairs_prefix": _shipped(_q_doc_allpairs_prefix),
         "events_attribution": _shipped(_q_events_attribution),
+        "seq_shard_join_outer": _shipped(_q_seq_shard_join_outer),
         "doc_classifier_score": _shipped(_q_doc_classifier_score),
         "doc_bm25_topk": _shipped(_q_doc_bm25_topk),
         "events_hll_distinct": _shipped(_q_events_hll_distinct),
@@ -5260,6 +5311,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_collocations": _SQL_SEQ_COLLOCATIONS,
         "doc_allpairs_prefix": _SQL_DOC_ALLPAIRS_PREFIX,
         "events_attribution": _SQL_EVENTS_ATTRIBUTION,
+        "seq_shard_join_outer": _SQL_SEQ_SHARD_JOIN_OUTER,
         "doc_classifier_score": _SQL_DOC_CLASSIFIER,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,

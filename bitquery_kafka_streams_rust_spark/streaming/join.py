@@ -54,7 +54,56 @@ def shard_correlation_join(
         & (F.col("h.ts") >= F.col("s.ts") - F.expr(f"interval {range_s} seconds"))
         & (F.col("h.ts") <= F.col("s.ts") + F.expr(f"interval {range_s} seconds"))
     )
-    return s.join(h, cond, "inner").select(
+    return _correlate(sequences, shards, watermark_s, range_s, "inner")
+
+
+def shard_correlation_join_outer(
+    sequences: DataFrame,
+    shards: DataFrame,
+    watermark_s: int = 300,
+    range_s: int = 300,
+) -> DataFrame:
+    """LEFT OUTER variant — the orphan detector: every sequence row
+    emits; one null-padded row marks a sequence whose shards never
+    arrived within ±``range_s`` (an incomplete correlation the inner
+    join silently drops, exactly what an ingest-completeness monitor
+    needs to alert on).
+
+    Streaming semantics: matched rows emit as they join; a null-padded
+    row emits only once the joint watermark passes ``seq.ts + range_s``
+    (Spark holds the sequence in state until absence is CERTAIN under
+    the declared lateness — the same watermark-resolved-absence
+    doctrine as ``cep.not_followed_by``).  Batch evaluation of the same
+    plan is a plain left join, so stream-vs-batch parity holds for
+    compliant deliveries once the final watermark clears the data
+    (tests/test_state_join.py::test_stream_outer_join_matches_batch).
+    """
+    return _correlate(sequences, shards, watermark_s, range_s, "leftOuter")
+
+
+def _correlate(
+    sequences: DataFrame,
+    shards: DataFrame,
+    watermark_s: int,
+    range_s: int,
+    how: str,
+) -> DataFrame:
+    s = sequences.withWatermark("ts", f"{watermark_s} seconds").alias("s")
+    # see shard_correlation_join: scalar projection BEFORE the
+    # watermark/join keeps token arrays out of join state
+    h = (
+        shards.select(
+            "doc_id", "shard_id", "ts", F.size("tokens_part").alias("part_len")
+        )
+        .withWatermark("ts", f"{watermark_s} seconds")
+        .alias("h")
+    )
+    cond = (
+        (F.col("s.doc_id") == F.col("h.doc_id"))
+        & (F.col("h.ts") >= F.col("s.ts") - F.expr(f"interval {range_s} seconds"))
+        & (F.col("h.ts") <= F.col("s.ts") + F.expr(f"interval {range_s} seconds"))
+    )
+    return s.join(h, cond, how).select(
         F.col("s.doc_id").alias("doc_id"),
         F.col("s.source").alias("source"),
         F.col("s.ts").alias("seq_ts"),

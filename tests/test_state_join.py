@@ -231,3 +231,94 @@ def test_ttl_dedup_compat_first_wins_and_readmission(spark, tmp_path):
     _time.sleep(2.5)
     write_batch(2)
     assert run(1, "b") == 6      # TTL expired → re-admitted
+
+
+def test_stream_outer_join_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matches emit as they join; orphan
+    sequences emit ONE null-padded row once the joint watermark clears
+    their range.  Sentinel late files advance the watermark so the
+    availableNow run flushes the outer state; modulo sentinels, the
+    streaming output equals the batch left join."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    from datetime import datetime
+
+    from bitquery_kafka_streams_rust_spark.streaming.join import (
+        shard_correlation_join_outer,
+    )
+
+    seq = datagen.sequences_view(spark, SF)
+    sh = datagen.shards_view(spark, SF)
+    far = datetime(2024, 3, 1)  # weeks past the fixture's event times
+
+    def _staged(df, schema, sent_rows, d):
+        """file 0 = the real data, files 1-2 = watermark-advancing
+        sentinels (ordered mtimes; later files carry later times)."""
+        in_dir = str(tmp_path / d)
+        os.makedirs(in_dir)
+        base = _time.time() - 100
+        stages = [
+            df,
+            spark.createDataFrame([sent_rows(0)], schema),
+            spark.createDataFrame([sent_rows(1)], schema),
+        ]
+        for i, part in enumerate(stages):
+            p = str(tmp_path / f"{d}_stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(p)
+            f = glob.glob(f"{p}/part-*.parquet")[0]
+            dst = f"{in_dir}/f{i}.parquet"
+            shutil.move(f, dst)
+            os.utime(dst, (base + i * 10, base + i * 10))
+        return in_dir
+
+    from datetime import timedelta
+
+    seq_dir = _staged(
+        seq, SEQUENCES,
+        lambda i: ("sentinel", [1], 1, "pumpfun", far + timedelta(hours=i)),
+        "oseq",
+    )
+    sh_dir = _staged(
+        sh, SHARDS,
+        lambda i: ("sentinel", 0, [1], far + timedelta(hours=i)),
+        "osh",
+    )
+    s_stream = (
+        spark.readStream.schema(SEQUENCES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(seq_dir)
+    )
+    h_stream = (
+        spark.readStream.schema(SHARDS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sh_dir)
+    )
+    joined = shard_correlation_join_outer(s_stream, h_stream, 300, 300)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ojoin_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ojoin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["doc_id"], r["shard_id"], r["part_len"])
+        for r in spark.sql(
+            "SELECT * FROM ojoin_out WHERE doc_id <> 'sentinel'"
+        ).collect()
+    }
+    batch = shard_correlation_join_outer(seq, sh, 300, 300)
+    expect = {
+        (r["doc_id"], r["shard_id"], r["part_len"]) for r in batch.collect()
+    }
+    assert got == expect
+    # the outer join's whole point: orphans exist and carry nulls
+    orphans = {t for t in got if t[1] is None}
+    inner = {t for t in got if t[1] is not None}
+    assert orphans and inner
+    assert all(t[2] is None for t in orphans)
