@@ -66,6 +66,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--repetition-gate", action="store_true")
     p.add_argument("--exact-dedup", action="store_true",
                    help="drop exact-content duplicates (md5 hash-groupBy, min doc_id wins)")
+    p.add_argument("--near-dedup-mode", choices=["minhash", "prefix"],
+                   default="minhash",
+                   help="candidate generation for --near-dedup: banded "
+                        "MinHash LSH (probabilistic, signature-bounded) or "
+                        "PPJoin prefix filtering (LOSSLESS exact n-gram "
+                        "Jaccard; SIM rounds to a rational k/100)")
     p.add_argument("--near-dedup", type=float, default=None, metavar="SIM",
                    help="drop MinHash-LSH near-duplicates at signature similarity >= SIM "
                         "(banded candidate join -> connected components -> keep the "
@@ -128,7 +134,16 @@ def curate(docs, a: argparse.Namespace):
         # deterministic and rerun-stable like every other stage.
         from bitquery_kafka_streams_rust_spark.operators import dedup as DD
 
-        pairs = DD.minhash_lsh_pairs(docs, threshold=a.near_dedup)
+        if a.near_dedup_mode == "prefix":
+            # exact-Jaccard pairs, prefix-filter bounded (no LSH miss
+            # rate); the float SIM quantizes to a rational over 100 so
+            # every accept decision stays integer-exact
+            num = max(1, min(100, int(round(a.near_dedup * 100))))
+            pairs = DD.allpairs_prefix_jaccard(
+                docs, threshold_num=num, threshold_den=100
+            ).select(F.col("id_a"), F.col("id_b"))
+        else:
+            pairs = DD.minhash_lsh_pairs(docs, threshold=a.near_dedup)
         losers = (
             DD.connected_components(pairs)
             .where(F.col("id") != F.col("component"))

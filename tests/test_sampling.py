@@ -284,6 +284,35 @@ def test_curation_cli_near_dedup(spark, sf_dir, tmp_path):
     )
 
 
+def test_curation_cli_near_dedup_prefix_mode(spark, sf_dir, tmp_path):
+    """--near-dedup-mode prefix swaps LSH candidates for the LOSSLESS
+    PPJoin pair set: survivors equal exact-Jaccard clustering."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    from bitquery_kafka_streams_rust_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.allpairs_prefix_jaccard(docs, threshold_num=80, threshold_den=100)
+    losers = DD.connected_components(
+        pairs.select("id_a", "id_b")
+    ).where("id != component")
+    n_losers = losers.count()
+    assert n_losers > 0
+
+    rc = J.main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--near-dedup", "0.8", "--near-dedup-mode", "prefix",
+        "--splits", "all=1.0",
+        "--output", str(tmp_path / "p"),
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "p"))
+    assert out.count() == docs.count() - n_losers
+
+
 def test_quality_buckets_approx_tracks_exact_ntile(spark, sf_dir):
     """The sketch-cutoff binning agrees with exact ntile(4) for ~all
     docs (only sketch-boundary docs may shift one bucket)."""
