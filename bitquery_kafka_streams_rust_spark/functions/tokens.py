@@ -91,6 +91,26 @@ def is_valid_sequence(
     )
 
 
+def invalid_reason(
+    tokens: Column | str, n_tok: Column | str, vocab_size: int = VOCAB_SIZE
+) -> Column:
+    """Poison-pill classification (D5): NULL for valid rows, else which
+    check failed — ``len_mismatch`` (declared length diverges from the
+    array) or ``token_range`` (an element outside [0, vocab)).  The
+    dead-letter complement of ``is_valid_sequence`` — same scan-stage
+    arithmetic, so routing valid/quarantine splits one codegen'd
+    projection, no second decode.  The reference logs-and-skips such
+    messages (``src/consumer.rs`` parse error path); a quarantine sink
+    keeps them replayable instead."""
+    tokens = F.col(tokens) if isinstance(tokens, str) else tokens
+    n_tok = F.col(n_tok) if isinstance(n_tok, str) else n_tok
+    return F.when(F.size(tokens) != n_tok, F.lit("len_mismatch")).when(
+        (F.size(tokens) > 0)
+        & ((F.array_min(tokens) < 0) | (F.array_max(tokens) >= F.lit(vocab_size))),
+        F.lit("token_range"),
+    )
+
+
 def ngrams(tokens: Column | str, n: int) -> Column:
     """Token n-grams as array<array<int>> (shingles for MinHash/Jaccard)."""
     tokens = F.col(tokens) if isinstance(tokens, str) else tokens

@@ -90,6 +90,33 @@ def build_event_stream(
     )
 
 
+def build_quarantine_stream(
+    spark: SparkSession, input_dir: str, cfg: EngineConfig
+) -> DataFrame:
+    """Dead-letter complement of ``build_event_stream``: rows failing
+    sequence validation (D5 poison pills), classified by
+    ``tokens.invalid_reason`` and stripped of their arrays map-side —
+    (doc_id, source, ts, n_tok, actual_len, reason).  Stateless (no
+    watermark/dedup: quarantined rows must stay REPLAYABLE as
+    delivered, duplicates included), so the query is a pure scan-stage
+    projection; write it via the exactly-once sink next to the main
+    output and `n_input == n_events_admitted + n_gate_drops +
+    n_quarantined` reconciles per epoch.  The reference logs-and-drops
+    these (``src/consumer.rs`` parse errors); a quarantine table is the
+    at-scale equivalent with an audit trail."""
+    p = cfg.processing
+    stream = read_sequence_stream(spark, input_dir, p.max_files_per_trigger)
+    reason = TK.invalid_reason("tokens", "n_tok")
+    return stream.where(reason.isNotNull()).select(
+        "doc_id",
+        "source",
+        "ts",
+        "n_tok",
+        F.size("tokens").alias("actual_len"),
+        reason.alias("reason"),
+    )
+
+
 def build_window_rollup(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     """T5 tumbling rollup per source over the deduped event stream
     (A1/A3 analog).  Append mode: a window emits once, when the
@@ -116,14 +143,15 @@ def build_window_rollup(events: DataFrame, cfg: EngineConfig) -> DataFrame:
 class RunningPipeline:
     events_query: StreamingQuery
     rollup_query: StreamingQuery | None
+    quarantine_query: StreamingQuery | None = None
 
     def process_all(self) -> None:
-        self.events_query.processAllAvailable()
-        if self.rollup_query:
-            self.rollup_query.processAllAvailable()
+        for q in (self.events_query, self.rollup_query, self.quarantine_query):
+            if q is not None:
+                q.processAllAvailable()
 
     def stop(self) -> None:
-        for q in (self.events_query, self.rollup_query):
+        for q in (self.events_query, self.rollup_query, self.quarantine_query):
             if q is not None:
                 q.stop()
 
@@ -134,6 +162,7 @@ def start_pipeline(
     cfg: EngineConfig,
     with_rollup: bool = True,
     available_now: bool = True,
+    with_quarantine: bool = False,
 ) -> RunningPipeline:
     """Start the exactly-once pipeline: event rows to the idempotent
     sink (+ lineage), windowed rollup to its own sink.  Both are
@@ -183,4 +212,17 @@ def start_pipeline(
             .trigger(**trigger)
             .start()
         )
-    return RunningPipeline(events_q, rollup_q)
+    quarantine_q = None
+    if with_quarantine:
+        quarantine = build_quarantine_stream(spark, input_dir, cfg)
+        quarantine_q = (
+            quarantine.writeStream.foreachBatch(
+                ExactlyOnceParquetSink(f"{cfg.output_dir}/quarantine", lineage=False)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{cfg.checkpoint_dir}/quarantine")
+            .queryName("sequence_quarantine")
+            .trigger(**trigger)
+            .start()
+        )
+    return RunningPipeline(events_q, rollup_q, quarantine_q)

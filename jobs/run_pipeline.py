@@ -68,6 +68,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--health-port", type=int, default=None, metavar="PORT",
                    help="serve /health /ready /live /metrics /version on "
                         "this driver-local port (0 = ephemeral)")
+    p.add_argument("--quarantine", action="store_true",
+                   help="route poison-pill rows (failed validation) to "
+                        "<output>/quarantine with a reason column instead "
+                        "of silently dropping them")
     p.add_argument("--continuous", action="store_true",
                    help="run until terminated (default: availableNow then exit)")
     p.add_argument("--master", default=None)
@@ -129,7 +133,8 @@ def main(argv: list[str] | None = None) -> int:
         health = HealthServer(spark, port=a.health_port)
         print(f"[pipeline] health endpoints on port {health.start()}", flush=True)
     rp = P.start_pipeline(
-        spark, a.input, cfg, with_rollup=True, available_now=not a.continuous
+        spark, a.input, cfg, with_rollup=True, available_now=not a.continuous,
+        with_quarantine=a.quarantine,
     )
     try:
         if a.continuous:

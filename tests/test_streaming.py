@@ -434,3 +434,49 @@ def test_streaming_quantile_sketch_matches_batch(spark, sf_dir, tmp_path):
     assert est(streamed) == est(
         SK.quantile_sketch(batch, "value", by="event_type", width=0.25, n_buckets=4096)
     )
+
+
+def test_quarantine_routes_poison_pills(spark, tmp_path):
+    """--quarantine path: invalid rows land in <out>/quarantine with
+    the failing check named; valid rows flow to events untouched; the
+    split conserves the input (stateless DLQ, duplicates replayable)."""
+    from datetime import datetime
+
+    from bitquery_kafka_streams_rust_spark.schemas import SEQUENCES
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("ok1", [1, 2, 3], 3, "pumpfun", t0),
+        ("ok2", [4] * 20, 20, "pumpfun", t0),
+        ("bad_len", [1, 2], 5, "pumpfun", t0),          # len_mismatch
+        ("bad_tok", [1, -7, 2], 3, "pumpfun", t0),      # token_range
+        ("bad_tok2", [99999999, 1], 2, "pumpfun", t0),  # token_range
+        ("bad_len", [1, 2], 5, "pumpfun", t0),          # duplicate pill: replayable
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, SEQUENCES).coalesce(1).write.parquet(in_dir)
+    cfg = EngineConfig(
+        processing=ProcessingConfig(),
+        filters=FilterConfig(source_allowlist=("pumpfun",), min_n_tok=0),
+        checkpoint_dir=f"{tmp_path}/ck",
+        output_dir=f"{tmp_path}/out",
+    ).validate()
+    rp = P.start_pipeline(
+        spark, in_dir, cfg, with_rollup=False, with_quarantine=True
+    )
+    rp.process_all()
+    rp.stop()
+    events = S.read_output(spark, f"{cfg.output_dir}/events")
+    assert {r["doc_id"] for r in events.collect()} == {"ok1", "ok2"}
+    quar = S.read_output(spark, f"{cfg.output_dir}/quarantine")
+    got = sorted(
+        (r["doc_id"], r["reason"], r["n_tok"], r["actual_len"])
+        for r in quar.collect()
+    )
+    assert got == [
+        ("bad_len", "len_mismatch", 5, 2),
+        ("bad_len", "len_mismatch", 5, 2),  # duplicate preserved
+        ("bad_tok", "token_range", 3, 3),
+        ("bad_tok2", "token_range", 2, 2),
+    ]
+    assert events.count() + quar.count() == len(rows)
