@@ -317,7 +317,10 @@ def collocation_pmi(
         F.sum(F.greatest(F.col(n_tok_col) - 1, F.lit(0))).alias("t"),
         F.sum(n_tok_col).alias("u"),
     ).collect()[0]
-    t_bi, u_uni = float(totals["t"]), float(totals["u"])  # 2 scalars, metadata
+    # 2 scalars, metadata; empty corpus sums to NULL -> 1.0 keeps the
+    # (necessarily empty) plan well-defined instead of raising
+    t_bi = float(totals["t"]) if totals["t"] else 1.0
+    u_uni = float(totals["u"]) if totals["u"] else 1.0
     pairs = c_bi.select(
         F.split("gram", ",")[0].cast("int").alias("tok_a"),
         F.split("gram", ",")[1].cast("int").alias("tok_b"),
