@@ -5041,6 +5041,111 @@ ORDER BY user_id, version
 """
 
 
+def _q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join (operators/cdc.py scd2_lookup —
+    Flink temporal-table-join semantics): each purchase picks the
+    user's status run (SCD2 over signup/error events) whose validity
+    interval contains the purchase ts, with the run version and the
+    state's staleness at purchase time; purchases before the user's
+    first status run keep NULL dimension columns.  NOT a range join:
+    runs tile the timeline, so the plan is asof.py's single-shuffle
+    union-and-carry (run opens interleaved with facts on (user, ts),
+    last(ignorenulls) carry) — no interval explosion."""
+    from bitquery_kafka_streams_rust_spark.operators import cdc as CDC
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = CDC.scd2_build(
+        ev.where(F.col("event_type").isin("signup", "error")),
+        ["user_id"],
+        ["event_type"],
+        ["ts", "event_id"],
+    ).withColumnRenamed("event_type", "status")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = CDC.scd2_lookup(facts, dim, ["user_id"], "ts", ["status"])
+    return out.select(
+        "event_id", "user_id", "status", "dim_version", "staleness_s"
+    ).orderBy("event_id")
+
+
+_SQL_EVENTS_SCD2_LOOKUP = """
+WITH dimobs AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN row_number() OVER w = 1
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS opens
+  FROM events WHERE event_type IN ('signup', 'error')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), dim AS (
+  SELECT user_id, event_type AS status,
+         ts AS effective_from,
+         lead(ts) OVER w2 AS effective_to,
+         CAST(row_number() OVER w2 AS INTEGER) AS version
+  FROM dimobs WHERE opens = 1
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT f.event_id AS event_id, f.user_id AS user_id,
+       d.status AS status, d.version AS dim_version,
+       CAST(floor(epoch(f.ts)) - floor(epoch(d.effective_from)) AS BIGINT)
+         AS staleness_s
+FROM events f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.effective_from <= f.ts
+ AND (d.effective_to IS NULL OR f.ts < d.effective_to)
+WHERE f.event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+def _q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (operators/aggregates.py ab_test):
+    deterministic variant assignment by the stage-11 XOR-salted Knuth
+    hash on user_id, then per-event_type counts, means, lift and the
+    Welch z statistic.  ONE map-side-combined hash aggregation — the
+    six moments are partial-aggregable, assignment is a map-side
+    expression; means/variances round to 9 dp before the z arithmetic
+    and outputs to 6 dp on both engines (identical IEEE op sequence)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return AG.ab_test(ev, "user_id", "value", ["event_type"]).orderBy("event_type")
+
+
+_SQL_EVENTS_AB_TEST = """
+WITH v AS (
+  SELECT event_type, value,
+         ((xor(user_id, 29198793459) % 2147483648) * 2654435761)
+           % 2147483648 / 2147483648.0 < 0.5 AS is_a
+  FROM events
+), m AS (
+  SELECT event_type,
+         count(*) FILTER (is_a) AS n_a,
+         count(*) FILTER (NOT is_a) AS n_b,
+         sum(value) FILTER (is_a) AS s_a,
+         sum(value) FILTER (NOT is_a) AS s_b,
+         sum(value * value) FILTER (is_a) AS ss_a,
+         sum(value * value) FILTER (NOT is_a) AS ss_b
+  FROM v GROUP BY 1
+), r AS (
+  SELECT event_type, n_a, n_b,
+         round(s_a / n_a, 9) AS mean_a9,
+         round(s_b / n_b, 9) AS mean_b9,
+         round((ss_a - s_a * s_a / n_a) / (n_a - 1), 9) AS var_a9,
+         round((ss_b - s_b * s_b / n_b) / (n_b - 1), 9) AS var_b9
+  FROM m
+)
+SELECT event_type, n_a, n_b,
+       round(mean_a9, 6) AS mean_a,
+       round(mean_b9, 6) AS mean_b,
+       CASE WHEN n_a > 1 AND n_b > 1
+            THEN round(mean_a9 - mean_b9, 6) END AS lift,
+       CASE WHEN n_a > 1 AND n_b > 1
+            THEN round((mean_a9 - mean_b9)
+                       / sqrt(var_a9 / n_a + var_b9 / n_b), 6) END AS z_welch
+FROM r ORDER BY event_type
+"""
+
+
 def _q_seq_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram collocation mining by PMI (operators/ngrams.py
     collocation_pmi) — association strength for phrase/boilerplate
@@ -5180,6 +5285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _shipped(flagship),
         # --- new in round 5 ---
+        "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
+        "events_ab_test": _shipped(_q_events_ab_test),
         "events_scd2": _shipped(_q_events_scd2),
         "seq_collocations": _shipped(_q_seq_collocations),
         "doc_allpairs_prefix": _shipped(_q_doc_allpairs_prefix),
@@ -5308,6 +5415,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "flagship_pipeline": _FLAGSHIP_SQL,
         "events_scd2": _SQL_EVENTS_SCD2,
+        "events_scd2_lookup": _SQL_EVENTS_SCD2_LOOKUP,
+        "events_ab_test": _SQL_EVENTS_AB_TEST,
         "seq_collocations": _SQL_SEQ_COLLOCATIONS,
         "doc_allpairs_prefix": _SQL_DOC_ALLPAIRS_PREFIX,
         "events_attribution": _SQL_EVENTS_ATTRIBUTION,

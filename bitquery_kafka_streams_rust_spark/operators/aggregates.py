@@ -260,3 +260,151 @@ def rollup_cascade_from_partials(
     for o in out[1:]:
         res_df = res_df.unionByName(o)
     return res_df
+
+
+def ab_test(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    frac_a: float = 0.5,
+    seed: int = 0,
+    stage: int = 11,
+) -> DataFrame:
+    """Two-sample experiment readout with deterministic assignment.
+
+    Units are assigned to variant A iff ``hash_frac(id, seed, stage) <
+    frac_a`` (sampling.py's portable Knuth hash; stage 11 is the
+    experiment-assignment slot in the XOR salt registry, so an A/B
+    readout composed over already-sampled/split data stays independent
+    of every earlier gate).  Per ``group_cols`` cell emits counts,
+    means, the mean lift A-B, and the Welch z statistic — the
+    threshold-alert shape of ``src/processors/dex_processor.rs:156-164``
+    upgraded to a variance-aware test.
+
+    Cross-engine float parity: means and variances are computed from
+    raw (sum, sumsq, n) moments then rounded to 9 dp BEFORE the z
+    arithmetic, and z/lift round to 6 dp — both engines run the same
+    IEEE op sequence on identical rounded inputs.  Cells where either
+    arm has < 2 observations emit NULL z (variance undefined).
+
+    Plan shape: ONE map-side-combined hash aggregation — assignment is
+    a map-side expression over the id, the six moments are
+    partial-aggregable, so a 100 TB fact table collapses to one row
+    per (group, partition) before the exchange; no window, no join."""
+    from bitquery_kafka_streams_rust_spark.operators.sampling import hash_frac
+
+    is_a = hash_frac(F.col(id_col), seed, stage) < F.lit(frac_a)
+    v = F.col(value_col).cast("double")
+    agg = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+        F.sum(F.when(is_a, v)).alias("_s_a"),
+        F.sum(F.when(~is_a, v)).alias("_s_b"),
+        F.sum(F.when(is_a, v * v)).alias("_ss_a"),
+        F.sum(F.when(~is_a, v * v)).alias("_ss_b"),
+    )
+    return _ab_select(agg, group_cols)
+
+
+def _ab_select(agg: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Mean/var/lift/Welch-z projection over a moments frame with
+    columns (n_a, n_b, _s_a, _s_b, _ss_a, _ss_b) — shared by the
+    oracle-exact batch readout and the streaming monitor's
+    integer-grid state (streaming/experiment_monitor.py), so both
+    paths run the identical rounded IEEE sequence."""
+    mean_a = F.round(F.col("_s_a") / F.col("n_a"), 9)
+    mean_b = F.round(F.col("_s_b") / F.col("n_b"), 9)
+    var_a = F.round(
+        (F.col("_ss_a") - F.col("_s_a") * F.col("_s_a") / F.col("n_a"))
+        / (F.col("n_a") - 1),
+        9,
+    )
+    var_b = F.round(
+        (F.col("_ss_b") - F.col("_s_b") * F.col("_s_b") / F.col("n_b"))
+        / (F.col("n_b") - 1),
+        9,
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    z = F.round(
+        (mean_a - mean_b)
+        / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+        6,
+    )
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.when(ok, F.round(mean_a - mean_b, 6)).alias("lift"),
+        F.when(ok, z).alias("z_welch"),
+    )
+
+
+def ab_moments(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    frac_a: float = 0.5,
+    seed: int = 0,
+    stage: int = 11,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Order-independent experiment moments on an integer grid.
+
+    Same stage-11 assignment as ``ab_test`` but values quantize
+    map-side to ``round(value * scale)`` longs, so the per-(group, arm)
+    (n, s_q, ss_q) sums are EXACT integer arithmetic — any summation
+    order (batch, micro-batch increments, restart replay) produces
+    bit-identical state.  This is the drift-monitor doctrine
+    (operators/drift.py): quantize first, then the running aggregate
+    IS the batch aggregate.  ss_q headroom: |value| * scale must stay
+    under ~3e9 so the squared term fits a long.
+
+    Output: one row per (group, arm) — the shape a streaming
+    complete-mode groupBy keeps as metadata-sized state."""
+    from bitquery_kafka_streams_rust_spark.operators.sampling import hash_frac
+
+    is_a = hash_frac(F.col(id_col), seed, stage) < F.lit(frac_a)
+    q = F.round(F.col(value_col).cast("double") * F.lit(scale), 0).cast("long")
+    return (
+        df.select(
+            *group_cols,
+            F.when(is_a, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+            q.alias("_q"),
+        )
+        .groupBy(*group_cols, "arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_q").alias("s_q"),
+            F.sum(F.col("_q") * F.col("_q")).alias("ss_q"),
+        )
+    )
+
+
+def ab_readout(
+    moments: DataFrame,
+    group_cols: Sequence[str] = (),
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Welch-z readout from an ``ab_moments`` frame: pivot the two arm
+    rows back to columns, rescale the integer moments to value units
+    (s_q/scale, ss_q/scale²), then run the SAME rounded projection as
+    ``ab_test``.  Input is metadata-sized (2 rows per cell), so every
+    epoch's readout in the streaming monitor costs nothing."""
+    s = float(scale)
+    arm_a = F.col("arm") == "A"
+    agg = moments.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.coalesce(F.sum(F.when(arm_a, F.col("n"))), F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum(F.when(~arm_a, F.col("n"))), F.lit(0)).alias("n_b"),
+        (F.sum(F.when(arm_a, F.col("s_q"))).cast("double") / F.lit(s)).alias("_s_a"),
+        (F.sum(F.when(~arm_a, F.col("s_q"))).cast("double") / F.lit(s)).alias("_s_b"),
+        (F.sum(F.when(arm_a, F.col("ss_q"))).cast("double") / F.lit(s * s)).alias("_ss_a"),
+        (F.sum(F.when(~arm_a, F.col("ss_q"))).cast("double") / F.lit(s * s)).alias("_ss_b"),
+    )
+    return _ab_select(agg, group_cols)

@@ -172,3 +172,82 @@ def snapshot_diff(
         .where(F.col("diff_status").isNotNull())
         .drop("_in_old", "_in_new")
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Point-in-time (temporal) dimension join: each fact row picks the
+    ``scd2_build`` run whose validity interval contains the fact's
+    ``ts_col`` — ``effective_from <= ts`` and (``effective_to IS NULL``
+    or ``ts < effective_to``).  LEFT semantics: facts before the key's
+    first run (or inside a gap of a filtered dim) keep all their
+    columns with NULL dimension attributes.  Appends per-matched-run
+
+    - each of ``attr_cols`` (the dimension state at fact time),
+    - ``dim_version``: the matched run's ordinal,
+    - ``staleness_s``: fact ts minus the run's ``effective_from`` in
+      whole seconds — how old the state was when the fact happened.
+
+    This is the warehouse "dimension lookup at event time" (Flink's
+    temporal table join) over the reference's keyed latest-state model
+    (``src/consumer.rs:213-230``) extended to full history.
+
+    Plan shape: NOT a range join.  SCD2 runs tile each key's timeline,
+    so interval containment equals "latest run starting at-or-before
+    ts" — the same single-shuffle union-and-carry as
+    ``operators/asof.asof_join``: interleave run-open rows with fact
+    rows on (key, ts), carry the last run struct forward with
+    ``last(ignorenulls)``; one exchange on the key, per-key-parallel
+    window, no interval explosion, skew-saltable like any window.  The
+    explicit ``effective_to`` re-check only fires for gapped
+    (pre-filtered) dims and costs nothing."""
+    if not key_cols or not attr_cols:
+        raise ValueError("key_cols and attr_cols must be non-empty")
+    run_cols = [*attr_cols, "effective_from", "effective_to", "version"]
+    fcols = facts.columns
+    run_t = dim.select(F.struct(*run_cols).alias("s")).schema["s"].dataType
+    fact_t = facts.select(F.struct(*fcols).alias("s")).schema["s"].dataType
+    d = dim.select(
+        F.struct(*key_cols).alias("_k"),
+        F.col("effective_from").alias("_ts"),
+        F.lit(0).alias("_is_fact"),
+        F.struct(*run_cols).alias("_run"),
+        F.lit(None).cast(fact_t).alias("_f"),
+    )
+    f = facts.select(
+        F.struct(*key_cols).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_is_fact"),
+        F.lit(None).cast(run_t).alias("_run"),
+        F.struct(*fcols).alias("_f"),
+    )
+    # run-open rows sort before facts at equal ts: effective_from is
+    # inclusive; one shuffle, Catalyst window over the same sort
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_is_fact"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = d.unionByName(f).withColumn("_c", F.last("_run", ignorenulls=True).over(w))
+    out = carried.where(F.col("_is_fact") == 1)
+    valid = F.col("_c").isNotNull() & (
+        F.col("_c.effective_to").isNull() | (F.col("_ts") < F.col("_c.effective_to"))
+    )
+    sel = [F.col(f"_f.{c}").alias(c) for c in fcols]
+    sel += [F.when(valid, F.col(f"_c.{a}")).alias(a) for a in attr_cols]
+    sel.append(F.when(valid, F.col("_c.version")).alias("dim_version"))
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if isinstance(
+        facts.schema[ts_col].dataType, (TimestampType, TimestampNTZType, DateType)
+    ):
+        stale = F.unix_timestamp("_ts") - F.unix_timestamp(F.col("_c.effective_from"))
+    else:  # numeric time axes subtract directly
+        stale = F.col("_ts").cast("long") - F.col("_c.effective_from").cast("long")
+    sel.append(F.when(valid, stale).alias("staleness_s"))
+    return out.select(*sel)

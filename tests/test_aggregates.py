@@ -185,3 +185,59 @@ def test_rollup_cascade_rejects_bad_levels(spark, sf_dir):
         AG.rollup_cascade(ev, "ts", "value", levels=(3600, 60))
     with _pt.raises(ValueError):
         AG.rollup_cascade(ev, "ts", "value", levels=())
+
+
+def _ab_expected(rows, frac_a=0.5):
+    """Pure-Python twin of ab_test's moment arithmetic (stage-11 hash)."""
+    salt = 11 * 0x9E3779B9
+    arms = {}
+    for uid, grp, val in rows:
+        a = ((uid ^ salt) % 2**31) * 2654435761 % 2**31 / 2**31 < frac_a
+        arms.setdefault(grp, {"A": [], "B": []})["A" if a else "B"].append(val)
+    out = {}
+    for grp, d in arms.items():
+        na, nb = len(d["A"]), len(d["B"])
+        ma = round(sum(d["A"]) / na, 9)
+        mb = round(sum(d["B"]) / nb, 9)
+        va = round((sum(v * v for v in d["A"]) - sum(d["A"]) ** 2 / na) / (na - 1), 9)
+        vb = round((sum(v * v for v in d["B"]) - sum(d["B"]) ** 2 / nb) / (nb - 1), 9)
+        z = round((ma - mb) / (va / na + vb / nb) ** 0.5, 6)
+        out[grp] = (na, nb, round(ma, 6), round(mb, 6), round(ma - mb, 6), z)
+    return out
+
+
+def test_ab_test_matches_pure_python_moments(spark):
+    rows = [(uid, "g%d" % (uid % 2), float((uid * 37) % 101) / 7.0)
+            for uid in range(1, 201)]
+    df = spark.createDataFrame(rows, "user_id long, grp string, value double")
+    got = {r["grp"]: r for r in AG.ab_test(df, "user_id", "value", ["grp"]).collect()}
+    exp = _ab_expected(rows)
+    assert set(got) == set(exp)
+    for g, (na, nb, ma, mb, lift, z) in exp.items():
+        r = got[g]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["mean_a"] == ma and r["mean_b"] == mb
+        assert r["lift"] == lift and r["z_welch"] == z
+
+
+def test_ab_test_small_arm_emits_null_z(spark):
+    # one unit per arm: counts/means emit, lift/z are NULL (var undefined)
+    uids = [1, 2, 3]  # will hash into both arms at n>=1
+    df = spark.createDataFrame([(u, float(u)) for u in uids],
+                               "user_id long, value double")
+    rows = AG.ab_test(df, "user_id", "value", []).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    if r["n_a"] < 2 or r["n_b"] < 2:
+        assert r["z_welch"] is None and r["lift"] is None
+
+
+def test_ab_test_single_exchange_partial_agg(spark):
+    df = spark.createDataFrame([(u, "g", float(u)) for u in range(50)],
+                               "user_id long, grp string, value double")
+    out = AG.ab_test(df, "user_id", "value", ["grp"])
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    # map-side combine: partial+final HashAggregate around ONE exchange
+    assert plan.count("Exchange") == 1
+    assert "partial_" in plan

@@ -124,3 +124,67 @@ def test_scd2_single_shuffle(spark):
 def test_scd2_validates_args(spark):
     with pytest.raises(ValueError):
         cdc.scd2_build(_scd_log(spark), [], ["attr"], ["ts"])
+
+
+def _dim(spark):
+    # hand-built SCD2 runs (scd2_build output shape) — key 1 has three
+    # runs, key 2 one open-ended run; key 9 has no facts
+    rows = [
+        (1, "A", 10, 30, False, 1),
+        (1, "B", 30, 40, False, 2),
+        (1, "A", 40, None, True, 3),
+        (2, "Z", 10, None, True, 1),
+        (9, "Q", 5, None, True, 1),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "k int, attr string, effective_from int, effective_to int,"
+        " is_current boolean, version int",
+    )
+
+
+def test_scd2_lookup_point_in_time(spark):
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 35), (103, 1, 99), (104, 2, 10), (105, 3, 50)],
+        "fid int, k int, ts int",
+    )
+    out = cdc.scd2_lookup(facts, _dim(spark), ["k"], "ts", ["attr"])
+    got = {r["fid"]: r for r in out.collect()}
+    assert len(got) == 6  # LEFT: every fact survives
+    # before the first run -> NULL dimension columns
+    assert got[100]["attr"] is None and got[100]["dim_version"] is None
+    # effective_from is inclusive
+    assert (got[101]["attr"], got[101]["dim_version"], got[101]["staleness_s"]) == ("A", 1, 0)
+    # mid-run pick with staleness
+    assert (got[102]["attr"], got[102]["dim_version"], got[102]["staleness_s"]) == ("B", 2, 5)
+    # open-ended current run
+    assert (got[103]["attr"], got[103]["dim_version"], got[103]["staleness_s"]) == ("A", 3, 59)
+    assert got[104]["attr"] == "Z"
+    # key with no dim rows at all
+    assert got[105]["attr"] is None and got[105]["staleness_s"] is None
+
+
+def test_scd2_lookup_gapped_dim_nulls_out(spark):
+    # drop run 2: a fact inside the dropped interval must NOT inherit
+    # run 1 (its effective_to closed before the fact)
+    dim = _dim(spark).where("NOT (k = 1 AND version = 2)")
+    facts = spark.createDataFrame([(1, 1, 35)], "fid int, k int, ts int")
+    got = cdc.scd2_lookup(facts, dim, ["k"], "ts", ["attr"]).collect()[0]
+    assert got["attr"] is None and got["dim_version"] is None
+
+
+def test_scd2_lookup_single_shuffle(spark):
+    facts = spark.createDataFrame([(1, 1, 35)], "fid int, k int, ts int")
+    out = cdc.scd2_lookup(facts, _dim(spark), ["k"], "ts", ["attr"])
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # union-and-carry: ONE exchange on the key, no join operator at all
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_scd2_lookup_validates_args(spark):
+    facts = spark.createDataFrame([(1, 1, 35)], "fid int, k int, ts int")
+    with pytest.raises(ValueError):
+        cdc.scd2_lookup(facts, _dim(spark), [], "ts", ["attr"])
