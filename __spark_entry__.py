@@ -5146,6 +5146,126 @@ FROM r ORDER BY event_type
 """
 
 
+def _q_events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key trend estimation (operators/regress.py group_ols): OLS
+    slope/intercept/r² of value vs time per event_type from five
+    partial-aggregable integer moments — ONE map-side-combined
+    aggregation, no window/join/second scan.  x is epoch seconds minus
+    the fixed 2024-01-01 origin (small exact longs), y quantizes to a
+    1e-3 grid; both engines sum exact integers, cast the same values
+    to double, and replay one identical IEEE readout sequence."""
+    from bitquery_kafka_streams_rust_spark.operators import regress as RG
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).alias("x"),
+        "value",
+    )
+    return RG.group_ols(pts, "x", "value", ["event_type"]).orderBy("event_type")
+
+
+_SQL_EVENTS_TREND_OLS = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+         CAST(round(value * 1000, 0) AS BIGINT) AS qy
+  FROM events
+), m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(qy) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(qy * qy) AS DOUBLE) AS syy,
+         CAST(sum(x * qy) AS DOUBLE) AS sxy
+  FROM pts GROUP BY 1
+), fit AS (
+  SELECT event_type, n, sx, sy, sxx, syy, sxy,
+         CAST(n AS DOUBLE) AS nd,
+         (CAST(n AS DOUBLE) * sxy - sx * sy) AS cov_n,
+         (CAST(n AS DOUBLE) * sxx - sx * sx) AS var_x_n,
+         (CAST(n AS DOUBLE) * syy - sy * sy) AS var_y_n
+  FROM m
+)
+SELECT event_type, n,
+       CASE WHEN n > 1 AND var_x_n != 0
+            THEN round(cov_n / var_x_n * 1.0 / 1000.0, 12) END AS slope,
+       CASE WHEN n > 1 AND var_x_n != 0
+            THEN round((sy - cov_n / var_x_n * sx) / nd / 1000.0, 6) END AS intercept,
+       CASE WHEN n > 1 AND var_x_n != 0 AND var_y_n != 0
+            THEN round(cov_n * cov_n / (var_x_n * var_y_n), 6) END AS r2
+FROM fit ORDER BY event_type
+"""
+
+
+def _q_seq_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the unigram table: OLS of ln(count) vs
+    ln(rank) — the corpus-health diagnostic (slope ≈ −1 for natural
+    text; the fixture's LCG tokens are near-uniform, so slope ≈ 0 with
+    near-zero r², which is exactly what the diagnostic should say
+    about synthetic data).  Unigrams aggregate map-side from the
+    exploded tokens (the array never crosses a shuffle); the rank
+    window runs over the VOCAB-BOUNDED aggregate (≤ 50,257 rows —
+    metadata, allowlisted like events_rollup_share); both logs
+    pre-quantize to integer grids so group_ols's moments stay exact."""
+    from pyspark.sql import Window
+
+    from bitquery_kafka_streams_rust_spark.operators import regress as RG
+
+    seq = _seq(spark, sf_dir)
+    uni = (
+        seq.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    pts = uni.select(F.row_number().over(w).alias("rank"), "c").select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("qx"),
+        F.log(F.col("c").cast("double")).alias("lny"),
+    )
+    return RG.group_ols(
+        pts, "qx", "lny", [], y_scale=100_000, x_scale=1_000_000, slope_dp=6
+    )
+
+
+_SQL_SEQ_ZIPF_FIT = (
+    _SEQ
+    + """
+, uni AS (
+  SELECT t AS tok, count(*) AS c FROM seq, unnest(tokens) AS u(t) GROUP BY 1
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, tok ASC) AS rank, c FROM uni
+), pts AS (
+  SELECT CAST(round(ln(rank) * 1000000.0, 0) AS BIGINT) AS qx,
+         CAST(round(ln(c) * 100000, 0) AS BIGINT) AS qy
+  FROM ranked
+), m AS (
+  SELECT count(*) AS n,
+         CAST(sum(qx) AS DOUBLE) AS sx, CAST(sum(qy) AS DOUBLE) AS sy,
+         CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+         CAST(sum(qy * qy) AS DOUBLE) AS syy,
+         CAST(sum(qx * qy) AS DOUBLE) AS sxy
+  FROM pts
+), fit AS (
+  SELECT n, sx, sy, sxx, syy, sxy, CAST(n AS DOUBLE) AS nd,
+         (CAST(n AS DOUBLE) * sxy - sx * sy) AS cov_n,
+         (CAST(n AS DOUBLE) * sxx - sx * sx) AS var_x_n,
+         (CAST(n AS DOUBLE) * syy - sy * sy) AS var_y_n
+  FROM m
+)
+SELECT n,
+       CASE WHEN n > 1 AND var_x_n != 0
+            THEN round(cov_n / var_x_n * 1000000.0 / 100000.0, 6) END AS slope,
+       CASE WHEN n > 1 AND var_x_n != 0
+            THEN round((sy - cov_n / var_x_n * sx) / nd / 100000.0, 6) END AS intercept,
+       CASE WHEN n > 1 AND var_x_n != 0 AND var_y_n != 0
+            THEN round(cov_n * cov_n / (var_x_n * var_y_n), 6) END AS r2
+FROM fit
+"""
+)
+
+
 def _q_seq_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram collocation mining by PMI (operators/ngrams.py
     collocation_pmi) — association strength for phrase/boilerplate
@@ -5287,6 +5407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
+        "events_trend_ols": _shipped(_q_events_trend_ols),
+        "seq_zipf_fit": _shipped(_q_seq_zipf_fit),
         "events_scd2": _shipped(_q_events_scd2),
         "seq_collocations": _shipped(_q_seq_collocations),
         "doc_allpairs_prefix": _shipped(_q_doc_allpairs_prefix),
@@ -5417,6 +5539,8 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2": _SQL_EVENTS_SCD2,
         "events_scd2_lookup": _SQL_EVENTS_SCD2_LOOKUP,
         "events_ab_test": _SQL_EVENTS_AB_TEST,
+        "events_trend_ols": _SQL_EVENTS_TREND_OLS,
+        "seq_zipf_fit": _SQL_SEQ_ZIPF_FIT,
         "seq_collocations": _SQL_SEQ_COLLOCATIONS,
         "doc_allpairs_prefix": _SQL_DOC_ALLPAIRS_PREFIX,
         "events_attribution": _SQL_EVENTS_ATTRIBUTION,

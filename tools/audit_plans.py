@@ -39,6 +39,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     # candidate list (already collapsed by a TakeOrdered heap), never
     # the corpus — see retrieval.add_rank
     "doc_hybrid_rrf",
+    # seq_zipf_fit: the rank window's input is the unigram AGGREGATE —
+    # vocab-bounded (≤ 50,257 rows) metadata, never the corpus
+    "seq_zipf_fit",
 }
 
 
