@@ -31,6 +31,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ols_moments(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    y_scale: int = 1000,
+) -> DataFrame:
+    """Per-group exact-integer OLS sufficient statistics: (n, Σx, Σy,
+    Σx², Σy², Σxy) on the quantized grid.  Pure partial-aggregable
+    long sums — order-independent, so the SAME expression doubles as a
+    streaming aggregation whose state after N micro-batches is
+    bit-identical to the batch aggregate over their union (see
+    ``streaming/trend_monitor.py``)."""
+    qx = F.col(x_col).cast("long")
+    qy = F.round(F.col(y_col).cast("double") * F.lit(y_scale), 0).cast("long")
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").alias("n"),
+        F.sum(qx).alias("_sx"),
+        F.sum(qy).alias("_sy"),
+        F.sum(qx * qx).alias("_sxx"),
+        F.sum(qy * qy).alias("_syy"),
+        F.sum(qx * qy).alias("_sxy"),
+    )
+
+
+def ols_readout(
+    m: DataFrame,
+    group_cols: Sequence[str] = (),
+    *,
+    y_scale: int = 1000,
+    x_scale: int = 1,
+    slope_dp: int = 12,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Project a moment table (``ols_moments`` output / streaming
+    state) to slope/intercept/r² — one identical IEEE sequence from
+    exact longs in any engine."""
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * syy - sy * sy
+    ok = (F.col("n") > 1) & (var_x_n != 0)
+    slope_q = cov_n / var_x_n
+    slope = slope_q * F.lit(float(x_scale)) / F.lit(float(y_scale))
+    intercept = (sy - slope_q * sx) / n / F.lit(float(y_scale))
+    r2 = (cov_n * cov_n) / (var_x_n * var_y_n)
+    return m.select(
+        *group_cols,
+        "n",
+        F.when(ok, F.round(slope, slope_dp)).alias("slope"),
+        F.when(ok, F.round(intercept, out_dp)).alias("intercept"),
+        F.when(ok & (var_y_n != 0), F.round(r2, out_dp)).alias("r2"),
+    )
+
+
 def group_ols(
     df: DataFrame,
     x_col: str,
@@ -55,33 +114,11 @@ def group_ols(
     zero y-variance additionally NULLs r² (0/0).  Rounding: slope to
     ``slope_dp`` (its magnitude is y-units per x-unit — tiny for
     per-second trends), intercept/r² to ``out_dp``."""
-    qx = F.col(x_col).cast("long")
-    qy = F.round(F.col(y_col).cast("double") * F.lit(y_scale), 0).cast("long")
-    m = df.groupBy(*[F.col(c) for c in group_cols]).agg(
-        F.count("*").alias("n"),
-        F.sum(qx).alias("_sx"),
-        F.sum(qy).alias("_sy"),
-        F.sum(qx * qx).alias("_sxx"),
-        F.sum(qy * qy).alias("_syy"),
-        F.sum(qx * qy).alias("_sxy"),
-    )
-    # exact longs -> the SAME doubles in any engine; one IEEE sequence
-    n = F.col("n").cast("double")
-    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
-    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
-    sxy = F.col("_sxy").cast("double")
-    cov_n = n * sxy - sx * sy
-    var_x_n = n * sxx - sx * sx
-    var_y_n = n * syy - sy * sy
-    ok = (F.col("n") > 1) & (var_x_n != 0)
-    slope_q = cov_n / var_x_n
-    slope = slope_q * F.lit(float(x_scale)) / F.lit(float(y_scale))
-    intercept = (sy - slope_q * sx) / n / F.lit(float(y_scale))
-    r2 = (cov_n * cov_n) / (var_x_n * var_y_n)
-    return m.select(
-        *group_cols,
-        "n",
-        F.when(ok, F.round(slope, slope_dp)).alias("slope"),
-        F.when(ok, F.round(intercept, out_dp)).alias("intercept"),
-        F.when(ok & (var_y_n != 0), F.round(r2, out_dp)).alias("r2"),
+    return ols_readout(
+        ols_moments(df, x_col, y_col, group_cols, y_scale=y_scale),
+        group_cols,
+        y_scale=y_scale,
+        x_scale=x_scale,
+        slope_dp=slope_dp,
+        out_dp=out_dp,
     )

@@ -1,8 +1,17 @@
-"""Group-wise OLS via exact integer moments (operators/regress.py)."""
+"""Group-wise OLS via exact integer moments (operators/regress.py) and
+its streaming twin (streaming/trend_monitor.py)."""
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+import time as _time
+
+from pyspark.sql import functions as F
+
 from bitquery_kafka_streams_rust_spark.operators import regress as RG
+from bitquery_kafka_streams_rust_spark.streaming import trend_monitor as TM
 
 
 def test_ols_exact_line(spark):
@@ -45,6 +54,80 @@ def test_ols_degenerate_groups_null(spark):
     assert got["flat"]["slope"] is None and got["flat"]["intercept"] is None
     # zero y-variance: the fit line is flat (slope 0) but r2 is 0/0
     assert got["consty"]["slope"] == 0.0 and got["consty"]["r2"] is None
+
+
+def test_ols_moments_readout_composition(spark):
+    # group_ols == ols_readout(ols_moments(...)) and the moment sums
+    # merge across arbitrary row splits (the streaming-state property)
+    rows = [("g", x, 2.5 * x - 3.0 + (x % 7) / 9.0) for x in range(30)]
+    df = spark.createDataFrame(rows, "grp string, x long, y double")
+    whole = RG.ols_moments(df, "x", "y", ["grp"]).collect()[0]
+    a = RG.ols_moments(df.where("x < 11"), "x", "y", ["grp"]).collect()[0]
+    b = RG.ols_moments(df.where("x >= 11"), "x", "y", ["grp"]).collect()[0]
+    for c in ("n", "_sx", "_sy", "_sxx", "_syy", "_sxy"):
+        assert whole[c] == a[c] + b[c]
+    assert (
+        RG.group_ols(df, "x", "y", ["grp"]).collect()
+        == RG.ols_readout(RG.ols_moments(df, "x", "y", ["grp"]), ["grp"]).collect()
+    )
+
+
+def _write_batches(spark, df, tmp_path, n_batches=3):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    base = _time.time() - 100
+    rows = df.collect()
+    per = -(-len(rows) // n_batches)
+    for b in range(n_batches):
+        part = rows[b * per : (b + 1) * per]
+        p = str(tmp_path / f"stage_{b}")
+        spark.createDataFrame(part, df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        f = glob.glob(f"{p}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{b:02d}.parquet"
+        shutil.move(f, dst)
+        os.utime(dst, (base + b * 10, base + b * 10))
+    return in_dir
+
+
+def test_stream_trend_exact_batch_parity(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).alias("x"),
+        "value",
+    )
+    in_dir = _write_batches(spark, pts, tmp_path, n_batches=3)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("event_type string, x long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        TM.build_ols_moment_stream(stream, "x", "value", ["event_type"])
+        .writeStream.foreachBatch(TM.TrendReadoutSink(out, ["event_type"]))
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+    hist = spark.read.parquet(out)
+    epochs = sorted(r["batch_id"] for r in hist.select("batch_id").distinct().collect())
+    assert len(epochs) == 3
+    last = hist.where(F.col("batch_id") == epochs[-1]).drop("batch_id")
+    got = sorted(map(tuple, last.collect()))
+    expected = sorted(
+        map(tuple, RG.group_ols(pts, "x", "value", ["event_type"]).collect())
+    )
+    assert got == expected  # EXACT: integer state == batch aggregate
+    # earlier epochs saw strictly less of the stream
+    n_first = hist.where(F.col("batch_id") == epochs[0]).agg(F.sum("n")).first()[0]
+    n_last = last.agg(F.sum("n")).first()[0]
+    assert 0 < n_first < n_last == pts.count()
 
 
 def test_ols_single_exchange_partial_agg(spark):
