@@ -5266,6 +5266,165 @@ FROM fit
 )
 
 
+def _q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key two-sided CUSUM level-shift detection (drift.py
+    cusum_changepoint): Page's sequential test over each event_type's
+    value series — the recursion re-expressed as two running window
+    aggregates over ONE per-key sort via the prefix-extremum closed
+    form.  All comparisons are exact long arithmetic (values quantized
+    to a 1e-3 grid, deviations cleared of division by multiplying
+    through by the key's row count), so both engines agree bit-for-bit
+    until the final rounded readout."""
+    from bitquery_kafka_streams_rust_spark.operators import drift as DR
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("x"),
+        "event_id",
+        "value",
+    )
+    return DR.cusum_changepoint(
+        pts, ["event_type"], "x", "value", "event_id", k=0.25, h=2.0
+    ).orderBy("event_type")
+
+
+_SQL_EVENTS_CUSUM = """
+WITH pts AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS x, event_id,
+         CAST(round(value * 1000, 0) AS BIGINT) AS q
+  FROM events
+), b AS (
+  SELECT event_type, x, event_id, q,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(q) OVER (PARTITION BY event_type) AS s
+  FROM pts
+), pr AS (
+  SELECT event_type, x, event_id, n,
+         sum(n * q - s) OVER w - row_number() OVER w * 250 * n AS pp,
+         sum(n * q - s) OVER w + row_number() OVER w * 250 * n AS pm
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY x, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st AS (
+  SELECT event_type, x, n,
+         pp - least(CAST(0 AS HUGEINT), min(pp) OVER w2) AS sh,
+         greatest(CAST(0 AS HUGEINT), max(pm) OVER w2) - pm AS sl
+  FROM pr
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY x, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), fin AS (
+  SELECT event_type, n, x, sh, sl,
+         sh > 2000 * n AS ah, sl > 2000 * n AS al
+  FROM st
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN ah THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_hi,
+       CAST(sum(CASE WHEN al THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_lo,
+       CAST(COALESCE(min(CASE WHEN ah THEN x END), -1) AS BIGINT) AS first_alarm_hi_x,
+       CAST(COALESCE(min(CASE WHEN al THEN x END), -1) AS BIGINT) AS first_alarm_lo_x,
+       round(CAST(max(sh) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 1000.0), 6) AS max_cusum_hi,
+       round(CAST(max(sl) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 1000.0), 6) AS max_cusum_lo
+FROM fin GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_seq_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^β, so
+    ln V vs ln n is linear — the corpus-composition diagnostic twin of
+    seq_zipf_fit (natural text: β ≈ 0.4-0.6; the fixture's LCG tokens
+    saturate their 50k vocab fast, so β is small — which is what the
+    diagnostic should say).  Reuses novelty_curve's 16 deterministic
+    doc-id batches (map-side gram hashing, token arrays never
+    shuffle); the cumulative/rank window runs over the BATCH-BOUNDED
+    aggregate (16 rows — metadata, allowlisted), and both logs
+    pre-quantize to integer grids so the OLS moments stay exact."""
+    from pyspark.sql import Window
+
+    from bitquery_kafka_streams_rust_spark.operators import drift as DR
+    from bitquery_kafka_streams_rust_spark.operators import regress as RG
+
+    seq = _seq(spark, sf_dir)
+    c = F.substring(F.col("doc_id"), 4, 18).cast("long")
+    curve = DR.novelty_curve(seq, (c % 16).cast("long"), n=8)
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = curve.select(
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.sum("n_new").over(w).alias("cum_vocab"),
+    ).where((F.col("cum_pos") > 0) & (F.col("cum_vocab") > 0))
+    pts = cum.select(
+        F.round(F.log(F.col("cum_pos").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("qx"),
+        F.log(F.col("cum_vocab").cast("double")).alias("lny"),
+    )
+    return RG.group_ols(
+        pts, "qx", "lny", [], y_scale=100_000, x_scale=1_000_000, slope_dp=6
+    )
+
+
+_SQL_SEQ_HEAPS_FIT = (
+    _SEQ
+    + """
+, sq AS (
+  SELECT DISTINCT doc_id, tokens, n_tok FROM seq
+), bt AS (
+  SELECT doc_id, tokens, n_tok,
+         CAST(substr(doc_id, 4) AS BIGINT) % 16 AS b
+  FROM sq
+), px AS (
+  SELECT b, tokens, unnest(range(1, n_tok - 8 + 2)) AS pos
+  FROM bt WHERE n_tok >= 8
+), gr AS (
+  SELECT b,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_slice(tokens, CAST(pos AS INTEGER),
+                                     CAST(pos + 7 AS INTEGER)),
+             t -> CAST(t AS BIGINT))), (a, x) -> (a * 313 + x) % 2147483647) AS g
+  FROM px
+), pb AS (
+  SELECT b, count(*) AS n_pos FROM gr GROUP BY 1
+), fs AS (
+  SELECT g, min(b) AS fb FROM gr GROUP BY 1
+), nb AS (
+  SELECT fb AS b, count(*) AS n_new FROM fs GROUP BY 1
+), cum AS (
+  SELECT sum(n_pos) OVER w AS cum_pos,
+         sum(COALESCE(n_new, 0)) OVER w AS cum_vocab
+  FROM pb LEFT JOIN nb USING (b)
+  WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pts AS (
+  SELECT CAST(round(ln(CAST(cum_pos AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS qx,
+         CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 100000, 0) AS BIGINT) AS qy
+  FROM cum WHERE cum_pos > 0 AND cum_vocab > 0
+), m AS (
+  SELECT count(*) AS n,
+         CAST(sum(qx) AS DOUBLE) AS sx, CAST(sum(qy) AS DOUBLE) AS sy,
+         CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+         CAST(sum(qy * qy) AS DOUBLE) AS syy,
+         CAST(sum(qx * qy) AS DOUBLE) AS sxy
+  FROM pts
+), fit AS (
+  SELECT n, sx, sy, sxx, syy, sxy, CAST(n AS DOUBLE) AS nd,
+         (CAST(n AS DOUBLE) * sxy - sx * sy) AS cov_n,
+         (CAST(n AS DOUBLE) * sxx - sx * sx) AS var_x_n,
+         (CAST(n AS DOUBLE) * syy - sy * sy) AS var_y_n
+  FROM m
+)
+SELECT n,
+       CASE WHEN n > 1 AND var_x_n != 0
+            THEN round(cov_n / var_x_n * 1000000.0 / 100000.0, 6) END AS slope,
+       CASE WHEN n > 1 AND var_x_n != 0
+            THEN round((sy - cov_n / var_x_n * sx) / nd / 100000.0, 6) END AS intercept,
+       CASE WHEN n > 1 AND var_x_n != 0 AND var_y_n != 0
+            THEN round(cov_n * cov_n / (var_x_n * var_y_n), 6) END AS r2
+FROM fit
+"""
+)
+
+
 def _q_seq_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram collocation mining by PMI (operators/ngrams.py
     collocation_pmi) — association strength for phrase/boilerplate
@@ -5409,6 +5568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
         "seq_zipf_fit": _shipped(_q_seq_zipf_fit),
+        "events_cusum": _shipped(_q_events_cusum),
+        "seq_heaps_fit": _shipped(_q_seq_heaps_fit),
         "events_scd2": _shipped(_q_events_scd2),
         "seq_collocations": _shipped(_q_seq_collocations),
         "doc_allpairs_prefix": _shipped(_q_doc_allpairs_prefix),
@@ -5541,6 +5702,8 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_test": _SQL_EVENTS_AB_TEST,
         "events_trend_ols": _SQL_EVENTS_TREND_OLS,
         "seq_zipf_fit": _SQL_SEQ_ZIPF_FIT,
+        "events_cusum": _SQL_EVENTS_CUSUM,
+        "seq_heaps_fit": _SQL_SEQ_HEAPS_FIT,
         "seq_collocations": _SQL_SEQ_COLLOCATIONS,
         "doc_allpairs_prefix": _SQL_DOC_ALLPAIRS_PREFIX,
         "events_attribution": _SQL_EVENTS_ATTRIBUTION,

@@ -284,3 +284,114 @@ def novelty_curve(
         )
         .orderBy("batch")
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    k: float = 0.25,
+    h: float = 2.0,
+    scale: int = 1000,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-key two-sided CUSUM level-shift detection (Page 1954), the
+    sequential-analysis upgrade of the reference's static thresholds
+    (``src/processors/dex_processor.rs:156-164``): a key whose value
+    series drifts from its mean by more than ``k`` sigma-units per
+    step accumulates until the statistic crosses ``h``.
+
+    The recursion ``s_i = max(0, s_{i-1} + x_i)`` is NOT a prefix sum,
+    but has the closed form ``s_i = P_i - min(0, min_{j<=i} P_j)`` over
+    the plain prefix sums ``P`` — so both sides are two running
+    window aggregates over ONE per-key sort, no iteration, no UDF.
+
+    Cross-engine exactness: values quantize to ``q = round(v*scale)``
+    longs; the deviation term is cleared of division by multiplying
+    through by the key's row count ``n`` — ``e_i = n*q_i - S`` (S =
+    sum of q over the key) — and the drift/threshold constants scale
+    the same way (``kq*n``, ``hq*n``), so every prefix sum, min, max
+    and comparison is EXACT long arithmetic; only the final readout
+    divides.  Overflow contract: ``n^2 * max|q|`` must stay under
+    2^63 — at |q| <= 1e7 that is n <= ~30M rows per key; coarsen
+    ``scale`` for denser keys.
+
+    Output per key: n, alarm counts per side, first alarm's order
+    value per side (pass an epoch-style long — nullable timestamps
+    never hash-match; -1 sentinel when no alarm), and the max
+    statistic per side in k/h units (rounded ``out_dp``).
+    """
+    from pyspark.sql import Window
+
+    kq = round(k * scale)
+    hq = round(h * scale)
+    q = F.round(F.col(value_col).cast("double") * F.lit(scale), 0).cast("long")
+    wk = Window.partitionBy(*key_cols)
+    wc = wk.orderBy("_x", "_tb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = df.select(
+        *key_cols,
+        F.col(order_col).alias("_x"),
+        F.col(tiebreak_col).alias("_tb"),
+        q.alias("_q"),
+    ).select(
+        *key_cols,
+        "_x",
+        "_tb",
+        "_q",
+        F.count("*").over(wk).alias("_n"),
+        F.sum("_q").over(wk).alias("_s"),
+    )
+    e = F.col("_n") * F.col("_q") - F.col("_s")
+    i = F.row_number().over(wc)
+    pref = base.select(
+        *key_cols,
+        "_x",
+        "_tb",
+        "_n",
+        (F.sum(e).over(wc) - i.cast("long") * F.lit(kq) * F.col("_n")).alias("_pp"),
+        (F.sum(e).over(wc) + i.cast("long") * F.lit(kq) * F.col("_n")).alias("_pm"),
+    )
+    s_hi = F.col("_pp") - F.least(F.lit(0).cast("long"), F.min("_pp").over(wc))
+    s_lo = F.greatest(F.lit(0).cast("long"), F.max("_pm").over(wc)) - F.col("_pm")
+    lim = F.lit(hq) * F.col("_n")
+    st = pref.select(
+        *key_cols,
+        "_x",
+        "_n",
+        s_hi.alias("_sh"),
+        s_lo.alias("_sl"),
+        (s_hi > lim).alias("_ah"),
+        (s_lo > lim).alias("_al"),
+    )
+    denom = F.col("n").cast("double") * F.lit(float(scale))
+    return (
+        st.groupBy(*key_cols)
+        .agg(
+            F.first("_n").alias("n"),
+            F.sum(F.when(F.col("_ah"), 1).otherwise(0)).alias("n_alarm_hi"),
+            F.sum(F.when(F.col("_al"), 1).otherwise(0)).alias("n_alarm_lo"),
+            F.coalesce(
+                F.min(F.when(F.col("_ah"), F.col("_x"))), F.lit(-1).cast("long")
+            ).alias("first_alarm_hi_x"),
+            F.coalesce(
+                F.min(F.when(F.col("_al"), F.col("_x"))), F.lit(-1).cast("long")
+            ).alias("first_alarm_lo_x"),
+            F.max("_sh").alias("_mh"),
+            F.max("_sl").alias("_ml"),
+        )
+        .select(
+            *key_cols,
+            "n",
+            "n_alarm_hi",
+            "n_alarm_lo",
+            "first_alarm_hi_x",
+            "first_alarm_lo_x",
+            F.round(F.col("_mh") / denom, out_dp).alias("max_cusum_hi"),
+            F.round(F.col("_ml") / denom, out_dp).alias("max_cusum_lo"),
+        )
+    )

@@ -42,6 +42,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     # seq_zipf_fit: the rank window's input is the unigram AGGREGATE —
     # vocab-bounded (≤ 50,257 rows) metadata, never the corpus
     "seq_zipf_fit",
+    # seq_heaps_fit: the cumulative window's input is the 16-row batch
+    # aggregate (novelty_curve output) — metadata, never the corpus
+    "seq_heaps_fit",
 }
 
 
