@@ -5329,6 +5329,65 @@ FROM fin GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_events_cusum_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online (fixed-target) CUSUM — Page's original sequential form
+    (drift.py cusum_changepoint(target=...)): deviations vs a FIXED
+    level instead of the key's retrospective mean, so the statistic is
+    computable one row at a time.  This is the batch reference the
+    streaming monitor (streaming/cusum_monitor.py) replays
+    bit-identically from nine-long keyed state; the oracle pins the
+    batch side, the parity tests pin stream==batch."""
+    from bitquery_kafka_streams_rust_spark.operators import drift as DR
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("x"),
+        "event_id",
+        "value",
+    )
+    return DR.cusum_changepoint(
+        pts, ["event_type"], "x", "value", "event_id",
+        k=2.0, h=100.0, target=50.0,
+    ).orderBy("event_type")
+
+
+_SQL_EVENTS_CUSUM_ONLINE = """
+WITH pts AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS x, event_id,
+         CAST(round(value * 1000, 0) AS BIGINT) AS q
+  FROM events
+), pr AS (
+  SELECT event_type, x, event_id,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(q - 50000) OVER w - row_number() OVER w * 2000 AS pp,
+         sum(q - 50000) OVER w + row_number() OVER w * 2000 AS pm
+  FROM pts
+  WINDOW w AS (PARTITION BY event_type ORDER BY x, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st AS (
+  SELECT event_type, x, n,
+         pp - least(CAST(0 AS HUGEINT), min(pp) OVER w2) AS sh,
+         greatest(CAST(0 AS HUGEINT), max(pm) OVER w2) - pm AS sl
+  FROM pr
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY x, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), fin AS (
+  SELECT event_type, n, x, sh, sl,
+         sh > 100000 AS ah, sl > 100000 AS al
+  FROM st
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN ah THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_hi,
+       CAST(sum(CASE WHEN al THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_lo,
+       CAST(COALESCE(min(CASE WHEN ah THEN x END), -1) AS BIGINT) AS first_alarm_hi_x,
+       CAST(COALESCE(min(CASE WHEN al THEN x END), -1) AS BIGINT) AS first_alarm_lo_x,
+       round(CAST(max(sh) AS DOUBLE) / 1000.0, 6) AS max_cusum_hi,
+       round(CAST(max(sl) AS DOUBLE) / 1000.0, 6) AS max_cusum_lo
+FROM fin GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_seq_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^β, so
     ln V vs ln n is linear — the corpus-composition diagnostic twin of
@@ -5569,6 +5628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_ols": _shipped(_q_events_trend_ols),
         "seq_zipf_fit": _shipped(_q_seq_zipf_fit),
         "events_cusum": _shipped(_q_events_cusum),
+        "events_cusum_online": _shipped(_q_events_cusum_online),
         "seq_heaps_fit": _shipped(_q_seq_heaps_fit),
         "events_scd2": _shipped(_q_events_scd2),
         "seq_collocations": _shipped(_q_seq_collocations),
@@ -5703,6 +5763,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trend_ols": _SQL_EVENTS_TREND_OLS,
         "seq_zipf_fit": _SQL_SEQ_ZIPF_FIT,
         "events_cusum": _SQL_EVENTS_CUSUM,
+        "events_cusum_online": _SQL_EVENTS_CUSUM_ONLINE,
         "seq_heaps_fit": _SQL_SEQ_HEAPS_FIT,
         "seq_collocations": _SQL_SEQ_COLLOCATIONS,
         "doc_allpairs_prefix": _SQL_DOC_ALLPAIRS_PREFIX,

@@ -297,6 +297,7 @@ def cusum_changepoint(
     h: float = 2.0,
     scale: int = 1000,
     out_dp: int = 6,
+    target: float | None = None,
 ) -> DataFrame:
     """Per-key two-sided CUSUM level-shift detection (Page 1954), the
     sequential-analysis upgrade of the reference's static thresholds
@@ -310,14 +311,22 @@ def cusum_changepoint(
     window aggregates over ONE per-key sort, no iteration, no UDF.
 
     Cross-engine exactness: values quantize to ``q = round(v*scale)``
-    longs; the deviation term is cleared of division by multiplying
-    through by the key's row count ``n`` — ``e_i = n*q_i - S`` (S =
-    sum of q over the key) — and the drift/threshold constants scale
-    the same way (``kq*n``, ``hq*n``), so every prefix sum, min, max
-    and comparison is EXACT long arithmetic; only the final readout
+    longs.  With ``target=None`` (retrospective mode) deviations are
+    vs the key's own mean, cleared of division by multiplying through
+    by the key's row count ``n`` — ``e_i = n*q_i - S`` (S = sum of q
+    over the key) — and the drift/threshold constants scale the same
+    way (``kq*n``, ``hq*n``), so every prefix sum, min, max and
+    comparison is EXACT long arithmetic; only the final readout
     divides.  Overflow contract: ``n^2 * max|q|`` must stay under
     2^63 — at |q| <= 1e7 that is n <= ~30M rows per key; coarsen
     ``scale`` for denser keys.
+
+    With ``target`` set (online mode, Page's original form) deviations
+    are vs the FIXED level ``e_i = q_i - round(target*scale)`` — no
+    retrospective mean, so the statistic is computable one row at a
+    time; this is the form the streaming twin
+    (``streaming/cusum_monitor.py``) replays with per-key long state,
+    bit-identically.  Overflow relaxes to ``n * max|e|`` < 2^63.
 
     Output per key: n, alarm counts per side, first alarm's order
     value per side (pass an epoch-style long — nullable timestamps
@@ -346,19 +355,24 @@ def cusum_changepoint(
         F.count("*").over(wk).alias("_n"),
         F.sum("_q").over(wk).alias("_s"),
     )
-    e = F.col("_n") * F.col("_q") - F.col("_s")
+    if target is None:
+        e = F.col("_n") * F.col("_q") - F.col("_s")
+        mult = F.col("_n")
+    else:
+        e = F.col("_q") - F.lit(round(float(target) * scale)).cast("long")
+        mult = F.lit(1).cast("long")
     i = F.row_number().over(wc)
     pref = base.select(
         *key_cols,
         "_x",
         "_tb",
         "_n",
-        (F.sum(e).over(wc) - i.cast("long") * F.lit(kq) * F.col("_n")).alias("_pp"),
-        (F.sum(e).over(wc) + i.cast("long") * F.lit(kq) * F.col("_n")).alias("_pm"),
+        (F.sum(e).over(wc) - i.cast("long") * F.lit(kq) * mult).alias("_pp"),
+        (F.sum(e).over(wc) + i.cast("long") * F.lit(kq) * mult).alias("_pm"),
     )
     s_hi = F.col("_pp") - F.least(F.lit(0).cast("long"), F.min("_pp").over(wc))
     s_lo = F.greatest(F.lit(0).cast("long"), F.max("_pm").over(wc)) - F.col("_pm")
-    lim = F.lit(hq) * F.col("_n")
+    lim = F.lit(hq) * (F.lit(1).cast("long") if target is not None else F.col("_n"))
     st = pref.select(
         *key_cols,
         "_x",
@@ -368,7 +382,11 @@ def cusum_changepoint(
         (s_hi > lim).alias("_ah"),
         (s_lo > lim).alias("_al"),
     )
-    denom = F.col("n").cast("double") * F.lit(float(scale))
+    denom = (
+        F.lit(float(scale))
+        if target is not None
+        else F.col("n").cast("double") * F.lit(float(scale))
+    )
     return (
         st.groupBy(*key_cols)
         .agg(
