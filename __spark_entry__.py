@@ -5388,6 +5388,106 @@ FROM fin GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer covariance matrix of the embedding corpus
+    (operators/pca.py embedding_covariance): one scan, map-side HOF
+    pair expansion, d(d+1)/2-bounded aggregate — the distributed half
+    of the PCA family.  Quantized long pair sums make both engines'
+    2,080 covariance cells agree bit-for-bit after one identical IEEE
+    readout."""
+    from bitquery_kafka_streams_rust_spark.operators import pca as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = P.embedding_covariance(emb)
+    return out.select(
+        out["i"].cast("long").alias("i"),
+        out["j"].cast("long").alias("j"),
+        "cov",
+    ).orderBy("i", "j")
+
+
+_SQL_PCA_HEAD = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS q
+  FROM embeddings
+), flat AS MATERIALIZED (
+  SELECT vec_id, unnest(range(64)) AS i, unnest(q) AS qv FROM q
+), dims AS (
+  SELECT i, CAST(sum(qv) AS BIGINT) AS s FROM flat GROUP BY 1
+), nn AS (
+  SELECT count(*) AS n FROM q
+), pairs AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS sij
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+), cov AS MATERIALIZED (
+  SELECT p.i, p.j,
+         round(CAST((SELECT n FROM nn) * p.sij - da.s * db.s AS DOUBLE)
+               / CAST((SELECT n FROM nn) AS DOUBLE)
+               / CAST((SELECT n FROM nn) AS DOUBLE)
+               / 1000000000000.0, 9) AS cov
+  FROM pairs p JOIN dims da ON p.i = da.i JOIN dims db ON p.j = db.i
+)"""
+
+_SQL_EMB_COVARIANCE = (
+    _SQL_PCA_HEAD + "\nSELECT i, j, cov FROM cov ORDER BY i, j\n"
+)
+
+
+def _q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-direction projection (operators/pca.py
+    pca_top_component): covariance → driver-side 6-step power
+    iteration on the 2,080-cell metadata (per-step 1e-9 quantization
+    makes the float trajectory bit-replayable — the pagerank playbook)
+    → map-side exact long dot against the eigenvector literals.  The
+    oracle unrolls all six iteration layers in SQL; the trajectory is
+    the cross-engine contract (the synthetic fixture's spectrum is
+    near-isotropic, λ2/λ1 = 0.987, so six steps are a deterministic
+    pseudo-direction here — convergence on gapped spectra is pinned by
+    the anisotropic pytest fixture)."""
+    from bitquery_kafka_streams_rust_spark.operators import pca as P
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return P.pca_top_component(emb).orderBy("vec_id")
+
+
+def _pca_project_sql(iters: int = 6) -> str:
+    parts = [
+        _SQL_PCA_HEAD,
+        """, afull AS (
+  SELECT i, j, cov FROM cov
+  UNION ALL SELECT j, i, cov FROM cov WHERE i < j
+), v0 AS (SELECT unnest(range(64)) AS i, 0.125 AS v)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""", u{t} AS (
+  SELECT a.i AS i,
+         sum(CAST(round(a.cov * v.v * 1000000000.0, 0) AS BIGINT)) AS uq
+  FROM afull a JOIN v{t - 1} v ON a.j = v.i GROUP BY 1
+), w{t} AS (
+  SELECT i, CAST(uq AS DOUBLE) / 1000000000.0 AS u FROM u{t}
+), s{t} AS (
+  SELECT sqrt(CAST(sum(qn * qn) AS DOUBLE)) / 1000000.0 AS nrm
+  FROM (SELECT CAST(round(u * 1000000.0, 0) AS BIGINT) AS qn FROM w{t})
+), v{t} AS (
+  SELECT i, round(u / (SELECT nrm FROM s{t}), 9) AS v FROM w{t}
+)""")
+    parts.append(f""", vq AS (
+  SELECT i, CAST(round(v * 1000000000.0, 0) AS BIGINT) AS vq FROM v{iters}
+)
+SELECT f.vec_id,
+       round(CAST(sum(f.qv * vq.vq) AS DOUBLE) / 1000000000000000.0, 6) AS pc1
+FROM flat f JOIN vq ON f.i = vq.i
+GROUP BY 1 ORDER BY 1
+""")
+    return "".join(parts)
+
+
+_SQL_EMB_PCA_PROJECT = _pca_project_sql(6)
+
+
 def _q_seq_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^β, so
     ln V vs ln n is linear — the corpus-composition diagnostic twin of
@@ -5629,6 +5729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_zipf_fit": _shipped(_q_seq_zipf_fit),
         "events_cusum": _shipped(_q_events_cusum),
         "events_cusum_online": _shipped(_q_events_cusum_online),
+        "emb_covariance": _shipped(_q_emb_covariance),
+        "emb_pca_project": _shipped(_q_emb_pca_project),
         "seq_heaps_fit": _shipped(_q_seq_heaps_fit),
         "events_scd2": _shipped(_q_events_scd2),
         "seq_collocations": _shipped(_q_seq_collocations),
@@ -5764,6 +5866,8 @@ def oracle_sql() -> dict[str, str]:
         "seq_zipf_fit": _SQL_SEQ_ZIPF_FIT,
         "events_cusum": _SQL_EVENTS_CUSUM,
         "events_cusum_online": _SQL_EVENTS_CUSUM_ONLINE,
+        "emb_covariance": _SQL_EMB_COVARIANCE,
+        "emb_pca_project": _SQL_EMB_PCA_PROJECT,
         "seq_heaps_fit": _SQL_SEQ_HEAPS_FIT,
         "seq_collocations": _SQL_SEQ_COLLOCATIONS,
         "doc_allpairs_prefix": _SQL_DOC_ALLPAIRS_PREFIX,
