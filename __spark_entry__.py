@@ -2773,6 +2773,95 @@ FROM parts ORDER BY doc_id
 )
 
 
+def _q_seq_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 multi-span corruption (packing.span_corrupt): ~15% of each
+    doc masked as max(1, noise//3) non-overlapping spans placed one
+    per equal segment with avalanched per-(doc,span) jitter (stage
+    salt 12), inputs/targets certified by the portable positional
+    checksum.  Zero shuffle — one map-side HOF pass."""
+    from bitquery_kafka_streams_rust_spark.operators import packing as PK
+
+    return PK.span_corrupt(_seq(spark, sf_dir))
+
+
+_SQL_SEQ_SPAN_CORRUPT = (
+    _SEQ
+    + """
+, sq AS (
+  SELECT DISTINCT doc_id, tokens, n_tok FROM seq WHERE n_tok >= 8
+), g AS (
+  SELECT doc_id, list_transform(tokens, t -> CAST(t AS BIGINT)) AS tk,
+         CAST(n_tok AS BIGINT) AS n, CAST(substr(doc_id, 4) AS BIGINT) AS c,
+         greatest(1, (CAST(n_tok AS BIGINT) * 3) // 20) AS nb
+  FROM sq
+), g2 AS (
+  SELECT *, greatest(1, nb // 3) AS k FROM g
+), g3 AS (
+  SELECT *, nb // k AS base, nb % k AS rem FROM g2
+), sp0 AS (
+  -- one row per (doc, span): length by even split; h0..h2 is the
+  -- avalanched per-(doc,span) hash (stage salt 12, jl_sign pipeline)
+  SELECT doc_id, s,
+         base + CASE WHEN s < rem THEN 1 ELSE 0 END AS ln,
+         (s * n) // k AS seg_s,
+         ((s + 1) * n) // k AS seg_e,
+         (xor(c * 131 + s, 31853229228) % 2147483648)
+           * 2654435761 % 2147483648 AS h0
+  FROM (SELECT doc_id, n, c, k, base, rem, unnest(range(0, k)) AS s FROM g3)
+), sp1 AS (
+  SELECT doc_id, s, ln, seg_s, seg_e,
+         xor(h0, h0 >> 13) * 2654435761 % 2147483648 AS h1
+  FROM sp0
+), sp2 AS (
+  SELECT doc_id, s, ln, seg_s, seg_e,
+         xor(h1, h1 >> 17) * 2654435761 % 2147483648 AS h2
+  FROM sp1
+), spr AS (
+  SELECT doc_id, s, ln,
+         seg_s + CAST(floor(h2 / 2147483648.0 * (seg_e - seg_s - ln + 1))
+                      AS BIGINT) + 1 AS st
+  FROM sp2
+), spl AS (
+  SELECT doc_id, list(st ORDER BY s) AS sts, list(ln ORDER BY s) AS lns
+  FROM spr GROUP BY 1
+), built AS (
+  SELECT b.doc_id, b.n, b.nb, b.k,
+    list_concat(
+      flatten(list_transform(range(0, b.k), s ->
+        list_concat(
+          list_slice(b.tk,
+            CAST(CASE WHEN s = 0 THEN 1
+                 ELSE l.sts[CAST(s AS INTEGER)] + l.lns[CAST(s AS INTEGER)]
+                 END AS INTEGER),
+            CAST(l.sts[CAST(s + 1 AS INTEGER)] - 1 AS INTEGER)),
+          [60000 + s]))),
+      list_slice(b.tk,
+        CAST(l.sts[CAST(b.k AS INTEGER)] + l.lns[CAST(b.k AS INTEGER)]
+             AS INTEGER),
+        CAST(b.n AS INTEGER))) AS inputs,
+    list_concat(
+      flatten(list_transform(range(0, b.k), s ->
+        list_concat([60000 + s],
+          list_slice(b.tk, CAST(l.sts[CAST(s + 1 AS INTEGER)] AS INTEGER),
+            CAST(l.sts[CAST(s + 1 AS INTEGER)]
+                 + l.lns[CAST(s + 1 AS INTEGER)] - 1 AS INTEGER))))),
+      [60000 + b.k]) AS targets
+  FROM g3 b JOIN spl l USING (doc_id)
+)
+SELECT doc_id, n AS n_tok, k AS n_spans, nb AS noise_tok,
+       CAST(len(inputs) AS BIGINT) AS inputs_len,
+       CAST(len(targets) AS BIGINT) AS targets_len,
+       CAST(coalesce(list_sum(list_transform(range(1, len(inputs) + 1),
+            i -> i * inputs[CAST(i AS INTEGER)])), 0) % 2147483648 AS BIGINT)
+         AS inputs_cksum,
+       CAST(coalesce(list_sum(list_transform(range(1, len(targets) + 1),
+            i -> i * targets[CAST(i AS INTEGER)])), 0) % 2147483648 AS BIGINT)
+         AS targets_cksum
+FROM built ORDER BY doc_id
+"""
+)
+
+
 def _q_seq_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-growth novelty (drift.novelty_curve): per ingestion batch
     (5 deterministic doc-id buckets — scale-invariant, every SF
@@ -5731,6 +5820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_online": _shipped(_q_events_cusum_online),
         "emb_covariance": _shipped(_q_emb_covariance),
         "emb_pca_project": _shipped(_q_emb_pca_project),
+        "seq_span_corrupt": _shipped(_q_seq_span_corrupt),
         "seq_heaps_fit": _shipped(_q_seq_heaps_fit),
         "events_scd2": _shipped(_q_events_scd2),
         "seq_collocations": _shipped(_q_seq_collocations),
@@ -5868,6 +5958,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cusum_online": _SQL_EVENTS_CUSUM_ONLINE,
         "emb_covariance": _SQL_EMB_COVARIANCE,
         "emb_pca_project": _SQL_EMB_PCA_PROJECT,
+        "seq_span_corrupt": _SQL_SEQ_SPAN_CORRUPT,
         "seq_heaps_fit": _SQL_SEQ_HEAPS_FIT,
         "seq_collocations": _SQL_SEQ_COLLOCATIONS,
         "doc_allpairs_prefix": _SQL_DOC_ALLPAIRS_PREFIX,

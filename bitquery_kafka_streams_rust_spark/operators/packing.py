@@ -351,3 +351,156 @@ def fim_split(
         token_checksum(mid).alias("middle_cksum"),
         token_checksum(suf).alias("suffix_cksum"),
     ).orderBy(id_col)
+
+
+_SC_SALT = 12 * 0x9E3779B9  # XOR stage salt 12 (registry in CLAUDE.md)
+
+
+def span_corrupt(
+    seq: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    id_int: F.Column | None = None,
+    min_len: int = 8,
+    sentinel_base: int = 60000,
+    keep_cols: tuple[str, ...] = (),
+    emit: str = "checksums",
+) -> DataFrame:
+    """T5/UL2 multi-span corruption example construction (Raffel et
+    al. 2020 §3.1.4): per doc, mask ~15% of tokens as ``max(1,
+    noise//3)`` non-overlapping spans, emit the denoising pair —
+    ``inputs`` = the doc with each span replaced by one sentinel id,
+    ``targets`` = each sentinel followed by its span, plus a terminal
+    sentinel.  Generalizes :func:`fim_split` (the k=1 PSM case) to the
+    multi-span objective.
+
+    Deterministic geometry, zero shuffle, zero RNG state: the noise
+    budget is the pure integer form ``nb = max(1, n*3//20)``, span
+    lengths split it as evenly as integers allow, and span s lives in
+    the s-th of k equal segments — jittered inside its segment by an
+    avalanched hash of ``(id, s)`` (stage salt 12 with the
+    jl_sign/HLL xorshift-multiply rounds: a plain affine per-span hash
+    would give every span of a doc the SAME lattice jitter — the
+    affine-composition trap).  Segment residency guarantees
+    non-overlap by construction with no sequential scan, so the whole
+    transform is one map-side HOF pass — reruns, retries and any
+    cluster size produce identical examples, the property that lets a
+    100 TB denoising export resume mid-way.
+
+    Sentinels are ``sentinel_base + s`` (outside the fixture's 50,257
+    vocab and positive, keeping the portable positional checksum's
+    mod-2^31 arithmetic identical on both engines).  Outputs carry
+    lengths plus order-sensitive checksums of both constructed
+    sequences rather than shipping the arrays.  Docs shorter than
+    ``min_len`` (= 8: the smallest n where segment residency is
+    provable for the 15%/3 geometry) are excluded.
+
+    ``emit='checksums'`` (default, the oracle shape) certifies the
+    constructed sequences; ``emit='arrays'`` returns the actual
+    ``inputs``/``targets`` arrays for the export job's span mode.
+    ``keep_cols`` pass through untouched."""
+    from .sampling import _KNUTH, _MOD
+    from ..functions.tokens import token_checksum
+
+    if id_int is None:
+        id_int = F.substring(F.col(id_col), 4, 18).cast("long")
+
+    def idiv(a, b):
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    n_ = F.size(tokens_col).cast("long")
+    docs = (
+        seq.dropDuplicates([id_col])
+        .where(F.size(tokens_col) >= min_len)
+        .select(
+            F.col(id_col),
+            F.transform(F.col(tokens_col), lambda t: t.cast("long")).alias("_t"),
+            n_.alias("_n"),
+            id_int.alias("_c"),
+            *keep_cols,
+        )
+        .withColumn("_nb", F.greatest(F.lit(1).cast("long"), idiv(F.col("_n") * 3, F.lit(20))))
+        .withColumn("_k", F.greatest(F.lit(1).cast("long"), idiv(F.col("_nb"), F.lit(3))))
+        .withColumn("_base", idiv(F.col("_nb"), F.col("_k")))
+        .withColumn("_rem", F.pmod(F.col("_nb"), F.col("_k")))
+    )
+    n, c, k = F.col("_n"), F.col("_c"), F.col("_k")
+
+    def ln(s):
+        return F.col("_base") + F.when(s < F.col("_rem"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    def frac(s):
+        h = F.pmod((c * F.lit(131) + s).bitwiseXOR(F.lit(_SC_SALT)), F.lit(_MOD))
+        h = F.pmod(h * F.lit(_KNUTH), F.lit(_MOD))
+        for sh in (13, 17):  # avalanche rounds (jl_sign pipeline)
+            h = F.pmod(h.bitwiseXOR(F.shiftright(h, sh)) * F.lit(_KNUTH), F.lit(_MOD))
+        return h.cast("double") / F.lit(float(_MOD))
+
+    def seg_start(s):
+        return idiv(s * n, k)
+
+    def start(s):
+        free = idiv((s + 1) * n, k) - seg_start(s) - ln(s)
+        return seg_start(s) + F.floor(frac(s) * (free + 1).cast("double")).cast("long") + 1
+
+    def sent(s):
+        return F.lit(sentinel_base).cast("long") + s
+
+    sidx = F.sequence(F.lit(0).cast("long"), k - 1)
+
+    def gap(s):
+        prev_end = F.when(s == 0, F.lit(1).cast("long")).otherwise(
+            start(s - 1) + ln(s - 1)
+        )
+        return F.slice(F.col("_t"), prev_end, start(s) - prev_end)
+
+    last_end = start(k - 1) + ln(k - 1)
+    inputs = F.concat(
+        F.flatten(F.transform(sidx, lambda s: F.concat(gap(s), F.array(sent(s))))),
+        F.slice(F.col("_t"), last_end, n - last_end + 1),
+    )
+    targets = F.concat(
+        F.flatten(
+            F.transform(
+                sidx,
+                lambda s: F.concat(F.array(sent(s)), F.slice(F.col("_t"), start(s), ln(s))),
+            )
+        ),
+        F.array(sent(k)),
+    )
+    # land the (expensive, reused) constructed arrays ONCE as aliases;
+    # derive lengths/checksums from the columns (CollapseProject keeps
+    # non-cheap exprs referenced >1x materialized)
+    built = docs.select(
+        id_col,
+        n.alias("n_tok"),
+        k.alias("n_spans"),
+        F.col("_nb").alias("noise_tok"),
+        inputs.alias("_in"),
+        targets.alias("_tg"),
+        *keep_cols,
+    )
+    if emit == "arrays":
+        return built.select(
+            id_col,
+            "n_tok",
+            "n_spans",
+            "noise_tok",
+            built["_in"].alias("inputs"),
+            built["_tg"].alias("targets"),
+            *keep_cols,
+        )
+    return built.select(
+        id_col,
+        "n_tok",
+        "n_spans",
+        "noise_tok",
+        F.size("_in").cast("long").alias("inputs_len"),
+        F.size("_tg").cast("long").alias("targets_len"),
+        token_checksum(F.col("_in")).alias("inputs_cksum"),
+        token_checksum(F.col("_tg")).alias("targets_cksum"),
+        *keep_cols,
+    ).orderBy(id_col)

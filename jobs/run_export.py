@@ -69,7 +69,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     src.add_argument("--input", help="sequences parquet (doc_id, tokens, n_tok, source, ts)")
     src.add_argument("--sf-dir", help="derive the sequences view from this testdata dir")
     p.add_argument("--output", required=True)
-    p.add_argument("--mode", choices=["chunk", "pack", "fim"], default="chunk")
+    p.add_argument("--mode", choices=["chunk", "pack", "fim", "span"], default="chunk")
     p.add_argument("--fim-rate", type=float, default=1.0,
                    help="fim mode: fraction of eligible docs transformed to "
                         "PSM (stage-8 hash draw); the rest export verbatim")
@@ -184,6 +184,47 @@ def build_examples(spark, seq, a: argparse.Namespace):
             )
             .select("example_id", "tokens", "n_tok", "source", "cu_seqlens")
         ), deduped
+    if a.mode == "span":
+        # T5/UL2 multi-span denoising examples (packing.span_corrupt):
+        # an eligible doc (>= 8 tokens, stage-8 hash draw < --fim-rate,
+        # the same eligibility knob as fim mode) exports as
+        # inputs ++ targets with cu_seqlens marking the boundary — what
+        # an encoder-decoder / prefix-LM trainer consumes; everything
+        # else exports verbatim.  Geometry is the stage-12 avalanched
+        # hash — pure map-side, zero shuffle, resumable.
+        from bitquery_kafka_streams_rust_spark.operators.sampling import hash_frac
+
+        cid = F.substring(F.col("doc_id"), 4, 18).cast("long")
+        is_span = (F.size("tokens") >= 8) & (
+            hash_frac(cid, stage=8) < F.lit(float(a.fim_rate))
+        )
+        plain = deduped.where(~is_span).select(
+            F.concat("doc_id", F.lit("#raw")).alias("example_id"),
+            "tokens",
+            F.col("n_tok").cast("int").alias("n_tok"),
+            "source",
+            F.array(F.lit(0).cast("long"), F.col("n_tok").cast("long")).alias(
+                "cu_seqlens"
+            ),
+        )
+        sc = PK.span_corrupt(
+            deduped.where(is_span), keep_cols=("source",), emit="arrays"
+        )
+        ilen = F.size("inputs").cast("long")
+        spanned = sc.select(
+            F.concat("doc_id", F.lit("#span")).alias("example_id"),
+            F.transform(
+                F.concat("inputs", "targets"), lambda t: t.cast("int")
+            ).alias("tokens"),
+            (F.size("inputs") + F.size("targets")).cast("int").alias("n_tok"),
+            "source",
+            F.array(
+                F.lit(0).cast("long"),
+                ilen,
+                ilen + F.size("targets").cast("long"),
+            ).alias("cu_seqlens"),
+        )
+        return plain.unionByName(spanned), deduped
     # pack: bin metadata first (bounded pandas groups), then materialize
     # each bin by joining the member docs' tokens back and flattening in
     # the bin's doc order

@@ -289,3 +289,57 @@ def test_export_bpe_merges_retokenize_before_chunking(spark, sf_dir, tmp_path):
         not (a == m0["left_tok"] and b == m0["right_tok"])
         for a, b in zip(glued, glued[1:])
     )
+
+
+def test_export_span_mode_structure_and_parity(spark, sf_dir, tmp_path):
+    """span mode: every deduped doc exports exactly once (#span or
+    #raw); #span examples are inputs ++ targets exactly as
+    packing.span_corrupt(emit='arrays') constructs them, with
+    cu_seqlens marking the encoder/decoder boundary; --fim-rate gates
+    eligibility deterministically."""
+    from bitquery_kafka_streams_rust_spark.operators.packing import span_corrupt
+
+    rc = X.main([
+        "--sf-dir", sf_dir, "--output", str(tmp_path / "s"),
+        "--mode", "span", "--fim-rate", "0.5",
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "s")).collect()
+    ded = {r["doc_id"]: list(r["tokens"]) for r in _deduped(spark, sf_dir).collect()}
+    ids = [r["example_id"] for r in out]
+    assert len(ids) == len(ded) and len(set(ids)) == len(ids)
+    expect = {
+        r["doc_id"]: (list(r["inputs"]), list(r["targets"]))
+        for r in span_corrupt(
+            spark.createDataFrame(
+                list(ded.items()), "doc_id string, tokens array<int>"
+            ),
+            emit="arrays",
+        ).collect()
+    }
+    n_span = 0
+    for r in out:
+        doc_id, kind = r["example_id"].rsplit("#", 1)
+        toks = list(r["tokens"])
+        assert r["n_tok"] == len(toks)
+        if kind == "raw":
+            assert toks == ded[doc_id]
+            assert list(r["cu_seqlens"]) == [0, r["n_tok"]]
+            continue
+        n_span += 1
+        inp, tg = expect[doc_id]
+        assert toks == inp + tg
+        assert list(r["cu_seqlens"]) == [0, len(inp), len(inp) + len(tg)]
+        # sentinels appear in inputs in ascending order, once each
+        sents = [t for t in toks[: len(inp)] if t >= 60000]
+        assert sents == sorted(sents) and len(sents) == len(set(sents))
+    assert 0 < n_span < len(ded)
+    rc = X.main([
+        "--sf-dir", sf_dir, "--output", str(tmp_path / "s0"),
+        "--mode", "span", "--fim-rate", "0",
+    ])
+    assert rc == 0
+    assert all(
+        r["example_id"].endswith("#raw")
+        for r in spark.read.parquet(str(tmp_path / "s0")).select("example_id").collect()
+    )
