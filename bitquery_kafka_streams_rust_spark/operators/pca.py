@@ -84,30 +84,56 @@ def embedding_covariance(
     )
     n = int(meta[0]["c"])
     s_by_k = {int(r["k"]): int(r["s"]) for r in meta}
-    s_arr = F.array(*[F.lit(s_by_k[k]).cast("long") for k in range(dim)])
-    pair_arr = F.flatten(
-        F.transform(
-            s1["_q"],
-            lambda qi, i: F.transform(
-                F.slice(s1["_q"], i + F.lit(1), F.lit(dim) - i),
-                lambda qj, jo: F.struct(
-                    i.alias("i"), (i + jo).alias("j"), (qi * qj).alias("p")
-                ),
-            ),
-        )
-    )
     sij = (
-        s1.select(F.explode(pair_arr).alias("pr"))
+        s1.select(F.explode(pair_structs(s1["_q"], dim)).alias("pr"))
         .select("pr.i", "pr.j", "pr.p")
         .groupBy("i", "j")
         .agg(F.sum("p").alias("_sij"))
     )
+    return cov_readout(sij, n, s_by_k, dim=dim, scale=scale, out_dp=out_dp)
+
+
+def pair_structs(qcol: F.Column, dim: int) -> F.Column:
+    """Upper-triangular ``(i, j, qi*qj)`` struct array for one
+    quantized vector — the map-side HOF both the batch operator and
+    the streaming moment monitor expand."""
+    return F.flatten(
+        F.transform(
+            qcol,
+            lambda qi, i: F.transform(
+                F.slice(qcol, i + F.lit(1), F.lit(dim) - i),
+                lambda qj, jo: F.struct(
+                    i.cast("long").alias("i"),
+                    (i + jo).cast("long").alias("j"),
+                    (qi * qj).alias("p"),
+                ),
+            ),
+        )
+    )
+
+
+def cov_readout(
+    sij: DataFrame,
+    n: int,
+    s_by_k: dict[int, int],
+    *,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    out_dp: int = 9,
+) -> DataFrame:
+    """Project exact pair sums (columns i, j, _sij) plus the collected
+    linear sums/count into the rounded covariance cells — the one
+    identical IEEE op sequence both engines (and the streaming
+    monitor's per-epoch readout) replay."""
+    s_arr = F.array(
+        *[F.lit(s_by_k.get(k, 0)).cast("long") for k in range(dim)]
+    )
     denom2 = float(scale) * float(scale)
-    si = F.element_at(s_arr, F.col("i") + F.lit(1))
-    sj = F.element_at(s_arr, F.col("j") + F.lit(1))
+    si = F.element_at(s_arr, F.col("i").cast("int") + F.lit(1))
+    sj = F.element_at(s_arr, F.col("j").cast("int") + F.lit(1))
     return sij.select(
-        "i",
-        "j",
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
         F.round(
             (F.lit(n) * F.col("_sij") - si * sj).cast("double")
             / F.lit(float(n))
