@@ -5802,6 +5802,143 @@ FROM exploded GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _q_doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group ROC AUC of the hashed-BoW classifier gate
+    (operators/evalmetrics.py binary_auc) — the offline audit of the
+    curation scoring gate (reference analog: the cut in
+    src/processors/dex_processor.rs:179-223).  Mann-Whitney mid-rank
+    identity: ONE rank window per source (partitioned — per-group
+    parallel) + one partial-combined aggregate; every rank stays a
+    DOUBLED exact integer (2*rank_min + ties - 1) so ties never touch
+    a float, and the single division runs once per group from exact
+    longs — order-independent and bit-equal in DuckDB."""
+    from bitquery_kafka_streams_rust_spark.operators import evalmetrics as EM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "source",
+        TX.classifier_score(F.col("text")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return EM.binary_auc(scored, "score", "is_en", ["source"]).orderBy("source")
+
+
+_SQL_DOC_CLASSIFIER_AUC = r"""
+WITH w AS (
+  SELECT source, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), b AS (
+  SELECT source, lang, length(words) AS nw,
+         list_transform(words, w ->
+           ((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(w, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                 (a, x) -> (a * 313 + x) % 2147483647) % 256) + 1)
+             * 2654435761) % 2147483648) / 2147483648.0 - 0.5) AS wts
+  FROM w
+), lg AS (
+  SELECT source, lang,
+         round(coalesce(list_sum(wts), 0.0)
+               / CAST(greatest(nw, 1) AS DOUBLE), 6) AS logit
+  FROM b
+), s AS (
+  SELECT source,
+         round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM lg
+), r AS (
+  SELECT source, y,
+         2 * rank() OVER (PARTITION BY source ORDER BY score)
+           + count(*) OVER (PARTITION BY source, score) - 1 AS mr2
+  FROM s
+), a AS (
+  SELECT source,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+         CAST(sum(mr2 * y) AS BIGINT) AS s2
+  FROM r GROUP BY 1
+)
+SELECT source, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                       / CAST(n_pos * n_neg * 2 AS DOUBLE), 6) END AS auc
+FROM a ORDER BY source
+"""
+
+
+def _q_doc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE terms for the classifier gate
+    (operators/evalmetrics.py calibration_bins): per-(lang, bin)
+    accuracy/confidence/|gap| from ONE map-side-combined aggregate.
+    Scores are 6-dp rounded, so round(score*1e6) is an EXACT long —
+    the per-bin state (n, Σlabel, Σqscore) is pure integer sums,
+    order-independent and mergeable (the streaming twin
+    streaming/calibration_monitor.py holds exactly this state).  The
+    N for the ECE weights is a window SUM over the ≤10 bins per lang —
+    never a data-scale window."""
+    from bitquery_kafka_streams_rust_spark.operators import evalmetrics as EM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "lang",
+        TX.classifier_score(F.col("text")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return EM.calibration_bins(scored, "score", "is_en", ["lang"], n_bins=10).orderBy(
+        "lang", "bin"
+    )
+
+
+_SQL_DOC_CALIBRATION = r"""
+WITH w AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), b AS (
+  SELECT lang, length(words) AS nw,
+         list_transform(words, w ->
+           ((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(w, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                 (a, x) -> (a * 313 + x) % 2147483647) % 256) + 1)
+             * 2654435761) % 2147483648) / 2147483648.0 - 0.5) AS wts
+  FROM w
+), lg AS (
+  SELECT lang,
+         round(coalesce(list_sum(wts), 0.0)
+               / CAST(greatest(nw, 1) AS DOUBLE), 6) AS logit
+  FROM b
+), s AS (
+  SELECT lang,
+         round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM lg
+), m AS (
+  SELECT lang,
+         CAST(least(CAST(floor(score * 10) AS INTEGER), 9) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(score * 1000000, 0) AS BIGINT)) AS BIGINT) AS sq
+  FROM s GROUP BY 1, 2
+), r AS (
+  SELECT lang, bin, n,
+         round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS acc9,
+         round(CAST(sq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 9) AS conf9,
+         CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS total
+  FROM m
+)
+SELECT lang, bin, n,
+       round(acc9, 6) AS acc,
+       round(conf9, 6) AS conf,
+       round(abs(acc9 - conf9), 6) AS abs_gap,
+       round(CAST(n AS DOUBLE) / total * abs(acc9 - conf9), 6) AS ece_term
+FROM r ORDER BY lang, bin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -5812,6 +5949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _shipped(flagship),
         # --- new in round 5 ---
+        "doc_classifier_auc": _shipped(_q_doc_classifier_auc),
+        "doc_calibration": _shipped(_q_doc_calibration),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -5965,6 +6104,8 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": _SQL_EVENTS_ATTRIBUTION,
         "seq_shard_join_outer": _SQL_SEQ_SHARD_JOIN_OUTER,
         "doc_classifier_score": _SQL_DOC_CLASSIFIER,
+        "doc_classifier_auc": _SQL_DOC_CLASSIFIER_AUC,
+        "doc_calibration": _SQL_DOC_CALIBRATION,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,
