@@ -5939,6 +5939,97 @@ FROM r ORDER BY lang, bin
 """
 
 
+def _q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key lag-1..3 autocorrelation (operators/timeseries.py acf) —
+    the persistence/seasonality probe next to the OLS trend fit.  ONE
+    key-partitioned window produces all lags in a single pass, pairs
+    stack map-side, and one partial-combined aggregate accumulates five
+    EXACT integer moments on the regress.py 1e-3 grid — the lone float
+    readout is an identical IEEE sequence in DuckDB."""
+    from bitquery_kafka_streams_rust_spark.operators import timeseries as TS
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return TS.acf(ev, "event_type", "ts", "value", lags=(1, 2, 3)).orderBy(
+        "event_type", "lag"
+    )
+
+
+_SQL_EVENTS_ACF = """
+WITH q AS (
+  SELECT event_type,
+         CAST(round(value * 1000, 0) AS BIGINT) AS y,
+         floor(epoch(ts)) AS uts, event_id
+  FROM events
+), lagged AS (
+  SELECT event_type, y,
+         lag(y, 1) OVER w AS yl1,
+         lag(y, 2) OVER w AS yl2,
+         lag(y, 3) OVER w AS yl3
+  FROM q WINDOW w AS (PARTITION BY event_type ORDER BY uts, event_id)
+), pairs AS (
+  SELECT event_type, 1 AS lag, y, yl1 AS yl FROM lagged WHERE yl1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, y, yl2 FROM lagged WHERE yl2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, y, yl3 FROM lagged WHERE yl3 IS NOT NULL
+), m AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(yl) AS DOUBLE) AS sl,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(yl * yl) AS DOUBLE) AS sll,
+         CAST(sum(y * yl) AS DOUBLE) AS syl
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       CASE WHEN n_pairs > 1
+             AND CAST(n_pairs AS DOUBLE) * syy - sy * sy != 0
+             AND CAST(n_pairs AS DOUBLE) * sll - sl * sl != 0
+            THEN round((CAST(n_pairs AS DOUBLE) * syl - sy * sl)
+                       / sqrt((CAST(n_pairs AS DOUBLE) * syy - sy * sy)
+                              * (CAST(n_pairs AS DOUBLE) * sll - sl * sl)), 6)
+       END AS acf
+FROM m ORDER BY event_type, lag
+"""
+
+
+def _q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust summary (operators/anomaly.py winsorize_stats):
+    per-type p05/p95 cutoffs (6-dp rounded at birth — the
+    events_percentiles parity precedent), values clamped map-side after
+    a broadcast of the group-cardinality cutoff table, and the mean
+    taken over round(clip(v)*1e6) EXACT longs (the ab_test grid
+    doctrine — a raw double sum would drift with partition order).
+    One percentile aggregate + one map-side-combined aggregate."""
+    from bitquery_kafka_streams_rust_spark.operators import anomaly as AN
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return AN.winsorize_stats(ev, "value", "event_type").orderBy("event_type")
+
+
+_SQL_EVENTS_WINSORIZED = """
+WITH cuts AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS cut_lo,
+         round(quantile_cont(value, 0.95), 6) AS cut_hi
+  FROM events GROUP BY 1
+), j AS (
+  SELECT e.event_type AS event_type, value, cut_lo, cut_hi,
+         CAST(round(least(greatest(value, cut_lo), cut_hi) * 1000000, 0)
+              AS BIGINT) AS qc
+  FROM events e JOIN cuts USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value < cut_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(sum(CASE WHEN value > cut_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       cut_lo, cut_hi,
+       round(CAST(sum(qc) AS DOUBLE) / 1000000.0
+             / CAST(count(*) AS DOUBLE), 6) AS win_mean
+FROM j GROUP BY event_type, cut_lo, cut_hi ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -5951,6 +6042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "doc_classifier_auc": _shipped(_q_doc_classifier_auc),
         "doc_calibration": _shipped(_q_doc_calibration),
+        "events_acf": _shipped(_q_events_acf),
+        "events_winsorized": _shipped(_q_events_winsorized),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -6106,6 +6199,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_classifier_score": _SQL_DOC_CLASSIFIER,
         "doc_classifier_auc": _SQL_DOC_CLASSIFIER_AUC,
         "doc_calibration": _SQL_DOC_CALIBRATION,
+        "events_acf": _SQL_EVENTS_ACF,
+        "events_winsorized": _SQL_EVENTS_WINSORIZED,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

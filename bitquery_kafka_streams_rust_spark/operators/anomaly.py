@@ -70,3 +70,67 @@ def mad_outliers(
         .where(F.abs(v - F.col("med")) > F.lit(float(k)) * F.col("mad"))
         .withColumn("deviation", F.round(F.abs(v - F.col("med")), 6))
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    *,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    approx: bool = False,
+    q_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group winsorized (clipped-tail) summary — the robust-mean
+    companion to the MAD gate: instead of DROPPING outliers it clamps
+    values into [p_lo, p_hi] percentile cutoffs before aggregating, the
+    standard treatment for long-tailed reward/value columns feeding a
+    training mix.
+
+    Float-parity contract: cutoffs round to 6 dp the moment they are
+    computed (the mad_stats / events_percentiles precedent), and the
+    clipped values quantize to a ``round(v * q_scale)`` integer grid
+    BEFORE the sum — so the group mean derives from exact long sums,
+    order-independent and bit-equal in DuckDB (the ab_test doctrine;
+    a raw double sum would drift with partition order).
+
+    Scale shape: one percentile aggregate per group (``approx=True``
+    for the mergeable sketch at 100 TB), the group-cardinality cutoff
+    table broadcast back, then ONE map-side-combined aggregate — the
+    clamp itself never shuffles.
+
+    Output: (by, n, n_lo, n_hi, cut_lo, cut_hi, win_mean) where
+    n_lo/n_hi count clamped rows."""
+    pct = F.percentile_approx if approx else F.percentile
+    v = F.col(value_col)
+    cuts = df.groupBy(by).agg(
+        F.round(pct(v, float(p_lo)), 6).alias("cut_lo"),
+        F.round(pct(v, float(p_hi)), 6).alias("cut_hi"),
+    )
+    clipped = F.least(F.greatest(v, F.col("cut_lo")), F.col("cut_hi"))
+    qc = F.round(clipped * F.lit(int(q_scale)), 0).cast("long")
+    return (
+        df.join(F.broadcast(cuts), by)
+        .groupBy(by, "cut_lo", "cut_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < F.col("cut_lo")).cast("long")).alias("n_lo"),
+            F.sum((v > F.col("cut_hi")).cast("long")).alias("n_hi"),
+            F.sum(qc).alias("_sq"),
+        )
+        .select(
+            by,
+            "n",
+            "n_lo",
+            "n_hi",
+            "cut_lo",
+            "cut_hi",
+            F.round(
+                F.col("_sq").cast("double")
+                / F.lit(float(q_scale))
+                / F.col("n").cast("double"),
+                6,
+            ).alias("win_mean"),
+        )
+    )

@@ -79,6 +79,89 @@ def resample_ffill(
     return filled
 
 
+def acf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    lags: tuple[int, ...] = (1, 2, 3),
+    id_col: str = "event_id",
+    y_scale: int = 1000,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-key lag-k autocorrelation — the seasonality/persistence probe
+    a monitoring pipeline runs before trusting a trend fit
+    (``regress.group_ols``) or an EWMA threshold.
+
+    Pearson correlation of (y_t, y_{t-k}) per key and lag, from the
+    same exact-integer moment doctrine as ``regress.py``: y quantizes
+    map-side to ``round(y * y_scale)`` longs, ONE window partitioned BY
+    KEY ordered by (ts, id) produces every requested lag column in a
+    single pass, the per-(key, lag) pairs stack map-side, and one
+    partial-combined aggregate accumulates the five integer moments —
+    order-independent, restart-identical, bit-equal in DuckDB.  The
+    single float readout runs one identical IEEE sequence per row.
+
+    Shuffle profile: one key-partitioned window exchange (parallel per
+    key — never a global window) + one map-combined aggregate; rows
+    scale as len(lags) × input, all narrow (key, lag, two longs).
+
+    Output: (key, lag, n_pairs, acf) — NULL acf when a key-lag has < 2
+    pairs or zero variance on either side."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.unix_timestamp(F.col(ts_col)), F.col(id_col)
+    )
+    qy = F.round(F.col(value_col).cast("double") * F.lit(int(y_scale)), 0).cast(
+        "long"
+    )
+    lagged = df.select(
+        F.col(key_col),
+        qy.alias("_y"),
+        *[F.lag(qy, int(k)).over(w).alias(f"_yl{k}") for k in lags],
+    )
+    pairs = lagged.select(
+        key_col,
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(k)).alias("lag"),
+                            F.col("_y").alias("y"),
+                            F.col(f"_yl{k}").alias("yl"),
+                        )
+                        for k in lags
+                    ]
+                ),
+                lambda s: s["yl"].isNotNull(),
+            )
+        ).alias("p"),
+    ).select(key_col, "p.lag", "p.y", "p.yl")
+    m = pairs.groupBy(key_col, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("y").alias("_sy"),
+        F.sum("yl").alias("_sl"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+        F.sum(F.col("yl") * F.col("yl")).alias("_sll"),
+        F.sum(F.col("y") * F.col("yl")).alias("_syl"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sy, sl = F.col("_sy").cast("double"), F.col("_sl").cast("double")
+    syy, sll = F.col("_syy").cast("double"), F.col("_sll").cast("double")
+    syl = F.col("_syl").cast("double")
+    cov_n = n * syl - sy * sl
+    var_y_n = n * syy - sy * sy
+    var_l_n = n * sll - sl * sl
+    ok = (F.col("n_pairs") > 1) & (var_y_n != 0) & (var_l_n != 0)
+    return m.select(
+        key_col,
+        "lag",
+        "n_pairs",
+        F.when(ok, F.round(cov_n / F.sqrt(var_y_n * var_l_n), out_dp)).alias("acf"),
+    )
+
+
 def ewma(
     df: DataFrame,
     key_col: str,
