@@ -6030,6 +6030,106 @@ FROM j GROUP BY event_type, cut_lo, cut_hi ORDER BY event_type
 """
 
 
+def _q_seq_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup (operators/
+    cdchunk.py): FastCDC-shape boundaries wherever the avalanched
+    base-313 rolling hash of the last 8 tokens (stage salt 13) lands in
+    the 2^-5 residue class, then offset-weighted chunk fingerprints —
+    the sub-document dedup/delta signal that survives prefix edits.
+    Boundary detection, splitting and fingerprinting are ALL map-side
+    array expressions (tokens never shuffle — the CLAUDE.md invariant);
+    only narrow (len, hash) rows reach the single partial-combined
+    duplicate-group exchange.  Duplicate-aliased fixture rows make
+    every chunk of an aliased doc a guaranteed n_occ=2 group."""
+    from bitquery_kafka_streams_rust_spark.operators import cdchunk as CC
+
+    seq = datagen.sequences_view(spark, sf_dir)
+    ch = CC.chunk_table(seq, w=8, boundary_bits=5)
+    return CC.duplicate_chunks(ch).orderBy("chunk_len", "chunk_hash")
+
+
+_SQL_SEQ_CDC_CHUNKS = (
+    _SEQ
+    + """
+, rows_ AS (
+  SELECT doc_id,
+         list_transform(tokens, t -> CAST(t AS BIGINT)) AS tk,
+         CAST(n_tok AS BIGINT) AS n
+  FROM seq
+), wins AS (
+  -- base-313 windowed polynomial of every 8-window (mod 2^31-1),
+  -- coefficients 313^(7-j) inlined; empty for docs shorter than 8
+  SELECT doc_id, tk, n,
+         CASE WHEN n >= 8 THEN list_transform(range(0, n - 7), i ->
+             CAST(list_sum(list_transform(range(0, 8), j ->
+                (tk[CAST(i + j + 1 AS INTEGER)]
+                 * ([2071473444, 1920828789, 1968374287, 1007990373,
+                     30664297, 97969, 313, 1][CAST(j + 1 AS INTEGER)]))
+                % 2147483647)) AS BIGINT) % 2147483647)
+         ELSE [] END AS rh
+  FROM rows_
+), av AS (
+  -- stage-13 avalanche (XOR 13*0x9E3779B9, Knuth, two xorshift rounds)
+  SELECT doc_id, tk, n,
+         list_transform(rh, x ->
+           (xor(x, 34507664997) % 2147483648) * 2654435761 % 2147483648) AS h0
+  FROM wins
+), av1 AS (
+  SELECT doc_id, tk, n,
+         list_transform(h0, h -> xor(h, h >> 13) * 2654435761 % 2147483648) AS h1
+  FROM av
+), av2 AS (
+  SELECT doc_id, tk, n,
+         list_transform(h1, h -> xor(h, h >> 17) * 2654435761 % 2147483648) AS h2
+  FROM av1
+), cuts AS (
+  SELECT doc_id, tk, n,
+         list_filter(list_transform(range(0, CAST(length(h2) AS BIGINT)), i ->
+             CASE WHEN h2[CAST(i + 1 AS INTEGER)] % 32 = 0 THEN i + 8 END),
+           x -> x IS NOT NULL) AS cut
+  FROM av2
+), bl AS (
+  SELECT doc_id, tk, n,
+         CASE WHEN n = 0 THEN []
+              WHEN cut[-1] = n THEN cut
+              ELSE list_append(cut, n) END AS bnds
+  FROM cuts
+), chs AS (
+  SELECT doc_id, tk,
+         CASE WHEN ci = 1 THEN 0 ELSE bnds[CAST(ci - 1 AS INTEGER)] END AS s,
+         bnds[CAST(ci AS INTEGER)] AS e
+  FROM (SELECT doc_id, tk, bnds,
+               unnest(range(1, CAST(length(bnds) AS BIGINT) + 1)) AS ci
+        FROM bl)
+), fp0 AS (
+  SELECT doc_id, e - s AS chunk_len,
+         CAST(list_sum(list_transform(range(1, e - s + 1),
+             j -> tk[CAST(s + j AS INTEGER)] * j)) AS BIGINT)
+           % 2147483647 AS c0
+  FROM chs
+), fp1 AS (
+  SELECT doc_id, chunk_len,
+         (xor(c0, 34507664997) % 2147483648) * 2654435761 % 2147483648 AS c1
+  FROM fp0
+), fp2 AS (
+  SELECT doc_id, chunk_len,
+         xor(c1, c1 >> 13) * 2654435761 % 2147483648 AS c2
+  FROM fp1
+), fp3 AS (
+  SELECT doc_id, chunk_len,
+         CAST(xor(c2, c2 >> 17) * 2654435761 % 2147483648 AS BIGINT)
+           AS chunk_hash
+  FROM fp2
+)
+SELECT chunk_len, chunk_hash,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM fp3 GROUP BY 1, 2 HAVING count(*) > 1
+ORDER BY chunk_len, chunk_hash
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -6044,6 +6144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_calibration": _shipped(_q_doc_calibration),
         "events_acf": _shipped(_q_events_acf),
         "events_winsorized": _shipped(_q_events_winsorized),
+        "seq_cdc_chunks": _shipped(_q_seq_cdc_chunks),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -6201,6 +6302,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_calibration": _SQL_DOC_CALIBRATION,
         "events_acf": _SQL_EVENTS_ACF,
         "events_winsorized": _SQL_EVENTS_WINSORIZED,
+        "seq_cdc_chunks": _SQL_SEQ_CDC_CHUNKS,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,
