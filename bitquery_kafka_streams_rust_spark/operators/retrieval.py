@@ -107,6 +107,53 @@ def bm25_topk(
     )
 
 
+def tfidf_topk_terms(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the per-doc inverse of
+    ``bm25_topk`` (which scores docs against one query): keyword
+    extraction for corpus cards, slice labeling, and topic drift
+    tracking.
+
+    Scale shape: words explode map-side into narrow (id, term) rows;
+    ONE partial-combined groupBy yields per-doc term frequencies, and
+    the document-frequency table re-aggregates those narrow rows by
+    term (vocab-bounded — Zipf guarantees the partial combine kills the
+    hot grams) and is BROADCAST back.  The per-doc rank is a
+    WindowGroupLimit (rank <= k prunes inside the window operator, no
+    full sort materialization).
+
+    Float parity: tf/df/N are exact integers; the lone libm call is
+    the smoothed idf ``ln((1+N)/(1+df))`` rounded to 9 dp engine-side
+    (the lm_score exp-of-rounded convention), and score = tf · idf9
+    rounds to 6.  Ranks tie-break by term, so top-k is deterministic.
+
+    Output: (id_col, term, tf, score, rk), rk in 1..k."""
+    n_docs = docs.count()  # metadata scalar, inlined as a literal
+    terms = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf9 = F.round(
+        F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1).cast("double")), 9
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        "tf",
+        F.round(F.col("tf").cast("double") * idf9, 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= int(k)
+    )
+
+
 def dcg_discount_grid(k: int) -> list[int]:
     """DCG rank discounts 1/log2(rank+1) for ranks 1..k, as 9-dp
     integers scaled by 1e9.  Inlined as literals on BOTH engines so the
