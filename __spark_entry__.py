@@ -6205,6 +6205,135 @@ WHERE rk <= 5 ORDER BY doc_id, rk
 """
 
 
+def _q_doc_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one entity resolution (operators/fuzzy.py
+    reciprocal_best_match over fuzzy_pairs): a pair survives only when
+    each record is the other's closest candidate (ties -> smaller
+    partner id).  Per-source argmin is a key-partitioned
+    WindowGroupLimit; mutuality is a narrow self-equi-join — hub
+    records collapse to exactly one link instead of a 50-way merge."""
+    from bitquery_kafka_streams_rust_spark.operators.fuzzy import (
+        fuzzy_pairs,
+        reciprocal_best_match,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = fuzzy_pairs(
+        docs, block_len=8, prefix_len=40, max_dist=5, max_block_size=1000
+    )
+    return reciprocal_best_match(pairs).orderBy("id_a", "id_b")
+
+
+_SQL_DOC_FUZZY_LINKAGE = """
+WITH rec AS (
+  SELECT doc_id AS id,
+         substr(lower(substr(text, 1, 40)), 1, 8) AS blk,
+         lower(substr(text, 1, 40)) AS k
+  FROM documents
+), ok AS (
+  SELECT blk FROM rec GROUP BY blk HAVING count(*) <= 1000
+), rj AS (
+  SELECT rec.* FROM rec JOIN ok USING (blk)
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.k, b.k) AS dist
+  FROM rj a JOIN rj b ON a.blk = b.blk AND a.id < b.id
+  WHERE levenshtein(a.k, b.k) <= 5
+), directed AS (
+  SELECT id_a AS src, id_b AS dst, dist FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, dist FROM pairs
+), best AS (
+  SELECT src, dst, dist FROM (
+    SELECT src, dst, dist,
+           row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rk
+    FROM directed
+  ) WHERE rk = 1
+)
+SELECT f.src AS id_a, f.dst AS id_b, f.dist AS dist
+FROM best f JOIN best r ON f.src = r.dst AND f.dst = r.src
+WHERE f.src < f.dst
+ORDER BY id_a, id_b
+"""
+
+
+def _q_events_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type user-concentration audit (operators/aggregates.py
+    concentration): HHI from exact integer Σc²/N², Shannon entropy
+    from map-side-quantized c·ln(c) terms (round-the-libm-call + the
+    integer-grid-sum doctrine — cross-item summation order cannot
+    drift).  One (group, item) exchange + one group aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return AG.concentration(ev, "user_id", ["event_type"]).orderBy("event_type")
+
+
+_SQL_EVENTS_CONCENTRATION = """
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(sum(c * c) AS BIGINT) AS sc2,
+         CAST(sum(CAST(round(CAST(c AS DOUBLE)
+                             * round(ln(CAST(c AS DOUBLE)), 9)
+                             * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS st
+  FROM c GROUP BY 1
+)
+SELECT event_type, n_items, n_rows,
+       round(CAST(sc2 AS DOUBLE)
+             / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS hhi,
+       round(round(ln(CAST(n_rows AS DOUBLE)), 9)
+             - CAST(st AS DOUBLE) / 1000000.0 / CAST(n_rows AS DOUBLE), 6)
+         AS entropy,
+       CASE WHEN n_items > 1 THEN
+         round((round(ln(CAST(n_rows AS DOUBLE)), 9)
+                - CAST(st AS DOUBLE) / 1000000.0 / CAST(n_rows AS DOUBLE))
+               / round(ln(CAST(n_items AS DOUBLE)), 9), 6) END AS entropy_norm
+FROM g ORDER BY event_type
+"""
+
+
+def _q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit (operators/aggregates.py
+    benford_digits): the fabricated-data smell test.  Digits come from
+    the decimal STRING of round(|v|·1e6) exact longs — integer
+    formatting is engine-identical where floor(log10) ulp-straddles at
+    powers of ten; expected shares are 9-dp literals on both sides."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return AG.benford_digits(ev, "value", ["event_type"]).orderBy(
+        "event_type", "digit"
+    )
+
+
+_SQL_EVENTS_BENFORD = """
+WITH q AS (
+  SELECT event_type,
+         CAST(round(abs(value) * 1000000.0, 0) AS BIGINT) AS q
+  FROM events
+), d AS (
+  SELECT event_type,
+         CAST(substr(CAST(q AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n_d
+  FROM q WHERE q > 0 GROUP BY 1, 2
+), t AS (
+  SELECT event_type, digit, n_d,
+         CAST(sum(n_d) OVER (PARTITION BY event_type) AS DOUBLE) AS total
+  FROM d
+)
+SELECT event_type, digit, n_d,
+       round(round(CAST(n_d AS DOUBLE) / total, 9), 6) AS obs_share,
+       round([0.301029996, 0.176091259, 0.124938737, 0.096910013,
+              0.079181246, 0.06694679, 0.057991947, 0.051152522,
+              0.045757491][digit], 6) AS exp_share,
+       round(abs(round(CAST(n_d AS DOUBLE) / total, 9)
+                 - [0.301029996, 0.176091259, 0.124938737, 0.096910013,
+                    0.079181246, 0.06694679, 0.057991947, 0.051152522,
+                    0.045757491][digit]), 6) AS abs_dev
+FROM t ORDER BY event_type, digit
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -6222,6 +6351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_cdc_chunks": _shipped(_q_seq_cdc_chunks),
         "doc_kanon_audit": _shipped(_q_doc_kanon_audit),
         "doc_tfidf_terms": _shipped(_q_doc_tfidf_terms),
+        "doc_fuzzy_linkage": _shipped(_q_doc_fuzzy_linkage),
+        "events_concentration": _shipped(_q_events_concentration),
+        "events_benford": _shipped(_q_events_benford),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -6382,6 +6514,9 @@ def oracle_sql() -> dict[str, str]:
         "seq_cdc_chunks": _SQL_SEQ_CDC_CHUNKS,
         "doc_kanon_audit": _SQL_DOC_KANON,
         "doc_tfidf_terms": _SQL_DOC_TFIDF,
+        "doc_fuzzy_linkage": _SQL_DOC_FUZZY_LINKAGE,
+        "events_concentration": _SQL_EVENTS_CONCENTRATION,
+        "events_benford": _SQL_EVENTS_BENFORD,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -408,3 +408,109 @@ def ab_readout(
         (F.sum(F.when(~arm_a, F.col("ss_q"))).cast("double") / F.lit(s * s)).alias("_ss_b"),
     )
     return _ab_select(agg, group_cols)
+
+
+# -- distribution audits: concentration (HHI/entropy) and Benford ------------
+
+_BENFORD_EXP9 = [
+    0.301029996, 0.176091259, 0.124938737, 0.096910013, 0.079181246,
+    0.06694679, 0.057991947, 0.051152522, 0.045757491,
+]  # round(log10(1 + 1/d), 9) for d = 1..9 — fixed literals on BOTH engines
+
+
+def concentration(
+    df: DataFrame,
+    item_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-group concentration of ``item_col``: Herfindahl-Hirschman
+    index and normalized Shannon entropy — the "is one key dominating
+    this slice" audit (hot-user detection, domain-mix skew, dedup-
+    cluster lopsidedness).
+
+    Float-parity doctrine: item counts are exact longs, so
+    HHI = Σc²/N² is ONE division from exact integers.  Entropy uses
+    H = ln(N) − (Σ c·ln(c))/N with each term quantized map-side:
+    round(c · round(ln(c), 9) · 1e6) is an exact long (the lm_score
+    round-the-libm-call convention + the ab_test integer-grid sum), so
+    the cross-item sum is order-independent.  Overflow contract: Σc²
+    needs n·c_max² < 2^63 — at c_max = 1e6 that is 9e6 items per
+    group; quantized entropy terms are < 1e11 each.
+
+    Scale shape: one (group, item) exchange with map-side combine,
+    then one group-level partial-combined aggregate.  Output:
+    (*group_cols, n_items, n_rows, hhi, entropy, entropy_norm)."""
+    group_cols = list(group_cols)
+    c = (
+        df.groupBy(*group_cols, F.col(item_col).alias("_item"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    t = F.round(
+        F.col("_c").cast("double") * F.round(F.log(F.col("_c").cast("double")), 9)
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("long")
+    g = c.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("_c").alias("n_rows"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_sc2"),
+        F.sum(t).alias("_st"),
+    )
+    n = F.col("n_rows").cast("double")
+    ent = F.round(F.log(n), 9) - F.col("_st").cast("double") / F.lit(1e6) / n
+    ln_items = F.round(F.log(F.col("n_items").cast("double")), 9)
+    return g.select(
+        *group_cols,
+        "n_items",
+        "n_rows",
+        F.round(F.col("_sc2").cast("double") / (n * n), out_dp).alias("hhi"),
+        F.round(ent, out_dp).alias("entropy"),
+        F.when(F.col("n_items") > 1, F.round(ent / ln_items, out_dp)).alias(
+            "entropy_norm"
+        ),
+    )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-group first-significant-digit distribution vs Benford's law
+    — the classic fabricated/synthetic-data smell test for value
+    columns.  One row per (group, digit 1..9) with observed share,
+    expected share (9-dp literals, identical on both engines), and
+    absolute deviation.
+
+    Portability: the digit comes from the DECIMAL STRING of the exact
+    long round(|v|·1e6) — integer-to-string is identical everywhere,
+    where floor(log10(v)) arithmetic can straddle a ulp at powers of
+    ten.  Zero values drop (no leading digit).  One narrow (group,
+    digit) aggregate; the per-group total is a window over ≤ 9 rows."""
+    group_cols = list(group_cols)
+    q = F.round(F.abs(F.col(value_col).cast("double")) * F.lit(1e6), 0).cast("long")
+    digit = F.substring(q.cast("string"), 1, 1).cast("int")
+    d = (
+        df.select(*group_cols, q.alias("_q"), digit.alias("digit"))
+        .where(F.col("_q") > 0)
+        .groupBy(*group_cols, "digit")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    w_grp = Window.partitionBy(*group_cols)
+    total = F.sum("n_d").over(w_grp).cast("double")
+    exp9 = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_EXP9]), F.col("digit")
+    )
+    obs = F.round(F.col("n_d").cast("double") / total, 9)
+    return d.select(
+        *group_cols,
+        "digit",
+        "n_d",
+        F.round(obs, out_dp).alias("obs_share"),
+        F.round(exp9, out_dp).alias("exp_share"),
+        F.round(F.abs(obs - exp9), out_dp).alias("abs_dev"),
+    )
