@@ -6334,6 +6334,94 @@ FROM t ORDER BY event_type, digit
 """
 
 
+def _q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion (operators/survival.py): clock
+    starts at each user's first signup, event = first purchase at or
+    after it, non-converters censor at last-seen; durations bucket to
+    minutes and the product-limit curve evaluates per cohort
+    (user_id % 3).  The running product is a running INTEGER sum of
+    map-side-quantized round(ln(1-d/n)·1e9) terms inside cohort-
+    partitioned windows — order-independent, bit-equal in DuckDB."""
+    from bitquery_kafka_streams_rust_spark.operators import survival as SV
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cohort", F.col("user_id") % 3
+    )
+    durs = SV.durations_to_event(
+        ev,
+        "user_id",
+        "ts",
+        start_pred=F.col("event_type") == "signup",
+        event_pred=F.col("event_type") == "purchase",
+        group_cols=["cohort"],
+    ).select(
+        "cohort",
+        # integer div, not floor(double /): 10380/60.0 can land 1 ulp
+        # under 173.0 and floor to 172 where DuckDB's // is exact
+        F.expr("duration_s div 60").alias("duration"),
+        "event",
+    )
+    return SV.survival_km(durs, "duration", "event", ["cohort"]).orderBy(
+        "cohort", "duration"
+    )
+
+
+_SQL_EVENTS_SURVIVAL_KM = """
+WITH starts AS (
+  SELECT user_id, min(floor(epoch(ts))) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), j AS (
+  SELECT e.user_id AS user_id, t0, floor(epoch(ts)) AS uts,
+         (event_type = 'purchase' AND floor(epoch(ts)) >= t0) AS is_ev
+  FROM events e JOIN starts USING (user_id)
+), g AS (
+  SELECT user_id, min(t0) AS t0, max(uts) AS tlast,
+         min(CASE WHEN is_ev THEN uts END) AS tev
+  FROM j GROUP BY 1
+), durs AS (
+  SELECT user_id % 3 AS cohort,
+         -- cast to BIGINT BEFORE //: DuckDB // on DOUBLE is plain
+         -- division (3177.83), only integer // floors
+         CAST(CASE WHEN tev IS NOT NULL THEN tev - t0
+                   ELSE tlast - t0 END AS BIGINT) // 60 AS duration,
+         CASE WHEN tev IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM g
+), a AS (
+  SELECT cohort, duration,
+         CAST(sum(ev) AS BIGINT) AS n_event,
+         CAST(count(*) - sum(ev) AS BIGINT) AS n_censored
+  FROM durs GROUP BY 1, 2
+), r AS (
+  SELECT cohort, duration, n_event, n_censored,
+         CAST(sum(n_event + n_censored) OVER (PARTITION BY cohort)
+              - coalesce(sum(n_event + n_censored)
+                  OVER (PARTITION BY cohort ORDER BY duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM a
+), l AS (
+  SELECT *,
+         CASE WHEN n_event < n_risk THEN
+           CAST(round(round(ln(1.0 - CAST(n_event AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE)), 9)
+                      * 1000000000.0, 0) AS BIGINT)
+         ELSE 0 END AS lq,
+         CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM r
+), c AS (
+  SELECT cohort, duration, n_risk, n_event, n_censored,
+         CAST(sum(lq) OVER wc AS BIGINT) AS ls,
+         max(dead) OVER wc AS md
+  FROM l
+  WINDOW wc AS (PARTITION BY cohort ORDER BY duration ROWS UNBOUNDED PRECEDING)
+)
+SELECT cohort, duration, n_risk, n_event, n_censored,
+       round(CASE WHEN md = 1 THEN 0.0
+                  ELSE exp(CAST(ls AS DOUBLE) / 1000000000.0) END, 6) AS survival
+FROM c ORDER BY cohort, duration
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -6354,6 +6442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fuzzy_linkage": _shipped(_q_doc_fuzzy_linkage),
         "events_concentration": _shipped(_q_events_concentration),
         "events_benford": _shipped(_q_events_benford),
+        "events_survival_km": _shipped(_q_events_survival_km),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -6517,6 +6606,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fuzzy_linkage": _SQL_DOC_FUZZY_LINKAGE,
         "events_concentration": _SQL_EVENTS_CONCENTRATION,
         "events_benford": _SQL_EVENTS_BENFORD,
+        "events_survival_km": _SQL_EVENTS_SURVIVAL_KM,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,
