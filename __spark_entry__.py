@@ -6422,6 +6422,75 @@ FROM c ORDER BY cohort, duration
 """
 
 
+def _q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/funnel.py
+    transition_matrix): per-user lag window (one key-partitioned
+    exchange, (ts, id)-ordered) -> narrow (prev, cur) pairs -> one
+    partial-combined count; the row normalizer is a window over the
+    ≤|states| cells of a prev-row.  Counts exact; prob one division."""
+    from bitquery_kafka_streams_rust_spark.operators.funnel import transition_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_matrix(ev, "user_id", "ts", "event_type").orderBy(
+        "prev_state", "state"
+    )
+
+
+_SQL_EVENTS_TRANSITION_MATRIX = """
+WITH lagged AS (
+  SELECT event_type AS state,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY floor(epoch(ts)), event_id) AS prev_state
+  FROM events
+), pairs AS (
+  SELECT prev_state, state, CAST(count(*) AS BIGINT) AS n
+  FROM lagged WHERE prev_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_state, state, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY prev_state) AS DOUBLE), 6) AS prob
+FROM pairs ORDER BY prev_state, state
+"""
+
+
+def _q_events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile (operators/timeseries.py
+    seasonal_profile): per-(type, hour) means on the regress.py exact
+    integer grid, seasonal index = bucket mean / key mean with key
+    totals from a window over the ≤24 bucket rows per key — the
+    correction a rate monitor applies before CUSUM/EWMA thresholds."""
+    from bitquery_kafka_streams_rust_spark.operators import timeseries as TS
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return TS.seasonal_profile(ev, "event_type", "ts", "value").orderBy(
+        "event_type", "bucket"
+    )
+
+
+_SQL_EVENTS_SEASONAL_PROFILE = """
+WITH g AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS sq
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, bucket, n, sq,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS tn,
+         CAST(sum(sq) OVER (PARTITION BY event_type) AS DOUBLE) AS tq
+  FROM g
+), r AS (
+  SELECT event_type, bucket, n,
+         round(CAST(sq AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE), 9) AS bmean9,
+         round(tq / 1000.0 / tn, 9) AS kmean9
+  FROM t
+)
+SELECT event_type, bucket, n,
+       round(bmean9, 6) AS bucket_mean,
+       CASE WHEN kmean9 != 0 THEN round(bmean9 / kmean9, 6) END AS seasonal_index
+FROM r ORDER BY event_type, bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -6443,6 +6512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_concentration": _shipped(_q_events_concentration),
         "events_benford": _shipped(_q_events_benford),
         "events_survival_km": _shipped(_q_events_survival_km),
+        "events_transition_matrix": _shipped(_q_events_transition_matrix),
+        "events_seasonal_profile": _shipped(_q_events_seasonal_profile),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -6607,6 +6678,8 @@ def oracle_sql() -> dict[str, str]:
         "events_concentration": _SQL_EVENTS_CONCENTRATION,
         "events_benford": _SQL_EVENTS_BENFORD,
         "events_survival_km": _SQL_EVENTS_SURVIVAL_KM,
+        "events_transition_matrix": _SQL_EVENTS_TRANSITION_MATRIX,
+        "events_seasonal_profile": _SQL_EVENTS_SEASONAL_PROFILE,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

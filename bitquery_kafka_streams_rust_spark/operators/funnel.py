@@ -350,3 +350,47 @@ def attribution(
         )
         .orderBy("model", "channel")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    id_col: str = "event_id",
+    out_dp: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-subject event
+    sequences: for every (prev_state, state) pair, the transition
+    count and row-normalized probability — the generative summary of
+    user behavior that ``top_session_paths`` samples and the funnel
+    queries slice.
+
+    Shape: ONE subject-partitioned lag window (ordered by ts, id —
+    parallel per subject) produces the narrow (prev, cur) pairs; one
+    partial-combined aggregate counts them; the row normalizer is a
+    window SUM over the ≤|states| cells of a prev-row — never a
+    data-scale window.  Counts are exact longs; prob is one division
+    rounded to ``out_dp``."""
+    w = Window.partitionBy(subject_col).orderBy(
+        F.unix_timestamp(F.col(ts_col)), F.col(id_col)
+    )
+    pairs = (
+        df.select(
+            F.col(subject_col),
+            F.col(state_col).alias("state"),
+            F.lag(F.col(state_col)).over(w).alias("prev_state"),
+        )
+        .where(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("prev_state")
+    total = F.sum("n").over(w_row).cast("double")
+    return pairs.select(
+        "prev_state",
+        "state",
+        "n",
+        F.round(F.col("n").cast("double") / total, out_dp).alias("prob"),
+    )

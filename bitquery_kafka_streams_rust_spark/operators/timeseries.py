@@ -201,3 +201,59 @@ def ewma(
     )
     norm = F.lit(1.0) - F.pow(F.lit(2.0), -F.size(vals).cast("double"))
     return df.withColumn("ewma", F.round(folded / norm, 9))
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    period: str = "hour_of_day",
+    y_scale: int = 1000,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-key seasonal profile over a calendar period: bucket means
+    and the seasonal index (bucket mean / key mean — the classic
+    ratio-to-overall decomposition a rate-alerting threshold should be
+    corrected by before CUSUM/EWMA monitoring).
+
+    ``period``: 'hour_of_day' (0-23) or 'day_of_week' (1-7,
+    Sunday=1 — both engines' dayofweek convention).
+
+    Exactness: values quantize map-side to round(v·y_scale) longs, so
+    bucket/overall sums are exact integers (the regress.py doctrine);
+    the key totals come from a window SUM over the ≤24 bucket rows per
+    key — never a data-scale window; means and the index are one
+    rounded IEEE sequence.
+
+    Output: (key, bucket, n, bucket_mean, seasonal_index)."""
+    if period == "hour_of_day":
+        bucket = F.hour(F.col(ts_col))
+    elif period == "day_of_week":
+        bucket = F.dayofweek(F.col(ts_col))
+    else:
+        raise ValueError(f"unknown period {period!r}")
+    qy = F.round(F.col(value_col).cast("double") * F.lit(int(y_scale)), 0).cast(
+        "long"
+    )
+    g = (
+        df.select(F.col(key_col), bucket.alias("bucket"), qy.alias("_q"))
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_q").alias("_sq"))
+    )
+    w_key = Window.partitionBy(key_col)
+    tot_n = F.sum("n").over(w_key).cast("double")
+    tot_q = F.sum("_sq").over(w_key).cast("double")
+    scale = F.lit(float(y_scale))
+    bmean9 = F.round(F.col("_sq").cast("double") / scale / F.col("n").cast("double"), 9)
+    kmean9 = F.round(tot_q / scale / tot_n, 9)
+    return g.select(
+        key_col,
+        "bucket",
+        "n",
+        F.round(bmean9, out_dp).alias("bucket_mean"),
+        F.when(kmean9 != 0, F.round(bmean9 / kmean9, out_dp)).alias(
+            "seasonal_index"
+        ),
+    )
