@@ -94,6 +94,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="alpha-sampling domain mixture: share(source) ~ "
                         "(n_s/N)^alpha renormalized; tails upsample by "
                         "deterministic repetition (stage-7 hash)")
+    p.add_argument("--audit-anonymity", type=int, default=None, metavar="K",
+                   help="add a k-anonymity audit over (lang, source, "
+                        "100-char length band) quasi-identifiers to the "
+                        "manifest: effective k, at-risk classes/rows")
     p.add_argument("--audit-leakage", action="store_true",
                    help="add a split-leakage audit to the manifest: held-out "
                         "docs sharing >=2 word 3-grams with any train doc")
@@ -267,6 +271,30 @@ def main(argv: list[str] | None = None) -> int:
                 "leak_frac": r["leak_frac"],
             }
             for r in audit.collect()
+        }
+    if a.audit_anonymity is not None:
+        # release gate: after PII scrub, do quasi-identifier classes
+        # still isolate individual records?  Quasi columns are the
+        # export's own metadata (lang × source × length band).
+        from bitquery_kafka_streams_rust_spark.operators.privacy import (
+            anonymity_summary,
+            k_anonymity,
+        )
+
+        quasi = out.dropDuplicates(["doc_id"]).withColumn(
+            "len_band", F.floor(F.col("n_chars") / 100).cast("int")
+        )
+        quasi_cols = [c for c in ("lang", "source") if c in quasi.columns]
+        classes = k_anonymity(
+            quasi, [*quasi_cols, "len_band"], k=a.audit_anonymity
+        )
+        s = anonymity_summary(classes).collect()[0]
+        manifest["anonymity"] = {
+            "k_requested": a.audit_anonymity,
+            "k_effective": int(s["k_effective"]),
+            "n_classes": int(s["n_classes"]),
+            "rows_at_risk": int(s["rows_at_risk_k"]),
+            "risk_share": float(s["risk_share_k"]),
         }
     print(json.dumps(manifest, sort_keys=True))
     return 0

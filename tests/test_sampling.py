@@ -688,3 +688,28 @@ def test_importance_resample_empty_text_scores_zero(spark):
     out = {r["doc_id"]: r["importance"]
            for r in importance_resample(docs, "a", keep_frac=1.0).collect()}
     assert out[1] == 0.0 and len(out) == 2
+
+
+def test_curation_cli_anonymity_audit(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import run_curation as J
+
+    rc = J.main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--output", str(tmp_path / "ka"),
+        "--splits", "train=1.0",
+        "--audit-anonymity", "5",
+    ])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    m = _json.loads(line)
+    a = m["anonymity"]
+    assert a["k_requested"] == 5 and a["k_effective"] >= 1
+    assert 0 <= a["rows_at_risk"] <= sum(s["n_docs"] for s in m["splits"].values())
+    assert abs(
+        a["risk_share"]
+        - round(a["rows_at_risk"] / sum(s["n_docs"] for s in m["splits"].values()), 6)
+    ) < 1e-9
