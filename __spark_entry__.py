@@ -6491,6 +6491,114 @@ FROM r ORDER BY event_type, bucket
 """
 
 
+def _q_emb_label_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separability eval (operators/similarity.py
+    label_margin_eval): per-label cohesion vs the best competing
+    centroid — centroids enter as INTEGER component-sum literals
+    (cosine is scale-invariant, the IVF inline pattern), cosines round
+    to 9 dp before any comparison, margins quantize to a 1e6 grid
+    before the per-label mean.  Map-side scoring, one metadata collect
+    (labels × 64 sums), one partial-combined readout aggregate."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.label_margin_eval(emb).orderBy("label")
+
+
+_SQL_EMB_LABEL_MARGINS = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+  FROM embeddings
+), sums AS (
+  SELECT label, d, CAST(sum(q[CAST(d AS INTEGER)]) AS BIGINT) AS s
+  FROM q, (SELECT unnest(generate_series(1, 64)) AS d)
+  GROUP BY 1, 2
+), snorm AS (
+  SELECT label AS cand, sqrt(CAST(sum(s * s) AS DOUBLE)) AS sn
+  FROM sums GROUP BY 1
+), nx AS (
+  SELECT vec_id,
+         sqrt(CAST(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                   AS DOUBLE)) AS nxv
+  FROM q
+), dots AS (
+  SELECT p.vec_id AS vec_id, p.label AS own_label, s.label AS cand,
+         CAST(sum(p.q[CAST(s.d AS INTEGER)] * s.s) AS BIGINT) AS dp
+  FROM q p, sums s GROUP BY 1, 2, 3
+), cosv AS (
+  SELECT d.vec_id AS vec_id, d.own_label AS own_label, d.cand AS cand,
+         round(CAST(dp AS DOUBLE) / (nx.nxv * sn.sn), 9) AS c
+  FROM dots d JOIN nx USING (vec_id) JOIN snorm sn ON d.cand = sn.cand
+), per AS (
+  SELECT vec_id, own_label,
+         max(CASE WHEN cand = own_label THEN c END) AS own,
+         max(c) FILTER (cand != own_label) AS best_other
+  FROM cosv GROUP BY 1, 2
+), rk AS (
+  SELECT vec_id, cand,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, cand ASC) AS r
+  FROM cosv
+), pp AS (
+  SELECT p.own_label AS label,
+         CAST(round(round(own - best_other, 9) * 1000000, 0) AS BIGINT) AS qm,
+         CAST(round(own * 1000000, 0) AS BIGINT) AS qo,
+         CASE WHEN a.cand != p.own_label THEN 1 ELSE 0 END AS mis
+  FROM per p JOIN (SELECT vec_id, cand FROM rk WHERE r = 1) a USING (vec_id)
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(mis) AS BIGINT) AS n_misassigned,
+       round(CAST(sum(qm) AS DOUBLE) / 1000000.0
+             / CAST(count(*) AS DOUBLE), 6) AS mean_margin,
+       round(CAST(sum(qo) AS DOUBLE) / 1000000.0
+             / CAST(count(*) AS DOUBLE), 6) AS mean_sim_own
+FROM pp GROUP BY 1 ORDER BY label
+"""
+
+
+def _q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules (operators/assoc.py pair_rules):
+    distinct per-user baskets, pair candidates from a subject-keyed
+    self-join (quadratic confined per basket, size-capped — the
+    blocking/DF-cap convention), support/confidence/lift as single
+    divisions from exact counts with the basket total a driver-side
+    literal."""
+    from bitquery_kafka_streams_rust_spark.operators.assoc import pair_rules
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pair_rules(ev, "user_id", "event_type").orderBy(
+        "antecedent", "consequent"
+    )
+
+
+_SQL_EVENTS_ASSOC_RULES = """
+WITH baskets AS (
+  SELECT DISTINCT user_id AS s, event_type AS i FROM events
+), nsub AS (SELECT count(DISTINCT s) AS n_subjects FROM baskets
+), item_n AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY 1
+), pairs AS (
+  SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS n_pair
+  FROM baskets a JOIN baskets b ON a.s = b.s AND a.i < b.i
+  GROUP BY 1, 2
+), directed AS (
+  SELECT ia AS antecedent, ib AS consequent, n_pair FROM pairs
+  UNION ALL
+  SELECT ib, ia, n_pair FROM pairs
+)
+SELECT antecedent, consequent, n_pair,
+       round(CAST(n_pair AS DOUBLE) / CAST(n_subjects AS DOUBLE), 6) AS support,
+       round(CAST(n_pair AS DOUBLE) / CAST(na.n_item AS DOUBLE), 6) AS confidence,
+       round(CAST(n_pair AS DOUBLE) * CAST(n_subjects AS DOUBLE)
+             / (CAST(na.n_item AS DOUBLE) * CAST(nc.n_item AS DOUBLE)), 6) AS lift
+FROM directed
+JOIN item_n na ON directed.antecedent = na.i
+JOIN item_n nc ON directed.consequent = nc.i, nsub
+ORDER BY antecedent, consequent
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -6514,6 +6622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival_km": _shipped(_q_events_survival_km),
         "events_transition_matrix": _shipped(_q_events_transition_matrix),
         "events_seasonal_profile": _shipped(_q_events_seasonal_profile),
+        "emb_label_margins": _shipped(_q_emb_label_margins),
+        "events_assoc_rules": _shipped(_q_events_assoc_rules),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -6680,6 +6790,8 @@ def oracle_sql() -> dict[str, str]:
         "events_survival_km": _SQL_EVENTS_SURVIVAL_KM,
         "events_transition_matrix": _SQL_EVENTS_TRANSITION_MATRIX,
         "events_seasonal_profile": _SQL_EVENTS_SEASONAL_PROFILE,
+        "emb_label_margins": _SQL_EMB_LABEL_MARGINS,
+        "events_assoc_rules": _SQL_EVENTS_ASSOC_RULES,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

@@ -505,3 +505,119 @@ def random_projection(
     return out.withColumn(
         "cos_err", F.round(F.abs(F.col("cos_proj") - F.col("cos_orig")), 6)
     )
+
+
+def label_margin_eval(
+    emb: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    q_scale: int = 1000,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Label-separability evaluation in embedding space: per label,
+    how well its members cohere around their own centroid vs the best
+    competing one — the QA gate for a labeled embedding table before
+    anyone trusts it for retrieval slices or semantic dedup.
+
+    Per point: cosine to every label centroid (centroids enter as the
+    label's INTEGER component-sum vector — cosine is scale-invariant,
+    so no mean division, no float centroid); ``margin`` = own-label
+    cosine − best other-label cosine; a point is misassigned when some
+    other centroid wins (ties break toward the smaller label).
+
+    Scale/parity shape: components quantize to round(x·q_scale) longs
+    map-side, the per-(label, dim) sums are ONE partial-combined
+    aggregate collected driver-side (labels × dim metadata, inlined as
+    LITERAL arrays — the IVF centroid pattern; a joined 10-row frame
+    would constant-fold into the banned BNLJ); scoring is map-side
+    zip_with dots in exact longs (overflow contract: n·q_scale·|x| per
+    (label,dim) sum must keep Σq·S under 2^63 — at q_scale 1e3 and
+    |x| ≤ 1 that is ~1e11 rows per label), cosines round to 9 dp
+    BEFORE comparisons, margins quantize to a 1e6 grid before the
+    per-label mean.
+
+    Output: (label, n, n_misassigned, mean_margin, mean_sim_own)."""
+    dim = len(emb.select(vec_col).first()[0])
+    qx = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(int(q_scale)), 0).cast("long"),
+    )
+    pts = emb.select(F.col(label_col).alias("label"), qx.alias("_q"))
+    sums = (
+        pts.select("label", F.posexplode("_q").alias("d", "v"))
+        .groupBy("label", "d")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    by_label: dict[int, list[int]] = {}
+    for r in sums:
+        by_label.setdefault(int(r["label"]), [0] * dim)[int(r["d"])] = int(r["s"])
+    labels = sorted(by_label)
+    import math as _math
+
+    s_norm = {l: _math.sqrt(float(sum(v * v for v in by_label[l]))) for l in labels}
+
+    def _cos(l: int) -> Column:
+        lit = F.array(*[F.lit(v) for v in by_label[l]])
+        d = F.aggregate(
+            F.zip_with(F.col("_q"), lit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        nx = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+        return F.round(d.cast("double") / (nx * F.lit(s_norm[l])), 9)
+
+    scored = pts.select(
+        "label",
+        F.array(
+            *[
+                F.struct(_cos(l).alias("cos"), F.lit(-l).alias("negl"))
+                for l in labels
+            ]
+        ).alias("_cands"),
+    )
+    own = F.element_at(
+        F.filter(F.col("_cands"), lambda c: -c["negl"] == F.col("label")), 1
+    )["cos"]
+    best = F.array_max(F.col("_cands"))
+    per_pt = scored.select(
+        "label",
+        own.alias("_own"),
+        (-best["negl"]).alias("_assigned"),
+        F.round(
+            own
+            - F.array_max(
+                F.filter(F.col("_cands"), lambda c: -c["negl"] != F.col("label"))
+            )["cos"],
+            9,
+        ).alias("_m9"),
+    )
+    qm = F.round(F.col("_m9") * F.lit(1e6), 0).cast("long")
+    qo = F.round(F.col("_own") * F.lit(1e6), 0).cast("long")
+    g = per_pt.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_assigned") != F.col("label")).cast("long")).alias(
+            "n_misassigned"
+        ),
+        F.sum(qm).alias("_sm"),
+        F.sum(qo).alias("_so"),
+    )
+    n = F.col("n").cast("double")
+    return g.select(
+        "label",
+        "n",
+        "n_misassigned",
+        F.round(F.col("_sm").cast("double") / F.lit(1e6) / n, out_dp).alias(
+            "mean_margin"
+        ),
+        F.round(F.col("_so").cast("double") / F.lit(1e6) / n, out_dp).alias(
+            "mean_sim_own"
+        ),
+    )
