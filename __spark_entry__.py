@@ -6599,6 +6599,69 @@ ORDER BY antecedent, consequent
 """
 
 
+def _q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test per event_type (operators/regress.py
+    ks_two_sample) over the stage-11 A/B assignment — the
+    nonparametric shape-shift companion to events_ab_test.  Duplicate
+    values collapse in one partial-combined aggregate; CDFs are
+    cumulative INTEGER sums; D maximizes |cum_a·n_b − cum_b·n_a|
+    integer cross-multiplication — zero float until the final
+    division, bit-equal in DuckDB."""
+    from bitquery_kafka_streams_rust_spark.operators import regress as RG
+    from bitquery_kafka_streams_rust_spark.operators.sampling import hash_frac
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sided = ev.select(
+        "event_type",
+        "value",
+        (hash_frac(F.col("user_id"), 0, 11) < F.lit(0.5)).alias("is_a"),
+    )
+    return RG.ks_two_sample(sided, "value", "is_a", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+_SQL_EVENTS_KS_TEST = """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS qv,
+         ((xor(user_id, 29198793459) % 2147483648) * 2654435761)
+           % 2147483648 / 2147483648.0 < 0.5 AS is_a
+  FROM events
+), pv AS (
+  SELECT event_type, qv,
+         CAST(count(*) FILTER (is_a) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (NOT is_a) AS BIGINT) AS cb
+  FROM v GROUP BY 1, 2
+), st AS (
+  SELECT event_type,
+         CAST(sum(ca) OVER wo AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER wo AS BIGINT) AS cumb,
+         CAST(sum(ca) OVER wa AS BIGINT) AS na,
+         CAST(sum(cb) OVER wa AS BIGINT) AS nb
+  FROM pv
+  WINDOW wo AS (PARTITION BY event_type ORDER BY qv ROWS UNBOUNDED PRECEDING),
+         wa AS (PARTITION BY event_type)
+), g AS (
+  SELECT event_type,
+         CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d2,
+         max(na) AS n_a, max(nb) AS n_b
+  FROM st GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round(CAST(d2 AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS ks_d,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round(CAST(d2 AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6)
+       END AS ks_lambda
+FROM g ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -6624,6 +6687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_profile": _shipped(_q_events_seasonal_profile),
         "emb_label_margins": _shipped(_q_emb_label_margins),
         "events_assoc_rules": _shipped(_q_events_assoc_rules),
+        "events_ks_test": _shipped(_q_events_ks_test),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -6792,6 +6856,7 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonal_profile": _SQL_EVENTS_SEASONAL_PROFILE,
         "emb_label_margins": _SQL_EMB_LABEL_MARGINS,
         "events_assoc_rules": _SQL_EVENTS_ASSOC_RULES,
+        "events_ks_test": _SQL_EVENTS_KS_TEST,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -121,4 +121,76 @@ def group_ols(
         x_scale=x_scale,
         slope_dp=slope_dp,
         out_dp=out_dp,
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    y_scale: int = 1_000_000,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per group — the
+    NONPARAMETRIC companion to the Welch-z A/B readout: compares the
+    WHOLE value distribution of side A vs side B (``side_col`` boolean,
+    true = A), catching variance/shape shifts a mean test misses.
+
+    Exactness doctrine: values quantize map-side to round(v·y_scale)
+    longs and duplicate values collapse in ONE partial-combined
+    aggregate (output cardinality = distinct values per group); the
+    running CDFs are cumulative INTEGER sums in a group-partitioned
+    window; the KS statistic maximizes the integer cross-multiplication
+    |cum_a·n_b − cum_b·n_a| (zero float until the final division), so
+    both engines agree bit-for-bit.  Overflow contract:
+    n_a·n_b < 2^63 — fine to ~3e9 rows per side per group.
+
+    Output: (*group_cols, n_a, n_b, ks_d, ks_lambda) where
+    ks_lambda = D·sqrt(n_a·n_b/(n_a+n_b)) (the asymptotic
+    significance argument; reject at ~1.36 for α=0.05)."""
+    group_cols = list(group_cols)
+    qv = F.round(F.col(value_col).cast("double") * F.lit(int(y_scale)), 0).cast(
+        "long"
+    )
+    is_a = F.col(side_col).cast("boolean")
+    per_v = (
+        df.select(*group_cols, qv.alias("_v"), is_a.alias("_a"))
+        .groupBy(*group_cols, "_v")
+        .agg(
+            F.sum(F.col("_a").cast("long")).alias("_ca"),
+            F.sum((~F.col("_a")).cast("long")).alias("_cb"),
+        )
+    )
+    w_ord = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    staged = per_v.select(
+        *group_cols,
+        F.sum("_ca").over(w_ord).alias("_cuma"),
+        F.sum("_cb").over(w_ord).alias("_cumb"),
+        F.sum("_ca").over(w_all).alias("_na"),
+        F.sum("_cb").over(w_all).alias("_nb"),
+    )
+    d2 = F.abs(F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na"))
+    g = staged.groupBy(*group_cols).agg(
+        F.max(d2).alias("_d2"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d = F.col("_d2").cast("double") / (na * nb)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return g.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(d, out_dp)).alias("ks_d"),
+        F.when(ok, F.round(d * F.sqrt(na * nb / (na + nb)), out_dp)).alias(
+            "ks_lambda"
+        ),
     )
