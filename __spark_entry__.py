@@ -6662,6 +6662,56 @@ FROM g ORDER BY event_type
 """
 
 
+def _q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic detector
+    (functions/text.detect_lang) evaluated against the labeled `lang`
+    column — per (actual, predicted) counts and the actual-language
+    row share (zh has no marker set, so its row quantifies the 'und'
+    fallback).  One narrow aggregate; the normalizer is a window over
+    the ≤5 predictions per actual language."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = (
+        docs.select(F.col("lang"), TX.detect_lang(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as _W
+
+    total = F.sum("n").over(_W.partitionBy("lang")).cast("double")
+    return g.select(
+        "lang",
+        "pred",
+        "n",
+        F.round(F.col("n").cast("double") / total, 6).alias("share"),
+    ).orderBy("lang", "pred")
+
+
+_SQL_DOC_LANGID_CONFUSION = r"""
+WITH scored AS (
+  SELECT lang,
+         length(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))      AS en,
+         length(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS de,
+         length(regexp_extract_all(lower(text), '\b(le|la|les|est|une)\b'))     AS fr,
+         length(regexp_extract_all(lower(text), '\b(el|los|es|una|que)\b'))     AS es
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+              WHEN en = greatest(en, de, fr, es) THEN 'en'
+              WHEN de = greatest(en, de, fr, es) THEN 'de'
+              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+              ELSE 'es' END AS pred
+  FROM scored
+), g AS (
+  SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2
+)
+SELECT lang, pred, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+FROM g ORDER BY lang, pred
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -6688,6 +6738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_margins": _shipped(_q_emb_label_margins),
         "events_assoc_rules": _shipped(_q_events_assoc_rules),
         "events_ks_test": _shipped(_q_events_ks_test),
+        "doc_langid_confusion": _shipped(_q_doc_langid_confusion),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -6857,6 +6908,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_margins": _SQL_EMB_LABEL_MARGINS,
         "events_assoc_rules": _SQL_EVENTS_ASSOC_RULES,
         "events_ks_test": _SQL_EVENTS_KS_TEST,
+        "doc_langid_confusion": _SQL_DOC_LANGID_CONFUSION,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

@@ -189,3 +189,21 @@ def test_curation_cli_classifier_gate(spark, sf_dir, tmp_path):
         ).select("doc_id").collect()
     }
     assert kept == expect and 0 < len(kept) < docs.count()
+
+
+def test_langid_confusion_query_shape(spark, sf_dir):
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    rows = E.queries()["doc_langid_confusion"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # shares per actual language sum to 1
+    for lang, rs in by_lang.items():
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-5
+    # zh has no marker set: its mass lands on other codes/und, and the
+    # detector never invents a 'zh' prediction
+    assert all(r["pred"] != "zh" for r in rows)
