@@ -6712,6 +6712,52 @@ FROM g ORDER BY lang, pred
 """
 
 
+def _q_seq_nucleus_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p nucleus truncation of the empirical next-token table
+    (ngrams.nucleus_sets, p = 9/10): a token stays iff its EXCLUSIVE
+    cumulative count satisfies cum·10 < 9·total — pure integer
+    cross-multiplication (the rational-threshold doctrine of
+    allpairs_prefix), crossing token included.  Same narrow
+    (prefix, next) exchange as the continuation table; windows are
+    prefix-partitioned; TakeOrdered bounds output at any SF."""
+    return NG.nucleus_sets(
+        _seq(spark, sf_dir), 3, p_num=9, p_den=10, min_prefix_count=8,
+        limit_rows=1500,
+    )
+
+
+_SQL_SEQ_NUCLEUS_SETS = (
+    _SEQ
+    + """
+, pairs AS (
+  SELECT array_to_string(list_slice(tokens, CAST(i AS INTEGER) + 1,
+                                    CAST(i AS INTEGER) + 2), ',') AS prefix,
+         tokens[CAST(i AS INTEGER) + 3] AS next_tok
+  FROM seq, unnest(range(0, greatest(n_tok - 2, 0))) AS u(i)
+), counts AS (
+  SELECT prefix, next_tok, CAST(count(*) AS BIGINT) AS n_occur
+  FROM pairs GROUP BY prefix, next_tok
+), ranked AS (
+  SELECT prefix, next_tok, n_occur,
+         CAST(sum(n_occur) OVER (PARTITION BY prefix) AS BIGINT) AS prefix_total,
+         CAST(row_number() OVER wr AS INTEGER) AS rank,
+         CAST(sum(n_occur) OVER (wr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+  FROM counts
+  WINDOW wr AS (PARTITION BY prefix ORDER BY n_occur DESC, next_tok ASC)
+), hot AS (
+  SELECT * FROM ranked WHERE prefix_total >= 8
+), kept AS (
+  SELECT * FROM hot WHERE (cum_n - n_occur) * 10 < 9 * prefix_total
+)
+SELECT prefix, prefix_total, next_tok, n_occur, rank, cum_n,
+       round(CAST(cum_n AS DOUBLE) / CAST(prefix_total AS DOUBLE), 6) AS cum_share,
+       CAST(count(*) OVER (PARTITION BY prefix) AS BIGINT) AS nucleus_size
+FROM kept
+ORDER BY prefix_total DESC, prefix ASC, rank ASC LIMIT 1500
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -6739,6 +6785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_assoc_rules": _shipped(_q_events_assoc_rules),
         "events_ks_test": _shipped(_q_events_ks_test),
         "doc_langid_confusion": _shipped(_q_doc_langid_confusion),
+        "seq_nucleus_sets": _shipped(_q_seq_nucleus_sets),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -6909,6 +6956,7 @@ def oracle_sql() -> dict[str, str]:
         "events_assoc_rules": _SQL_EVENTS_ASSOC_RULES,
         "events_ks_test": _SQL_EVENTS_KS_TEST,
         "doc_langid_confusion": _SQL_DOC_LANGID_CONFUSION,
+        "seq_nucleus_sets": _SQL_SEQ_NUCLEUS_SETS,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

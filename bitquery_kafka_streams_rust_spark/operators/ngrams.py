@@ -348,3 +348,88 @@ def collocation_pmi(
             F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
         ).limit(top_k)
     return out
+
+
+def nucleus_sets(
+    seq: DataFrame,
+    n: int = 3,
+    *,
+    p_num: int = 9,
+    p_den: int = 10,
+    min_prefix_count: int = 8,
+    limit_rows: int | None = None,
+    token_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Top-p (nucleus) truncation of the empirical next-token
+    distribution: for each hot (n-1)-gram prefix, the MINIMAL
+    count-ranked set of continuations whose cumulative probability
+    reaches ``p_num/p_den`` — the sampling-infrastructure table a
+    distillation/speculative-decoding pipeline precomputes from corpus
+    statistics (Holtzman et al. 2020 top-p, applied to the KenLM-style
+    count table instead of model logits).
+
+    The threshold is a RATIONAL: a token stays iff the EXCLUSIVE
+    cumulative count satisfies ``cum_excl · p_den < p_num · total``
+    (the crossing token is included, the standard convention) — pure
+    integer cross-multiplication, no float anywhere until the reported
+    share, so both engines agree bit-for-bit.
+
+    Scale shape: same narrow (prefix, next_tok) count exchange as
+    ``ngram_continuations``; ranking/cumsum are prefix-partitioned
+    windows; the HAVING-style hot-prefix cut prunes the Zipf tail
+    before the windows.  ``limit_rows`` bounds output at any SF.
+
+    Output: (prefix, prefix_total, next_tok, n_occur, rank, cum_n,
+    cum_share, nucleus_size)."""
+    m = n - 1
+    starts = F.when(
+        F.col(n_tok_col) >= n,
+        F.sequence(F.lit(0), F.col(n_tok_col) - n),
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = seq.select(
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    _gram_csv(F.col(token_col), i + 1, m).alias("prefix"),
+                    F.element_at(F.col(token_col), (i + n).cast("int")).alias(
+                        "next_tok"
+                    ),
+                ),
+            )
+        ).alias("pn")
+    ).select("pn.prefix", "pn.next_tok")
+    counts = pairs.groupBy("prefix", "next_tok").agg(F.count("*").alias("n_occur"))
+    w = Window.partitionBy("prefix")
+    wrank = w.orderBy(F.desc("n_occur"), F.asc("next_tok"))
+    wcum = wrank.rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        counts.withColumn("prefix_total", F.sum("n_occur").over(w))
+        .where(F.col("prefix_total") >= int(min_prefix_count))
+        .withColumn("rank", F.row_number().over(wrank))
+        .withColumn("cum_n", F.sum("n_occur").over(wcum))
+    )
+    # exclusive cumsum crosses the rational threshold -> token kept
+    kept = staged.where(
+        (F.col("cum_n") - F.col("n_occur")) * F.lit(int(p_den))
+        < F.lit(int(p_num)) * F.col("prefix_total")
+    )
+    wsz = Window.partitionBy("prefix")
+    out = kept.select(
+        "prefix",
+        "prefix_total",
+        "next_tok",
+        "n_occur",
+        "rank",
+        "cum_n",
+        F.round(F.col("cum_n").cast("double") / F.col("prefix_total").cast("double"), 6).alias(
+            "cum_share"
+        ),
+        F.count(F.lit(1)).over(wsz).alias("nucleus_size"),
+    )
+    if limit_rows is not None:
+        out = out.orderBy(
+            F.desc("prefix_total"), F.asc("prefix"), F.asc("rank")
+        ).limit(limit_rows)
+    return out

@@ -170,3 +170,31 @@ def test_collocation_pmi_topk_tiebreak(spark):
     out = NG.collocation_pmi(seq, min_count=2, top_k=1)
     r = out.collect()[0]
     assert (r["tok_a"], r["tok_b"]) == (5, 6)
+
+
+def test_nucleus_sets_hand_distribution(spark):
+    from bitquery_kafka_streams_rust_spark.operators.ngrams import nucleus_sets
+
+    # one prefix "1,2" with continuations: 5x3, 3x4, 1x5, 1x6 (total 10)
+    docs = []
+    for i, nxt in enumerate([3] * 5 + [4] * 3 + [5, 6]):
+        docs.append((f"d{i}", [1, 2, nxt], 3))
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>, n_tok int")
+    rows = nucleus_sets(df, 3, p_num=8, p_den=10, min_prefix_count=8).collect()
+    got = sorted((r["next_tok"], r["rank"], r["cum_n"], r["nucleus_size"])
+                 for r in rows)
+    # p=0.8: keep 3 (cum 5, excl 0), 4 (cum 8, excl 5), 5 (excl 8 == 8 -> 8*10 < 8*10 false? no: excl*den=80 < num*total=80 is FALSE -> dropped)
+    assert got == [(3, 1, 5, 2), (4, 2, 8, 2)]
+    # p just above 0.8 admits the crossing third token
+    rows2 = nucleus_sets(df, 3, p_num=81, p_den=100, min_prefix_count=8).collect()
+    assert sorted(r["next_tok"] for r in rows2) == [3, 4, 5]
+
+
+def test_nucleus_p_one_keeps_everything(spark):
+    from bitquery_kafka_streams_rust_spark.operators.ngrams import nucleus_sets
+
+    docs = [(f"d{i}", [1, 2, i % 4], 3) for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>, n_tok int")
+    rows = nucleus_sets(df, 3, p_num=1, p_den=1, min_prefix_count=8).collect()
+    assert sorted(r["next_tok"] for r in rows) == [0, 1, 2, 3]
+    assert all(r["nucleus_size"] == 4 for r in rows)
