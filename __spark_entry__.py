@@ -3185,7 +3185,9 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # char-5-shingle polynomial hashes → 64 minhashes (one aggregate pass)
 # → 16 bands × 4 rows → band-hash equi-join → signature-similarity verify;
 # mirrors operators/dedup.py minhash_lsh_pairs(portable=True) term for term
-_SQL_MINHASH = """
+# shared CTE body: everything up to the `est` candidate-similarity
+# table — reused verbatim by the triplet-mining oracle below
+_MINHASH_BODY = """
 WITH cs AS (
   SELECT doc_id AS id,
          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
@@ -3222,8 +3224,14 @@ WITH cs AS (
                   THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard
   FROM cand
 )
+"""
+
+_SQL_MINHASH = (
+    _MINHASH_BODY
+    + """
 SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b
 """
+)
 
 
 def _q_doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6758,6 +6766,55 @@ ORDER BY prefix_total DESC, prefix ASC, rank ASC LIMIT 1500
 )
 
 
+def _q_doc_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (operators/similarity.py
+    contrastive_triplets): positives from the MinHash near-dup pairs,
+    negatives drawn by deterministic stage-14 hash-bucket geometry
+    (avalanche hash → bucket → three smallest-hash members, first one
+    that is neither anchor nor positive) — reproducible at any scale
+    and restart, no RNG state.  Bucket top-3 is a bucket-partitioned
+    WindowGroupLimit over metadata; join is broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.4, portable=True)
+    return SIM.contrastive_triplets(
+        docs.select(F.col("doc_id").alias("id")), pairs, n_buckets=64
+    ).orderBy("anchor", "positive")
+
+
+_SQL_DOC_TRIPLETS = (
+    _MINHASH_BODY
+    + """
+, pos AS (
+  SELECT id_a AS anchor, id_b AS positive
+  FROM est WHERE est_jaccard >= 0.4
+), h0 AS (
+  SELECT id, (xor(id, 37162100766) % 2147483648) * 2654435761
+             % 2147483648 AS h0 FROM cs
+), h1 AS (
+  SELECT id, xor(h0, h0 >> 13) * 2654435761 % 2147483648 AS h1 FROM h0
+), hh AS (
+  SELECT id, CAST(xor(h1, h1 >> 17) * 2654435761 % 2147483648 AS BIGINT) AS h
+  FROM h1
+), ranked AS (
+  SELECT id, h, h % 64 AS bkt,
+         row_number() OVER (PARTITION BY h % 64 ORDER BY h ASC, id ASC) AS rk
+  FROM hh
+), top3 AS (
+  SELECT bkt, rk, id AS cand FROM ranked WHERE rk <= 3
+), probe AS (
+  -- the NEXT bucket: an anchor can never draw itself
+  SELECT p.anchor, p.positive, (ah.h + 1) % 64 AS bkt
+  FROM pos p JOIN hh ah ON p.anchor = ah.id
+)
+SELECT anchor, positive, arg_min(cand, rk) AS negative
+FROM probe JOIN top3 USING (bkt)
+WHERE cand != anchor AND cand != positive
+GROUP BY anchor, positive
+ORDER BY anchor, positive
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -6786,6 +6843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_test": _shipped(_q_events_ks_test),
         "doc_langid_confusion": _shipped(_q_doc_langid_confusion),
         "seq_nucleus_sets": _shipped(_q_seq_nucleus_sets),
+        "doc_triplets": _shipped(_q_doc_triplets),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -6957,6 +7015,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ks_test": _SQL_EVENTS_KS_TEST,
         "doc_langid_confusion": _SQL_DOC_LANGID_CONFUSION,
         "seq_nucleus_sets": _SQL_SEQ_NUCLEUS_SETS,
+        "doc_triplets": _SQL_DOC_TRIPLETS,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

@@ -621,3 +621,78 @@ def label_margin_eval(
             "mean_sim_own"
         ),
     )
+
+
+_TRIP_SALT = 14 * 0x9E3779B9  # stage 14 — triplet negative geometry (CLAUDE.md)
+_TRIP_KNUTH = 2654435761
+_TRIP_MOD = 2**31
+
+
+def _trip_hash(idc: Column) -> Column:
+    """sketches.py avalanche pipeline on stage salt 14 — inlined
+    identically in the triplet oracle."""
+    h = F.pmod(
+        F.pmod(idc.cast("long").bitwiseXOR(F.lit(_TRIP_SALT)), F.lit(_TRIP_MOD))
+        * F.lit(_TRIP_KNUTH),
+        F.lit(_TRIP_MOD),
+    )
+    for sh in (13, 17):
+        h = F.pmod(
+            h.bitwiseXOR(F.shiftright(h, sh)) * F.lit(_TRIP_KNUTH), F.lit(_TRIP_MOD)
+        )
+    return h
+
+
+def contrastive_triplets(
+    corpus_ids: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(anchor, positive, negative) training triplets for a contrastive
+    embedding model: positives are the verified near-dup pairs
+    (MinHash/SimHash/gram family output — (id_a, id_b)); the negative
+    is a DETERMINISTIC pseudo-random corpus document drawn by hash
+    geometry, so the triplet set is reproducible at any scale and
+    restart (no RNG state — the FIM/span-corruption doctrine applied to
+    sampling partners).
+
+    Negative draw: every corpus id lands in bucket
+    ``avalanche₁₄(id) mod n_buckets``; each bucket keeps its THREE
+    smallest-hash members (a bucket-partitioned WindowGroupLimit —
+    distributed, never a global order); an anchor probes the NEXT
+    bucket ``(own + 1) mod n_buckets`` — so it can never draw itself —
+    and takes the first member that is not the positive.  Anchors
+    whose probed bucket is empty or positive-only drop — identically
+    on both engines; size ``n_buckets`` well under corpus/3 so buckets
+    stay populated.
+
+    Scale shape: hashes map-side; the bucket top-3 table is
+    n_buckets·3 metadata joined broadcast; one narrow aggregate picks
+    the min-rank eligible candidate."""
+    ids = corpus_ids.select(F.col(id_col).alias("cid")).distinct()
+    hashed = ids.select(
+        "cid",
+        _trip_hash(F.col("cid")).alias("_h"),
+        F.pmod(_trip_hash(F.col("cid")), F.lit(int(n_buckets))).alias("_bkt"),
+    )
+    w = Window.partitionBy("_bkt").orderBy(F.col("_h").asc(), F.col("cid").asc())
+    top3 = (
+        hashed.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 3)
+        .select("_bkt", "_rk", F.col("cid").alias("_cand"))
+    )
+    pos = pairs.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("positive"),
+        F.pmod(
+            _trip_hash(F.col("id_a")) + F.lit(1), F.lit(int(n_buckets))
+        ).alias("_bkt"),
+    )
+    eligible = pos.join(F.broadcast(top3), "_bkt").where(
+        (F.col("_cand") != F.col("anchor")) & (F.col("_cand") != F.col("positive"))
+    )
+    return eligible.groupBy("anchor", "positive").agg(
+        F.min_by("_cand", "_rk").alias("negative")
+    )

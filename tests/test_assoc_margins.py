@@ -73,3 +73,32 @@ def test_label_margins_flags_mislabeled_points(spark):
     got = {r["label"]: r for r in label_margin_eval(df).collect()}
     assert got[0]["n_misassigned"] == 1
     assert got[1]["n_misassigned"] == 0
+
+
+def test_contrastive_triplets_deterministic_and_valid(spark):
+    from bitquery_kafka_streams_rust_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (10, 20)], "id_a long, id_b long"
+    )
+    t1 = sorted(map(tuple, contrastive_triplets(ids, pairs, n_buckets=4).collect()))
+    t2 = sorted(map(tuple, contrastive_triplets(ids, pairs, n_buckets=4).collect()))
+    assert t1 == t2  # no RNG state: bit-reproducible
+    assert len(t1) == 3  # dense buckets (40 ids / 4 buckets): none drop
+    for a, p, n in t1:
+        assert n not in (a, p) and 0 <= n < 40
+
+
+def test_contrastive_triplets_skips_when_no_eligible_negative(spark):
+    from bitquery_kafka_streams_rust_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    # corpus of exactly the pair's two docs: every bucket member is the
+    # anchor or the positive -> triplet drops
+    ids = spark.createDataFrame([(1,), (2,)], "id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert contrastive_triplets(ids, pairs).count() == 0
