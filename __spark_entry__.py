@@ -6815,6 +6815,69 @@ ORDER BY anchor, positive
 )
 
 
+def _q_doc_score_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score normalization of the classifier score
+    (operators/evalmetrics.py zscore_normalize) — the cross-source
+    calibration before one global threshold cuts a mixed corpus.
+    Exact (n, Σq, Σq²) moments per source (6-dp scores → 1e6-grid
+    longs), mean/std rounded 9 dp, stats broadcast back for a map-side
+    per-row readout."""
+    from bitquery_kafka_streams_rust_spark.operators import evalmetrics as EM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", "source", TX.classifier_score(F.col("text")).alias("score")
+    )
+    return EM.zscore_normalize(scored, "score", ["source"]).orderBy("doc_id")
+
+
+_SQL_DOC_SCORE_ZSCORE = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), b AS (
+  SELECT doc_id, source, length(words) AS nw,
+         list_transform(words, w ->
+           ((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(w, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                 (a, x) -> (a * 313 + x) % 2147483647) % 256) + 1)
+             * 2654435761) % 2147483648) / 2147483648.0 - 0.5) AS wts
+  FROM w
+), s AS (
+  SELECT doc_id, source,
+         round(1.0 / (1.0 + exp(-round(coalesce(list_sum(wts), 0.0)
+               / CAST(greatest(nw, 1) AS DOUBLE), 6))), 6) AS score
+  FROM b
+), qd AS (
+  SELECT doc_id, source, score,
+         CAST(round(score * 1000000, 0) AS BIGINT) AS q
+  FROM s
+), m AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(q * q) AS BIGINT) AS ssq
+  FROM qd GROUP BY 1
+), st AS (
+  SELECT source, n,
+         round(CAST(sq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 9) AS mean9,
+         round((CAST(ssq AS DOUBLE) / (1000000.0 * 1000000.0)
+                - (CAST(sq AS DOUBLE) / 1000000.0)
+                  * (CAST(sq AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1), 9) AS var9
+  FROM m
+)
+SELECT doc_id, qd.source AS source, score,
+       CASE WHEN n > 1 AND var9 > 0
+            THEN round((score - mean9) / sqrt(var9), 6) END AS z
+FROM qd JOIN st ON qd.source = st.source
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: anything NEW this round
@@ -6844,6 +6907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid_confusion": _shipped(_q_doc_langid_confusion),
         "seq_nucleus_sets": _shipped(_q_seq_nucleus_sets),
         "doc_triplets": _shipped(_q_doc_triplets),
+        "doc_score_zscore": _shipped(_q_doc_score_zscore),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -7016,6 +7080,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid_confusion": _SQL_DOC_LANGID_CONFUSION,
         "seq_nucleus_sets": _SQL_SEQ_NUCLEUS_SETS,
         "doc_triplets": _SQL_DOC_TRIPLETS,
+        "doc_score_zscore": _SQL_DOC_SCORE_ZSCORE,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

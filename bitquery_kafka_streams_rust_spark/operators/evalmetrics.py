@@ -170,3 +170,60 @@ def calibration_bins(
         group_cols,
         out_dp=out_dp,
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_cols: Sequence[str],
+    *,
+    q_scale: int = 1_000_000,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-group z-score normalization of a score column — the
+    cross-source calibration step before a single global threshold
+    cuts a corpus whose sources have different score distributions
+    (a raw 0.6 from a verbose source ≠ 0.6 from a terse one).
+
+    Exactness: scores are 6-dp rounded (the classifier contract), so
+    round(score·q_scale) longs make the per-group (n, Σq, Σq²) moments
+    exact and order-independent (the ab_test doctrine); mean/std round
+    to 9 dp before the per-row readout, which broadcasts the
+    group-cardinality stats back and runs one identical IEEE sequence
+    per row.  Groups with < 2 rows or zero variance emit NULL z.
+
+    Output: input group/score columns + (z)."""
+    group_cols = list(group_cols)
+    q = F.round(F.col(score_col).cast("double") * F.lit(int(q_scale)), 0).cast(
+        "long"
+    )
+    m = (
+        df.select(*group_cols, q.alias("_q"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_q").alias("_s"),
+            F.sum(F.col("_q") * F.col("_q")).alias("_ss"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    s, ss = F.col("_s").cast("double"), F.col("_ss").cast("double")
+    scale = F.lit(float(q_scale))
+    mean9 = F.round(s / scale / n, 9)
+    var9 = F.round(
+        (ss / (scale * scale) - (s / scale) * (s / scale) / n) / (n - 1), 9
+    )
+    stats = m.select(
+        *group_cols,
+        "_n",
+        mean9.alias("_mean9"),
+        F.when((F.col("_n") > 1) & (var9 > 0), F.sqrt(var9)).alias("_std9"),
+    )
+    joined = df.join(F.broadcast(stats), group_cols)
+    return joined.select(
+        *df.columns,
+        F.when(
+            F.col("_std9").isNotNull(),
+            F.round((F.col(score_col) - F.col("_mean9")) / F.col("_std9"), out_dp),
+        ).alias("z"),
+    )

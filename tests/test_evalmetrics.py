@@ -157,3 +157,24 @@ def test_stream_calibration_exact_batch_parity(spark, sf_dir, tmp_path):
         < last.agg(F.sum("n")).first()[0]
         == scored.count()
     )
+
+
+def test_zscore_normalize_hand_values(spark):
+    from bitquery_kafka_streams_rust_spark.operators.evalmetrics import (
+        zscore_normalize,
+    )
+
+    rows = [("s1", 0.2), ("s1", 0.4), ("s1", 0.6),  # mean .4, std .2
+            ("s2", 0.5), ("s2", 0.5),               # zero variance
+            ("s3", 0.9)]                            # single row
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = zscore_normalize(df, "score", ["source"]).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r)
+    z1 = sorted(r["z"] for r in by["s1"])
+    assert z1 == [-1.0, 0.0, 1.0]
+    assert all(r["z"] is None for r in by["s2"])  # zero variance
+    assert all(r["z"] is None for r in by["s3"])  # n < 2
+    # every input row/column survives
+    assert {tuple(r)[:2] for r in out} == set(rows)
