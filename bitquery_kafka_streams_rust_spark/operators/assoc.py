@@ -43,7 +43,13 @@ def pair_rules(
 
     Output: (antecedent, consequent, n_pair, support, confidence,
     lift) — support = P(a,b), confidence = P(b|a), lift =
-    P(a,b)/(P(a)P(b)); all from exact integer counts."""
+    P(a,b)/(P(a)P(b)); all from exact integer counts.
+
+    All probabilities are over the CAPPED basket population: a basket
+    dropped by ``max_basket_size`` contributes to neither pair counts
+    nor the N denominator (the self-consistent reading; the contract
+    oracle's item domain is far below the cap, so it never binds
+    there)."""
     baskets = df.select(
         F.col(subject_col).alias("s"), F.col(item_col).alias("i")
     ).distinct()
