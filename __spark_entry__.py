@@ -6878,6 +6878,131 @@ ORDER BY doc_id
 """
 
 
+def _q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type (operators/drift.py
+    psi_bins): base period = the first half of January, bin edges =
+    the base side's 6-dp-rounded deciles broadcast back, both periods
+    histogrammed by strict > comparisons over the edge array, PSI
+    terms quantized to a 1e9 grid before any cross-bin sum.  The
+    value-space drift score next to token_drift's KL."""
+    from bitquery_kafka_streams_rust_spark.operators.drift import psi_bins
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return psi_bins(ev, "value", base, ["event_type"]).orderBy(
+        "event_type", "bin"
+    )
+
+
+_SQL_EVENTS_PSI = """
+WITH src AS (
+  SELECT event_type, value,
+         ts < TIMESTAMP '2024-01-16 00:00:00' AS is_base
+  FROM events
+), edges AS (
+  SELECT event_type,
+         [round(quantile_cont(value, 0.1), 6), round(quantile_cont(value, 0.2), 6),
+          round(quantile_cont(value, 0.3), 6), round(quantile_cont(value, 0.4), 6),
+          round(quantile_cont(value, 0.5), 6), round(quantile_cont(value, 0.6), 6),
+          round(quantile_cont(value, 0.7), 6), round(quantile_cont(value, 0.8), 6),
+          round(quantile_cont(value, 0.9), 6)] AS e
+  FROM src WHERE is_base GROUP BY 1
+), binned AS (
+  SELECT s.event_type AS event_type, is_base,
+         CAST(list_sum(list_transform(e,
+              c -> CASE WHEN value > c THEN 1 ELSE 0 END)) AS INTEGER) AS bin
+  FROM src s JOIN edges USING (event_type)
+), g AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY 1, 2
+), t AS (
+  SELECT event_type, bin, n_base, n_cur,
+         round(greatest(CAST(n_base AS DOUBLE)
+               / CAST(sum(n_base) OVER w AS DOUBLE), 0.0001), 9) AS p9,
+         round(greatest(CAST(n_cur AS DOUBLE)
+               / CAST(sum(n_cur) OVER w AS DOUBLE), 0.0001), 9) AS q9
+  FROM g WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, bin, n_base, n_cur,
+       round(p9, 6) AS base_share,
+       round(q9, 6) AS cur_share,
+       round(round((p9 - q9) * round(ln(p9 / q9), 9), 9), 6) AS psi_term
+FROM t ORDER BY event_type, bin
+"""
+
+
+def _q_doc_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift per source (operators/evalmetrics.py
+    gains_table) for the classifier gate vs the is-English label:
+    ntile over a fully-ordered (score DESC, doc_id) group window —
+    identical remainder semantics on both engines — then exact-count
+    cum_recall and integer-cross-product lift."""
+    from bitquery_kafka_streams_rust_spark.operators import evalmetrics as EM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        TX.classifier_score(F.col("text")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return EM.gains_table(
+        scored, "score", "is_en", ["source"], n_tiles=5
+    ).orderBy("source", "tile")
+
+
+_SQL_DOC_GAINS = r"""
+WITH w AS (
+  SELECT doc_id, source, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), b AS (
+  SELECT doc_id, source, lang, length(words) AS nw,
+         list_transform(words, w ->
+           ((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(w, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                 (a, x) -> (a * 313 + x) % 2147483647) % 256) + 1)
+             * 2654435761) % 2147483648) / 2147483648.0 - 0.5) AS wts
+  FROM w
+), s AS (
+  SELECT doc_id, source,
+         round(1.0 / (1.0 + exp(-round(coalesce(list_sum(wts), 0.0)
+               / CAST(greatest(nw, 1) AS DOUBLE), 6))), 6) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM b
+), tiled AS (
+  SELECT source, y,
+         ntile(5) OVER (PARTITION BY source
+                        ORDER BY score DESC, doc_id ASC) AS tile
+  FROM s
+), g AS (
+  SELECT source, tile,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM tiled GROUP BY 1, 2
+), t AS (
+  SELECT source, tile, n, n_pos,
+         CAST(sum(n_pos) OVER (PARTITION BY source ORDER BY tile
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+         CAST(sum(n_pos) OVER (PARTITION BY source) AS BIGINT) AS tot_pos,
+         CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS tot_n
+  FROM g
+)
+SELECT source, CAST(tile AS INTEGER) AS tile, n, n_pos, cum_pos,
+       CASE WHEN tot_pos > 0 THEN
+         round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6) END
+         AS cum_recall,
+       CASE WHEN tot_pos > 0 THEN
+         round(CAST(n_pos * tot_n AS DOUBLE)
+               / CAST(n * tot_pos AS DOUBLE), 6) END AS lift
+FROM t ORDER BY source, tile
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: the 55 queries NEW
@@ -6910,6 +7035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_nucleus_sets": _shipped(_q_seq_nucleus_sets),
         "doc_triplets": _shipped(_q_doc_triplets),
         "doc_score_zscore": _shipped(_q_doc_score_zscore),
+        "events_psi": _shipped(_q_events_psi),
+        "doc_gains_table": _shipped(_q_doc_gains_table),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -7083,6 +7210,8 @@ def oracle_sql() -> dict[str, str]:
         "seq_nucleus_sets": _SQL_SEQ_NUCLEUS_SETS,
         "doc_triplets": _SQL_DOC_TRIPLETS,
         "doc_score_zscore": _SQL_DOC_SCORE_ZSCORE,
+        "events_psi": _SQL_EVENTS_PSI,
+        "doc_gains_table": _SQL_DOC_GAINS,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

@@ -17,7 +17,9 @@ BroadcastNestedLoopJoin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -412,4 +414,84 @@ def cusum_changepoint(
             F.round(F.col("_mh") / denom, out_dp).alias("max_cusum_hi"),
             F.round(F.col("_ml") / denom, out_dp).alias("max_cusum_lo"),
         )
+    )
+
+
+def psi_bins(
+    df: DataFrame,
+    value_col: str,
+    base_pred: Column,
+    group_cols: Sequence[str] = (),
+    *,
+    n_bins: int = 10,
+    min_share: float = 0.0001,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Population Stability Index per group — the industry-standard
+    "did this feature's distribution move between two periods" score,
+    the VALUE-space companion to token_drift's KL: bin edges are the
+    BASE side's deciles (the PSI convention), both sides histogram on
+    them, and PSI = Σ (p−q)·ln(p/q) with zero shares clamped to
+    ``min_share``.  Rule of thumb: <0.1 stable, 0.1-0.25 shifting,
+    >0.25 drifted.
+
+    Exactness doctrine: edges are 6-dp-rounded percentiles (the
+    events_percentiles parity precedent) broadcast back; bin assignment
+    is ``Σ (v > edge)`` strict comparisons over the edge array (same
+    fold on both engines); shares smooth and round to 9 dp; each bin's
+    PSI term quantizes to round(term·1e9) longs map-side so the
+    cross-bin sum is order-independent (the concentration doctrine).
+
+    Shape: one percentile aggregate over the base side (``approx``
+    upstream of this operator at extreme scale), a broadcast of the
+    group-cardinality edge table, ONE partial-combined (group, side,
+    bin) count, and windows over ≤ n_bins rows per group.
+
+    Output: one row per (group, bin): (*group_cols, bin, n_base,
+    n_cur, base_share, cur_share, psi_term) — group PSI = sum of
+    psi_term over its bins."""
+    group_cols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges = (
+        df.where(base_pred)
+        .groupBy(*group_cols)
+        .agg(
+            F.array(
+                *[F.round(F.percentile(v, p), 6) for p in probs]
+            ).alias("_edges")
+        )
+    )
+    binned = (
+        df.select(*group_cols, v.alias("_v"), base_pred.alias("_is_base"))
+        .join(F.broadcast(edges), group_cols)
+        .select(
+            *group_cols,
+            "_is_base",
+            F.aggregate(
+                F.col("_edges"),
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("_v") > c, 1).otherwise(0),
+            ).alias("bin"),
+        )
+    )
+    g = binned.groupBy(*group_cols, "bin").agg(
+        F.sum(F.col("_is_base").cast("long")).alias("n_base"),
+        F.sum((~F.col("_is_base")).cast("long")).alias("n_cur"),
+    )
+    w_all = Window.partitionBy(*group_cols)
+    tb = F.sum("n_base").over(w_all).cast("double")
+    tc = F.sum("n_cur").over(w_all).cast("double")
+    ms = F.lit(float(min_share))
+    p9 = F.round(F.greatest(F.col("n_base").cast("double") / tb, ms), 9)
+    q9 = F.round(F.greatest(F.col("n_cur").cast("double") / tc, ms), 9)
+    term9 = F.round((p9 - q9) * F.round(F.log(p9 / q9), 9), 9)
+    return g.select(
+        *group_cols,
+        "bin",
+        "n_base",
+        "n_cur",
+        F.round(p9, out_dp).alias("base_share"),
+        F.round(q9, out_dp).alias("cur_share"),
+        F.round(term9, out_dp).alias("psi_term"),
     )

@@ -227,3 +227,69 @@ def zscore_normalize(
             F.round((F.col(score_col) - F.col("_mean9")) / F.col("_std9"), out_dp),
         ).alias("z"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    n_tiles: int = 10,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Cumulative gains / lift table per group — the business-facing
+    companion to AUC: sort by score, cut into ``n_tiles`` equal
+    tiles, and report how much of the positive mass each score band
+    captures ("the top decile holds 4× its share of keepers" is what
+    justifies a threshold to a human).
+
+    Determinism/exactness: the tile assignment is ``ntile`` over a
+    fully-ordered (score DESC, id ASC) group window — identical
+    remainder-to-early-tiles semantics on Spark and DuckDB; every
+    count is an exact long; cum_recall and lift are single divisions
+    of integer cross-products, rounded at the end.
+
+    Output: (*group_cols, tile, n, n_pos, cum_pos, cum_recall, lift);
+    lift is NULL for groups with no positives."""
+    group_cols = list(group_cols)
+    w_ord = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    tiled = df.select(
+        *group_cols,
+        F.col(label_col).cast("long").alias("_y"),
+        F.ntile(int(n_tiles)).over(w_ord).alias("tile"),
+    )
+    g = tiled.groupBy(*group_cols, "tile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("tile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = F.sum("n_pos").over(w_cum)
+    tot_pos = F.sum("n_pos").over(w_all)
+    tot_n = F.sum("n").over(w_all)
+    return g.select(
+        *group_cols,
+        "tile",
+        "n",
+        "n_pos",
+        cum.alias("cum_pos"),
+        F.when(
+            tot_pos > 0,
+            F.round(cum.cast("double") / tot_pos.cast("double"), out_dp),
+        ).alias("cum_recall"),
+        F.when(
+            tot_pos > 0,
+            F.round(
+                (F.col("n_pos") * tot_n).cast("double")
+                / (F.col("n") * tot_pos).cast("double"),
+                out_dp,
+            ),
+        ).alias("lift"),
+    )

@@ -148,3 +148,27 @@ def test_novelty_curve_hand_case_and_reference(spark):
         for r in novelty_curve(df.union(df), batch, n=4).collect()
     }
     assert got2 == expect
+
+
+def test_psi_identical_periods_near_zero(spark):
+    from bitquery_kafka_streams_rust_spark.operators.drift import psi_bins
+
+    rows = [("g", float(v % 100), v % 2 == 0) for v in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, value double, is_base boolean")
+    out = psi_bins(df, "value", F.col("is_base"), ["grp"]).collect()
+    psi = sum(r["psi_term"] for r in out)
+    assert abs(psi) < 0.01  # same distribution both sides
+    assert sum(r["n_base"] for r in out) == 1000
+
+
+def test_psi_flags_location_shift(spark):
+    from bitquery_kafka_streams_rust_spark.operators.drift import psi_bins
+
+    base = [("g", float(v % 100), True) for v in range(1000)]
+    cur = [("g", float(v % 100) + 60.0, False) for v in range(1000)]
+    df = spark.createDataFrame(base + cur, "grp string, value double, is_base boolean")
+    out = psi_bins(df, "value", F.col("is_base"), ["grp"]).collect()
+    psi = sum(r["psi_term"] for r in out)
+    assert psi > 0.25  # "drifted" by the PSI rule of thumb
+    # shares are proper distributions (clamped bins can nudge over 1)
+    assert abs(sum(r["base_share"] for r in out) - 1.0) < 0.01

@@ -178,3 +178,31 @@ def test_zscore_normalize_hand_values(spark):
     assert all(r["z"] is None for r in by["s3"])  # n < 2
     # every input row/column survives
     assert {tuple(r)[:2] for r in out} == set(rows)
+
+
+def test_gains_table_hand_values(spark):
+    from bitquery_kafka_streams_rust_spark.operators.evalmetrics import gains_table
+
+    # 10 docs, scores 10..1, positives are the top 3 scorers
+    rows = [(i, "g", float(10 - i), 1 if i < 3 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, score double, y int")
+    out = {r["tile"]: r for r in
+           gains_table(df, "score", "y", ["g"], n_tiles=5).collect()}
+    assert [out[t]["n"] for t in range(1, 6)] == [2] * 5
+    assert out[1]["n_pos"] == 2 and out[2]["n_pos"] == 1
+    assert out[1]["cum_recall"] == round(2 / 3, 6)
+    assert out[2]["cum_recall"] == 1.0 and out[5]["cum_recall"] == 1.0
+    # tile 1 lift: (2/2)/(3/10) = 10/3
+    assert out[1]["lift"] == round(10 / 3, 6)
+    assert out[4]["lift"] == 0.0
+
+
+def test_gains_table_no_positives_null(spark):
+    from bitquery_kafka_streams_rust_spark.operators.evalmetrics import gains_table
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i), 0) for i in range(10)],
+        "doc_id long, g string, score double, y int",
+    )
+    out = gains_table(df, "score", "y", ["g"], n_tiles=5).collect()
+    assert all(r["cum_recall"] is None and r["lift"] is None for r in out)
