@@ -7003,6 +7003,47 @@ FROM t ORDER BY source, tile
 """
 
 
+def _q_doc_length_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square length-profile homogeneity per source (operators/
+    drift.py chi2_homogeneity): n_chars bins by integer division,
+    expected cells are exact rationals n_src·tot_bin/N, per-cell terms
+    quantized to a 1e6 grid before the cross-bin sum — "does any
+    source's length distribution diverge from the pool"."""
+    from bitquery_kafka_streams_rust_spark.operators.drift import chi2_homogeneity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chi2_homogeneity(docs, "n_chars", ["source"], bin_width=50).orderBy(
+        "source"
+    )
+
+
+_SQL_DOC_LENGTH_HOMOGENEITY = """
+WITH c AS (
+  SELECT source, CAST(n_chars AS BIGINT) // 50 AS bin,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM documents GROUP BY 1, 2
+), tt AS (
+  SELECT bin, CAST(sum(obs) AS BIGINT) AS tot_bin FROM c GROUP BY 1
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+), j AS (
+  SELECT source, c.bin AS bin, obs, tot_bin, n_total,
+         CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS n_grp
+  FROM c JOIN tt USING (bin), nn
+), t AS (
+  SELECT source, n_grp,
+         CAST(round(CAST(obs * n_total - n_grp * tot_bin AS DOUBLE)
+                    * CAST(obs * n_total - n_grp * tot_bin AS DOUBLE)
+                    / CAST(n_total * n_grp * tot_bin AS DOUBLE)
+                    * 1000000.0, 0) AS BIGINT) AS tq
+  FROM j
+)
+SELECT source, max(n_grp) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       round(CAST(sum(tq) AS DOUBLE) / 1000000.0, 6) AS chi2
+FROM t GROUP BY 1 ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: the 55 queries NEW
@@ -7037,6 +7078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_score_zscore": _shipped(_q_doc_score_zscore),
         "events_psi": _shipped(_q_events_psi),
         "doc_gains_table": _shipped(_q_doc_gains_table),
+        "doc_length_homogeneity": _shipped(_q_doc_length_homogeneity),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -7212,6 +7254,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_score_zscore": _SQL_DOC_SCORE_ZSCORE,
         "events_psi": _SQL_EVENTS_PSI,
         "doc_gains_table": _SQL_DOC_GAINS,
+        "doc_length_homogeneity": _SQL_DOC_LENGTH_HOMOGENEITY,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

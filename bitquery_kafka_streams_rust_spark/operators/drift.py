@@ -495,3 +495,67 @@ def psi_bins(
         F.round(q9, out_dp).alias("cur_share"),
         F.round(term9, out_dp).alias("psi_term"),
     )
+
+
+def chi2_homogeneity(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    bin_width: int = 50,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Chi-square homogeneity test per group against the pooled
+    distribution of an integer-valued column ("do all sources share
+    the same length profile?") — the categorical-counts member of the
+    audit family next to Benford (digits), KS (two samples) and PSI
+    (two periods).
+
+    ``value_col`` bins by INTEGER division ``v div bin_width``
+    (engine-identical; no float floor).  Expected cell counts are the
+    rational ``n_group · tot_bin / N``, so each cell's term
+    ``(obs·N − n_group·tot_bin)² / (N·n_group·tot_bin)`` is one
+    division of exact long cross-products, quantized to a 1e6 grid
+    before the cross-bin sum (order-independent).  Overflow contract:
+    ``(obs·N)² < 2^63`` — fine to ~3e9 rows; widen ``bin_width`` or
+    pre-aggregate beyond that.
+
+    Shape: one (group, bin) exchange with map-side combine; bin totals
+    are bin-cardinality metadata BROADCAST back; N is a driver literal
+    (the heavy_hitters threshold convention — a 1-row frame would
+    constant-fold into the banned BNLJ); group sizes ride a
+    group-partitioned window over the ≤bins rows.
+
+    Output: (*group_cols, n, n_bins, chi2) — compare chi2 against the
+    (n_bins−1)·(n_groups−1) dof critical value downstream."""
+    group_cols = list(group_cols)
+    b = F.expr(f"CAST({value_col} AS BIGINT) div {int(bin_width)}").alias("bin")
+    counts = (
+        df.select(*group_cols, b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    totals = counts.groupBy("bin").agg(F.sum("obs").alias("tot_bin"))
+    n_total = int(df.count())  # metadata scalar, inlined as a literal
+    w_grp = Window.partitionBy(*group_cols)
+    joined = counts.join(F.broadcast(totals), "bin").withColumn(
+        "_n_grp", F.sum("obs").over(w_grp)
+    )
+    num = (
+        F.col("obs") * F.lit(n_total) - F.col("_n_grp") * F.col("tot_bin")
+    ).cast("double")
+    den = (
+        F.lit(n_total).cast("long") * F.col("_n_grp") * F.col("tot_bin")
+    ).cast("double")
+    tq = F.round(num * num / den * F.lit(1e6), 0).cast("long")
+    g = joined.groupBy(*group_cols).agg(
+        F.max("_n_grp").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(tq).alias("_st"),
+    )
+    return g.select(
+        *group_cols,
+        "n",
+        "n_bins",
+        F.round(F.col("_st").cast("double") / F.lit(1e6), out_dp).alias("chi2"),
+    )

@@ -172,3 +172,42 @@ def test_psi_flags_location_shift(spark):
     assert psi > 0.25  # "drifted" by the PSI rule of thumb
     # shares are proper distributions (clamped bins can nudge over 1)
     assert abs(sum(r["base_share"] for r in out) - 1.0) < 0.01
+
+
+def test_chi2_homogeneous_groups_small(spark):
+    from bitquery_kafka_streams_rust_spark.operators.drift import chi2_homogeneity
+
+    # two groups drawn from the identical value cycle -> chi2 ~ 0
+    rows = [("a", (v * 37) % 500) for v in range(1000)]
+    rows += [("b", (v * 37) % 500) for v in range(1000)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["source"]: r for r in
+           chi2_homogeneity(df, "n_chars", ["source"], bin_width=50).collect()}
+    assert out["a"]["chi2"] < 1.0 and out["b"]["chi2"] < 1.0
+    assert out["a"]["n"] == 1000
+
+
+def test_chi2_flags_divergent_group(spark):
+    from bitquery_kafka_streams_rust_spark.operators.drift import chi2_homogeneity
+
+    rows = [("short", v % 100) for v in range(500)]
+    rows += [("long", 400 + v % 100) for v in range(500)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = chi2_homogeneity(df, "n_chars", ["source"], bin_width=50).collect()
+    # disjoint supports: each cell is all-one-group -> chi2 = N per group
+    for r in out:
+        assert r["chi2"] > 100
+
+
+def test_chi2_matches_scipy_formula_by_hand(spark):
+    from bitquery_kafka_streams_rust_spark.operators.drift import chi2_homogeneity
+
+    # 2x2 table: a has 30 in bin0 / 10 in bin1; b has 10 / 30
+    rows = ([("a", 10)] * 30 + [("a", 60)] * 10
+            + [("b", 10)] * 10 + [("b", 60)] * 30)
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["source"]: r["chi2"] for r in
+           chi2_homogeneity(df, "n_chars", ["source"], bin_width=50).collect()}
+    # per-group halves of the classic chi2 = Σ (O-E)^2/E over the table:
+    # E = 20 everywhere, per-group sum = (10^2/20)*2 = 10
+    assert abs(out["a"] - 10.0) < 1e-6 and abs(out["b"] - 10.0) < 1e-6
