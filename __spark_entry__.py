@@ -7044,6 +7044,38 @@ FROM t GROUP BY 1 ORDER BY source
 """
 
 
+def _q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival gap profile (operators/timeseries.py
+    interarrival_stats): ONE key-partitioned lag window over integer
+    second gaps + one partial-combined aggregate; quantile outputs
+    6-dp rounded (percentiles parity precedent), mean from exact long
+    sums — the burstiness summary behind backpressure sizing."""
+    from bitquery_kafka_streams_rust_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return interarrival_stats(ev, "event_type", "ts").orderBy("event_type")
+
+
+_SQL_EVENTS_INTERARRIVAL = """
+WITH lagged AS (
+  SELECT event_type,
+         floor(epoch(ts)) - lag(floor(epoch(ts)))
+           OVER (PARTITION BY event_type
+                 ORDER BY floor(epoch(ts)), event_id) AS g
+  FROM events
+), gaps AS (SELECT event_type, CAST(g AS BIGINT) AS g FROM lagged WHERE g IS NOT NULL)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_gap_s,
+       round(quantile_cont(g, 0.5), 6) AS p50_gap_s,
+       round(quantile_cont(g, 0.95), 6) AS p95_gap_s,
+       CAST(max(g) AS BIGINT) AS max_gap_s
+FROM gaps GROUP BY 1 ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
     # FIRST ~50 entries only.  Round-5 rotation: the 55 queries NEW
@@ -7079,6 +7111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi": _shipped(_q_events_psi),
         "doc_gains_table": _shipped(_q_doc_gains_table),
         "doc_length_homogeneity": _shipped(_q_doc_length_homogeneity),
+        "events_interarrival": _shipped(_q_events_interarrival),
         "events_scd2_lookup": _shipped(_q_events_scd2_lookup),
         "events_ab_test": _shipped(_q_events_ab_test),
         "events_trend_ols": _shipped(_q_events_trend_ols),
@@ -7255,6 +7288,7 @@ def oracle_sql() -> dict[str, str]:
         "events_psi": _SQL_EVENTS_PSI,
         "doc_gains_table": _SQL_DOC_GAINS,
         "doc_length_homogeneity": _SQL_DOC_LENGTH_HOMOGENEITY,
+        "events_interarrival": _SQL_EVENTS_INTERARRIVAL,
         "doc_bm25_topk": _SQL_DOC_BM25,
         "events_hll_distinct": _SQL_EVENTS_HLL,
         "doc_hybrid_rrf": _SQL_DOC_HYBRID_RRF,

@@ -257,3 +257,40 @@ def seasonal_profile(
             "seasonal_index"
         ),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    id_col: str = "event_id",
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-key inter-arrival gap profile — the burstiness summary
+    behind backpressure sizing and rate-alert thresholds (the
+    reference's every-N windows assume steady arrival; this measures
+    how steady).  ONE key-partitioned lag window ordered by (ts, id)
+    produces integer second gaps; one partial-combined aggregate
+    yields n/mean (exact long sums) and the 6-dp-rounded p50/p95
+    (the events_percentiles parity precedent).
+
+    Output: (key, n_gaps, mean_gap_s, p50_gap_s, p95_gap_s,
+    max_gap_s)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.unix_timestamp(F.col(ts_col)), F.col(id_col)
+    )
+    uts = F.unix_timestamp(F.col(ts_col))
+    gaps = df.select(
+        F.col(key_col), (uts - F.lag(uts).over(w)).alias("_g")
+    ).where(F.col("_g").isNotNull())
+    g = F.col("_g")
+    return gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(
+            F.sum(g).cast("double") / F.count(F.lit(1)).cast("double"), out_dp
+        ).alias("mean_gap_s"),
+        F.round(F.percentile(g, 0.5), out_dp).alias("p50_gap_s"),
+        F.round(F.percentile(g, 0.95), out_dp).alias("p95_gap_s"),
+        F.max(g).alias("max_gap_s"),
+    )

@@ -93,3 +93,24 @@ def test_winsorize_clamps_bound_outlier_influence(spark):
     # one corrupt row moves the winsorized mean by < the p95 cutoff gap,
     # not by ~1e10 as it would move the raw mean
     assert abs(dirty["win_mean"] - clean["win_mean"]) < 5.0
+
+
+def test_interarrival_stats_hand_values(spark):
+    from bitquery_kafka_streams_rust_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+
+    # gaps for key g: 10, 20, 30, 100 -> mean 40, p50 25, max 100
+    vals = [0, 10, 30, 60, 160]
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), "g", 0.0)
+         for i, s in enumerate(vals)]
+        + [(99, dt.datetime(2024, 1, 1), "solo", 0.0)],
+        SCHEMA,
+    )
+    out = {r["event_type"]: r for r in
+           interarrival_stats(df, "event_type", "ts").collect()}
+    g = out["g"]
+    assert g["n_gaps"] == 4 and g["mean_gap_s"] == 40.0
+    assert g["p50_gap_s"] == 25.0 and g["max_gap_s"] == 100
+    assert "solo" not in out  # a single event has no gaps
