@@ -7078,7 +7078,7 @@ FROM gaps GROUP BY 1 ORDER BY event_type
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness sweep: it records the
-    # FIRST ~50 entries only.  Round-5 rotation: the 55 queries NEW
+    # FIRST ~50 entries only.  Round-5 rotation: the 59 queries NEW
     # this round (no driver record yet — the least-verified set) sit
     # right behind the flagship and claim the window; the 45 r01-r03
     # queries follow (judge-verified independently in r04), then the
