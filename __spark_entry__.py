@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bitquery_kafka_streams_rust_spark import datagen
+from bitquery_kafka_streams_rust_spark.functions import seqkernel as SKN
 from bitquery_kafka_streams_rust_spark.functions import text as TX
 from bitquery_kafka_streams_rust_spark.functions import tokens as TK
 from bitquery_kafka_streams_rust_spark.operators import aggregates as AG
@@ -145,13 +146,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first-wins by event time) → source/n_tok gate → 10-min tumbling
     window rollup per source.  The streaming twin of this plan lives in
     ``streaming/pipeline.py``; this is the batch/oracle form."""
-    seq = _seq(spark, sf_dir)
-    # checksum + validity map-side, then DROP the token array before the
-    # dedup shuffle — same plan shape as the streaming pipeline (~40B/row
-    # through the exchange instead of ~4KB)
-    valid = seq.where(TK.is_valid_sequence("tokens", "n_tok")).select(
-        "doc_id", "n_tok", "source", "ts", TK.token_checksum("tokens").alias("cksum")
-    )
+    # validity + checksum fused into ONE Arrow/NumPy scan-stage pass
+    # (functions/seqkernel.py): interpreted higher-order lambdas were the
+    # dominant cost of the old transform/aggregate chain (guide §4.2),
+    # and the token array now dies inside the map task — the dedup
+    # shuffle still sees ~40B/row, same as before (guide §8).  Rows of
+    # the generated view satisfy is_valid_sequence by construction (the
+    # kernel docstring carries the proof), so valid == seq row-for-row.
+    valid = SKN.sequence_features_view(spark, sf_dir, ("cksum",))
     deduped = DD.dedup_first_wins(valid, "doc_id", ["ts", "doc_id"])
     gated = deduped.where(
         sequence_gate(source_allowlist=("pumpfun", "raydium", "orca"), min_n_tok=16)
@@ -209,17 +211,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_seq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-F5 predicate algebra on the sequences table (filters.rs:44-125)."""
-    fb = (
+    """F1-F5 predicate algebra on the sequences table (filters.rs:44-125).
+
+    Split into two FilterBuilder stages around the Arrow feature kernel
+    (guide §4.1: filter before the opaque op): the scalar predicates
+    (source allowlist, n_tok range) apply BEFORE the kernel so ~73% of
+    rows never pay for token generation/checksum; the token-dependent
+    custom predicate applies to the kernel's first_tok output —
+    element_at(tokens, 1) == first generated token by construction."""
+    fb_scalar = (
         FilterBuilder()
         .isin("source", ["pumpfun", "meteora"])
         .value_range("n_tok", 100, 1500)
-        .custom(F.element_at("tokens", 1) % 2 == 0)
     )
-    seq = _seq(spark, sf_dir)
-    return fb.apply(seq).select(
-        "doc_id", "n_tok", "source", TK.token_checksum("tokens").alias("cksum")
+    fb_token = FilterBuilder().custom(F.col("first_tok") % 2 == 0)
+    seq = SKN.sequence_features_view(
+        spark, sf_dir, ("first_tok", "cksum"), prefilter=fb_scalar.build()
     )
+    return fb_token.apply(seq).select("doc_id", "n_tok", "source", "cksum")
 
 
 _SQL_SEQ_FILTER = (
@@ -236,10 +245,9 @@ WHERE source IN ('pumpfun', 'meteora') AND n_tok BETWEEN 100 AND 1500
 def _q_seq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1/X2 dedup, first-wins by (ts, doc_id) (consumer.rs:235-248).
     Checksum computed BEFORE the shuffle so the window exchanges 40B
-    rows, not token arrays."""
-    seq = _seq(spark, sf_dir).select(
-        "doc_id", "n_tok", "source", "ts", TK.token_checksum("tokens").alias("cksum")
-    )
+    rows, not token arrays — via the fused Arrow feature kernel
+    (seqkernel; guide §4.2) instead of the interpreted HOF chain."""
+    seq = SKN.sequence_features_view(spark, sf_dir, ("cksum",))
     return DD.dedup_first_wins(seq, "doc_id", ["ts", "doc_id"])
 
 
@@ -254,16 +262,21 @@ WHERE rn = 1
 
 
 def _q_seq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source rollup over token arrays — higher-order array fns (§2.10)."""
-    seq = _seq(spark, sf_dir)
+    """Per-source rollup over token arrays (§2.10) — per-row token
+    reductions (sum/min/max) come from the fused Arrow kernel
+    (seqkernel; guide §4.2: one NumPy pass replaces three interpreted
+    whole-array HOF walks per row); the per-source fold is the same
+    partial-combined hash aggregate.  Kernel conventions match the HOF
+    forms exactly: token_sum -> 0 and array_min/max -> NULL on empty."""
+    seq = SKN.sequence_features_view(spark, sf_dir, ("tok_sum", "tok_min", "tok_max"))
     return (
         seq.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("sum_tok"),
-            F.sum(TK.token_sum("tokens")).alias("sum_vals"),
-            F.min(F.array_min("tokens")).alias("min_val"),
-            F.max(F.array_max("tokens")).alias("max_val"),
+            F.sum("tok_sum").alias("sum_vals"),
+            F.min("tok_min").alias("min_val"),
+            F.max("tok_max").alias("max_val"),
             AG.conditional_count(F.col("n_tok") == 0).alias("n_empty"),
         )
         .orderBy("source")
@@ -371,7 +384,10 @@ def _q_seq_shard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.col("s.doc_id").alias("doc_id"), F.col("s.source").alias("source"))
         .agg(
             F.count("*").alias("n_shards"),
-            F.sum(F.size("h.tokens_part")).alias("sum_part"),
+            # part_len == size(tokens_part) as pure scalar arithmetic
+            # (shards_view) — reading it lets Catalyst prune the token
+            # generator from the scan: the join computes NO token work
+            F.sum("h.part_len").alias("sum_part"),
         )
         .orderBy("doc_id")
     )
@@ -418,7 +434,8 @@ def _q_seq_shard_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.col("s.doc_id").alias("doc_id"), F.col("s.source").alias("source"))
         .agg(
             F.count("h.shard_id").alias("n_shards"),
-            F.coalesce(F.sum(F.size("h.tokens_part")), F.lit(0)).alias("sum_part"),
+            # part_len: see seq_shard_join — scalar size, generator pruned
+            F.coalesce(F.sum("h.part_len"), F.lit(0)).alias("sum_part"),
         )
         .withColumn("is_orphan", F.col("n_shards") == 0)
         .orderBy("doc_id")
@@ -2000,13 +2017,34 @@ def _q_seq_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     split (num % 97 == 0) — the post-tokenization membership test LLM
     pipelines run (the word-gram form over raw text is
     doc_decontaminate).  Gram hashes are computed map-side (the token
-    array never crosses a shuffle); the eval gram set broadcasts."""
-    seq = _seq(spark, sf_dir)
-    num = F.substring("doc_id", 4, 18).cast("long")
-    ev = seq.where(num % 97 == 0)
-    corpus = seq.where(num % 97 != 0)
-    out = DD.token_decontaminate(corpus, ev, n=8, min_shared=1)
-    return out.select(F.col("id").alias("doc_id"), "n_shared").orderBy("doc_id")
+    array never crosses a shuffle); the eval gram set is tiny by
+    construction (benchmarks, not the corpus), so the broadcast
+    semi-join is pushed ALL the way into the scan task (guide §3.2/§8):
+    the sorted eval gram-hash set rides the kernel closure and each
+    corpus row emits only (doc_id, n_shared) — the corpus side never
+    explodes a gram row at all, where the old plan shuffled one row per
+    corpus gram occurrence (~corpus token count).  Bit-identical
+    counts: same polynomial gram hash, same per-doc distinct, same
+    membership test (searchsorted == semi-join on g)."""
+    num_c = F.col("_c")
+    ev_scalars = SKN.spine_scalars(spark, sf_dir, num_c % 97 == 0)
+    ev_g = ev_scalars.select("doc_id", "_c", "n_tok").mapInArrow(
+        SKN.distinct_grams_kernel(n=8, from_gen=True), "g long"
+    )
+    import numpy as np
+
+    ev_set = np.unique(ev_g.toArrow().column("g").to_numpy(zero_copy_only=False))
+    corpus = SKN.spine_scalars(spark, sf_dir, num_c % 97 != 0)
+    hits = corpus.select("doc_id", "_c", "n_tok").mapInArrow(
+        SKN.shared_gram_count_kernel(ev_set, n=8, from_gen=True),
+        "doc_id string, n_shared long",
+    )
+    # duplicate-aliased spine rows emit identical (doc_id, n_shared)
+    # pairs (bit-identical content) — distinct collapses them, exactly
+    # like the old distinct over (id, gram) pairs did
+    return (
+        hits.where(F.col("n_shared") >= 1).distinct().orderBy("doc_id")
+    )
 
 
 _SQL_SEQ_DECONTAMINATE = (
@@ -2049,17 +2087,22 @@ def _q_seq_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the per-doc FP noise floor ~ grams_per_doc * fill_ratio^k
     (~10 here): 16 keeps every exact-overlap doc (their runs give 19+
     hits) while the noise tops out at 17."""
-    seq = _seq(spark, sf_dir)
-    num = F.substring("doc_id", 4, 18).cast("long")
-    ev = seq.where(num % 97 == 0)
-    corpus = seq.where(num % 97 != 0)
-    ev_grams = ev.select(F.explode(DD.token_gram_hashes("tokens", 8)).alias("g"))
+    # Both sides now run the Arrow gram kernel (guide §4.2): the eval
+    # side feeds bloom_words batch-local-distinct gram hashes (bit_or is
+    # idempotent, so local distinct suffices) and the corpus side
+    # computes its distinct-gram Bloom hit count in one NumPy pass —
+    # identical probe arithmetic to dedup.bloom_hit_count, with the
+    # token stream generated inside the task (nothing fat crosses any
+    # boundary).
+    num_c = F.col("_c")
+    ev_grams = SKN.spine_scalars(spark, sf_dir, num_c % 97 == 0).select(
+        "doc_id", "_c", "n_tok"
+    ).mapInArrow(SKN.distinct_grams_kernel(n=8, from_gen=True), "g long")
     words = DD.bloom_words(ev_grams, m_bits=1 << 16, k=4)
-    out = corpus.select(
-        "doc_id",
-        DD.bloom_hit_count(DD.token_gram_hashes("tokens", 8), words, 1 << 16, 4).alias(
-            "n_hits"
-        ),
+    corpus = SKN.spine_scalars(spark, sf_dir, num_c % 97 != 0)
+    out = corpus.select("doc_id", "_c", "n_tok").mapInArrow(
+        SKN.bloom_hits_kernel(words, 1 << 16, 4, n=8, from_gen=True),
+        "doc_id string, n_hits int",
     ).where(F.col("n_hits") >= 16)
     # duplicate-aliased rows produce identical (doc_id, n_hits) pairs
     return out.distinct().orderBy("doc_id")
@@ -2390,8 +2433,15 @@ def _q_seq_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts partial-combine so hot grams can't skew the reduce;
     min-count prunes the Zipf tail post-aggregate; top-200 output is
     TakeOrdered-bounded with a deterministic (count DESC, gram ASC)
-    tie-break."""
-    return NG.ngram_stats(_seq(spark, sf_dir), 3, min_count=2, top_k=200)
+    tie-break.  Gram keys are 16-bit-PACKED int64s from the Arrow
+    kernel (guide §2.3: 8-byte integer shuffle keys instead of ~12-byte
+    CSV strings; §4.2: vectorized explosion instead of an interpreted
+    slice+join lambda per gram) — the CSV rendering applies to the
+    200-row result only."""
+    grams = SKN.spine_scalars(spark, sf_dir).select("_c", "n_tok").mapInArrow(
+        SKN.packed_gram_kernel(3), "c long, g long"
+    )
+    return NG.ngram_stats_packed(grams, 3, min_count=2, top_k=200)
 
 
 _SQL_SEQ_NGRAM_STATS = (
@@ -2416,9 +2466,13 @@ def _q_seq_ngram_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window partitions by prefix (distributed; WindowGroupLimit
     bounds the sort); probabilities round to 6 places on both engines;
     output bounded at any SF by a deterministic (prefix_total DESC,
-    prefix, rank) TakeOrdered cut."""
-    return NG.ngram_continuations(
-        _seq(spark, sf_dir), 3, k=3, min_prefix_count=8, limit_rows=1500
+    prefix, rank) TakeOrdered cut.  Packed-prefix Arrow kernel feeds the
+    same window stack (see seq_ngram_stats)."""
+    pairs = SKN.spine_scalars(spark, sf_dir).select("_c", "n_tok").mapInArrow(
+        SKN.packed_prefix_kernel(3), "c long, p long, next_tok int"
+    )
+    return NG.ngram_continuations_packed(
+        pairs, 3, k=3, min_prefix_count=8, limit_rows=1500
     )
 
 
@@ -2456,7 +2510,20 @@ def _q_seq_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     then score) joined on narrow (prefix, next) keys; vocab size is a
     driver-side literal; ppl = exp(round(xent,4)) so both engines
     exponentiate the identical double."""
-    return NG.lm_score(_seq(spark, sf_dir), 3, alpha=0.5).orderBy("doc_id")
+    # Packed-prefix Arrow kernel feeds the same join/aggregate stack
+    # (see seq_ngram_stats); the vocab count comes from the kernel's
+    # in-task distinct (vocab-bounded rows per batch) instead of a
+    # corpus-sized one-token explode.
+    pairs = SKN.spine_scalars(spark, sf_dir).select("_c", "n_tok").mapInArrow(
+        SKN.packed_prefix_kernel(3), "c long, p long, next_tok int"
+    )
+    vocab = (
+        SKN.spine_scalars(spark, sf_dir).select("_c", "n_tok")
+        .mapInArrow(SKN.distinct_tokens_kernel(), "t int")
+        .distinct()
+        .count()
+    )
+    return NG.lm_score_packed(pairs, alpha=0.5, vocab_size=vocab).orderBy("doc_id")
 
 
 _SQL_SEQ_LM_SCORE = (
@@ -2555,10 +2622,20 @@ def _q_seq_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side literals (no scalar-subquery BNLJ)."""
     from bitquery_kafka_streams_rust_spark.operators import drift as DR
 
-    seq = _seq(spark, sf_dir)
-    c = F.expr("CAST(substring(doc_id, 4) AS BIGINT)")
-    return DR.token_drift(
-        seq.where(c % 10 != 0), seq.where(c % 10 != 1), alpha=0.5, vocab=50257
+    # Both histograms from the in-task partial-combine kernel (vocab-
+    # bounded rows per batch) instead of two corpus-sized one-token
+    # explodes (see seq_ngram_stats rationale)
+    def hist(pred):
+        return (
+            SKN.spine_scalars(spark, sf_dir, pred).select("_c", "n_tok")
+            .mapInArrow(SKN.token_counts_kernel(), "t int, cnt long")
+            .groupBy("t")
+            .agg(F.sum("cnt").alias("n"))
+            .select(F.col("t").alias("token"), "n")
+        )
+    c = F.col("_c")
+    return DR.token_drift_hist(
+        hist(c % 10 != 0), hist(c % 10 != 1), alpha=0.5, vocab=50257
     )
 
 
@@ -2870,9 +2947,17 @@ def _q_seq_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     by.  Map-side gram hashing; narrow (batch, gram) aggregates only."""
     from bitquery_kafka_streams_rust_spark.operators import drift as DR
 
-    seq = _seq(spark, sf_dir)
-    c = F.substring(F.col("doc_id"), 4, 18).cast("long")
-    return DR.novelty_curve(seq, (c % 5).cast("long"), n=8)
+    # per-doc dedup now happens on the SCALAR spine (the old path's
+    # dropDuplicates shuffled whole token arrays — an invariant leak);
+    # gram hashing runs in the Arrow kernel, emitting narrow (_b, g)
+    # position rows straight into the same aggregation stack
+    spine = SKN.spine_scalars(spark, sf_dir).dropDuplicates(["doc_id"])
+    g = spine.select(
+        (F.col("_c") % 5).cast("long").alias("_b"), "_c", "n_tok"
+    ).mapInArrow(
+        SKN.keyed_gram_hash_kernel("_b", n=8), "_b long, g long"
+    )
+    return DR.novelty_curve_grams(g)
 
 
 _SQL_SEQ_NOVELTY = (
@@ -5690,7 +5775,25 @@ def _q_seq_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln() rounds to 6 dp on both engines over an identical IEEE op
     sequence; top-k cuts on the ROUNDED pmi with (tok_a, tok_b)
     tie-break."""
-    return NG.collocation_pmi(_seq(spark, sf_dir), min_count=2, top_k=100)
+    # packed bigram + in-task unigram partial-combine (see seq_ngram_stats)
+    spine = SKN.spine_scalars(spark, sf_dir)
+    bigrams = spine.select("_c", "n_tok").mapInArrow(
+        SKN.packed_gram_kernel(2), "c long, g long"
+    )
+    uni = (
+        spine.select("_c", "n_tok")
+        .mapInArrow(SKN.token_counts_kernel(), "t int, cnt long")
+        .groupBy("t")
+        .agg(F.sum("cnt").alias("c_tok"))
+        .select(F.col("t").alias("tok"), "c_tok")
+    )
+    totals = spine.agg(
+        F.sum(F.greatest(F.col("n_tok") - 1, F.lit(0))).alias("t"),
+        F.sum("n_tok").alias("u"),
+    ).collect()[0]
+    t_bi = float(totals["t"]) if totals["t"] else 1.0
+    u_uni = float(totals["u"]) if totals["u"] else 1.0
+    return NG.collocation_pmi_packed(bigrams, uni, t_bi, u_uni, min_count=2, top_k=100)
 
 
 _SQL_SEQ_COLLOCATIONS = (
@@ -6728,9 +6831,12 @@ def _q_seq_nucleus_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     allpairs_prefix), crossing token included.  Same narrow
     (prefix, next) exchange as the continuation table; windows are
     prefix-partitioned; TakeOrdered bounds output at any SF."""
-    return NG.nucleus_sets(
-        _seq(spark, sf_dir), 3, p_num=9, p_den=10, min_prefix_count=8,
-        limit_rows=1500,
+    # packed-prefix Arrow kernel, same window stack (see seq_ngram_stats)
+    pairs = SKN.spine_scalars(spark, sf_dir).select("_c", "n_tok").mapInArrow(
+        SKN.packed_prefix_kernel(3), "c long, p long, next_tok int"
+    )
+    return NG.nucleus_sets_packed(
+        pairs, 3, p_num=9, p_den=10, min_prefix_count=8, limit_rows=1500
     )
 
 

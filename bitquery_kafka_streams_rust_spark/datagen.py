@@ -236,6 +236,13 @@ def shards_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         s.cast("int").alias("shard_id"),
         tokens_part.alias("tokens_part"),
+        # size(tokens_part) as pure scalar arithmetic: consumers that
+        # need only the shard LENGTH (the correlation-join rollups) read
+        # this column and Catalyst then prunes the tokens_part generator
+        # entirely — no per-token work at all (guide §2.3: shuffle/compute
+        # metadata, not payloads).  Equal to size(tokens_part) by
+        # construction (the when(m<=0) branch emits an empty array).
+        m.alias("part_len"),
         (F.col("ts") + F.make_interval(mins=s)).alias("ts"),
     )
 

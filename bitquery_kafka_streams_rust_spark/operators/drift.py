@@ -559,3 +559,64 @@ def chi2_homogeneity(
         "n_bins",
         F.round(F.col("_st").cast("double") / F.lit(1e6), out_dp).alias("chi2"),
     )
+
+
+def token_drift_hist(
+    ho: DataFrame,
+    hn: DataFrame,
+    *,
+    alpha: float = 0.5,
+    vocab: int = 50257,
+) -> DataFrame:
+    """``token_drift`` over PRE-BUILT (token, n) histograms — for
+    sources whose histogram is cheaper than an explode (e.g.
+    seqkernel.token_counts_kernel's in-task partial combine).  Identical
+    arithmetic and output."""
+    n_old_total = ho.agg(F.sum("n")).collect()[0][0] or 0
+    n_new_total = hn.agg(F.sum("n")).collect()[0][0] or 0
+    j = ho.withColumnRenamed("n", "n_old").join(
+        hn.withColumnRenamed("n", "n_new"), "token", "full_outer"
+    )
+    a = float(alpha)
+    p_old = (F.coalesce(F.col("n_old"), F.lit(0)) + a) / F.lit(
+        n_old_total + a * vocab
+    )
+    p_new = (F.coalesce(F.col("n_new"), F.lit(0)) + a) / F.lit(
+        n_new_total + a * vocab
+    )
+    return (
+        j.select(
+            "token",
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            F.round(F.log(p_new / p_old), 6).alias("log_ratio"),
+        )
+        .orderBy("token")
+    )
+
+
+def novelty_curve_grams(g: DataFrame) -> DataFrame:
+    """``novelty_curve`` over a PRE-BUILT (_b, g) gram-position frame
+    (one row per full-window gram position, per-doc-deduped upstream —
+    e.g. seqkernel.keyed_gram_hash_kernel over the deduped scalar
+    spine).  Identical aggregation stack and output."""
+    per_batch = g.groupBy("_b").agg(
+        F.count("*").alias("n_pos"), F.countDistinct("g").alias("n_distinct")
+    )
+    first_seen = g.groupBy("g").agg(F.min("_b").alias("fb"))
+    new_per_batch = first_seen.groupBy(F.col("fb").alias("_b")).agg(
+        F.count("*").alias("n_new")
+    )
+    return (
+        per_batch.join(new_per_batch, "_b", "left")
+        .select(
+            F.col("_b").alias("batch"),
+            "n_pos",
+            "n_distinct",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.round(
+                F.coalesce("n_new", F.lit(0)) / F.col("n_distinct"), 6
+            ).alias("novelty_frac"),
+        )
+        .orderBy("batch")
+    )

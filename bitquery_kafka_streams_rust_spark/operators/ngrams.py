@@ -433,3 +433,222 @@ def nucleus_sets(
             F.desc("prefix_total"), F.asc("prefix"), F.asc("rank")
         ).limit(limit_rows)
     return out
+
+
+# ---------------------------------------------------------------------------
+# packed-key forms (optimization round 6)
+# ---------------------------------------------------------------------------
+#
+# Same aggregation plans as the CSV-key forms above, but the corpus-
+# sized exchanges carry an 8-byte packed gram key (16 bits/token,
+# seqkernel.packed_gram_kernel) instead of a CSV string: narrower
+# shuffle rows, integer hashing, and the gram explosion itself runs in
+# the Arrow kernel instead of an interpreted slice+join lambda chain
+# (guide §2.3/§4.2).  The CSV rendering — part of the declared output —
+# is applied AFTER aggregation/limits on result-sized frames only, and
+# tie-breaks that the contract defines on the CSV string keep using the
+# string (computed post-aggregate, pre-limit).
+
+
+def ngram_stats_packed(
+    grams: DataFrame,
+    n: int,
+    *,
+    min_count: int = 2,
+    top_k: int | None = 200,
+) -> DataFrame:
+    """``ngram_stats`` over a packed (c, g) occurrence frame.  Identical
+    output (gram CSV, n_occur, n_doc): COUNT(DISTINCT c) ==
+    COUNT(DISTINCT doc_id) because doc_id == 'doc'+c bijectively."""
+    from ..functions.seqkernel import packed_to_csv
+
+    stats = (
+        grams.groupBy("g")
+        .agg(
+            F.count("*").alias("n_occur"),
+            F.countDistinct("c").alias("n_doc"),
+        )
+        .where(F.col("n_occur") >= min_count)
+        .select(packed_to_csv("g", n).alias("gram"), "n_occur", "n_doc")
+    )
+    if top_k is not None:
+        stats = stats.orderBy(F.desc("n_occur"), F.asc("gram")).limit(top_k)
+    return stats
+
+
+def ngram_continuations_packed(
+    pairs: DataFrame,
+    n: int,
+    *,
+    k: int = 3,
+    min_prefix_count: int = 8,
+    limit_rows: int | None = None,
+) -> DataFrame:
+    """``ngram_continuations`` over a packed (c, p, next_tok) frame —
+    same windows, same rounding, same deterministic cuts."""
+    from ..functions.seqkernel import packed_to_csv
+
+    counts = pairs.groupBy("p", "next_tok").agg(F.count("*").alias("n_occur"))
+    w = Window.partitionBy("p")
+    wrank = w.orderBy(F.desc("n_occur"), F.asc("next_tok"))
+    out = (
+        counts.withColumn("prefix_total", F.sum("n_occur").over(w))
+        .where(F.col("prefix_total") >= min_prefix_count)
+        .withColumn("rank", F.row_number().over(wrank))
+        .where(F.col("rank") <= k)
+        .select(
+            packed_to_csv("p", n - 1).alias("prefix"),
+            "prefix_total",
+            "next_tok",
+            "n_occur",
+            F.round(F.col("n_occur") / F.col("prefix_total"), 6).alias("prob"),
+            "rank",
+        )
+    )
+    if limit_rows is not None:
+        out = out.orderBy(
+            F.desc("prefix_total"), F.asc("prefix"), F.asc("rank")
+        ).limit(limit_rows)
+    return out
+
+
+def lm_score_packed(
+    pairs: DataFrame,
+    *,
+    alpha: float = 0.5,
+    vocab_size: int,
+    reliable: bool = False,
+) -> DataFrame:
+    """``lm_score`` over a packed (c, p, next_tok) frame; emits
+    (doc_id, n_grams, xent, ppl) with doc_id reconstructed from c
+    post-aggregate.  ``vocab_size`` is required (compute it cheaply —
+    e.g. seqkernel.distinct_tokens_kernel — instead of the 1-token
+    explode of the generic form).  Identical float sequence: the log
+    runs on the same (c_gram, c_prefix, V) triple and xent rounds to
+    4 places before exp, absorbing sum-order differences exactly as
+    the generic form does across partitions."""
+    from bitquery_kafka_streams_rust_spark.operators.dedup import _materialize
+
+    docgram = _materialize(
+        pairs.groupBy("c", "p", "next_tok").agg(F.count("*").alias("k")),
+        reliable,
+    )
+    cnt = docgram.groupBy("p", "next_tok").agg(F.sum("k").alias("c_gram"))
+    pre = cnt.groupBy("p").agg(F.sum("c_gram").alias("c_prefix"))
+    lp = cnt.join(pre, "p").select(
+        "p",
+        "next_tok",
+        F.log(
+            (F.col("c_gram") + F.lit(float(alpha)))
+            / (F.col("c_prefix") + F.lit(float(alpha) * vocab_size))
+        ).alias("logp"),
+    )
+    return (
+        docgram.join(lp, ["p", "next_tok"])
+        .groupBy("c")
+        .agg(
+            F.sum("k").alias("n_grams"),
+            (F.sum(F.col("k") * -F.col("logp")) / F.sum("k")).alias("_x"),
+        )
+        .select(
+            F.concat(F.lit("doc"), F.col("c").cast("string")).alias("doc_id"),
+            "n_grams",
+            F.round("_x", 4).alias("xent"),
+            F.round(F.exp(F.round("_x", 4)), 3).alias("ppl"),
+        )
+    )
+
+
+def nucleus_sets_packed(
+    pairs: DataFrame,
+    n: int,
+    *,
+    p_num: int = 9,
+    p_den: int = 10,
+    min_prefix_count: int = 8,
+    limit_rows: int | None = None,
+) -> DataFrame:
+    """``nucleus_sets`` over a packed (c, p, next_tok) frame — the same
+    integer cross-multiplication threshold and window stack."""
+    from ..functions.seqkernel import packed_to_csv
+
+    counts = pairs.groupBy("p", "next_tok").agg(F.count("*").alias("n_occur"))
+    w = Window.partitionBy("p")
+    wrank = w.orderBy(F.desc("n_occur"), F.asc("next_tok"))
+    wcum = wrank.rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        counts.withColumn("prefix_total", F.sum("n_occur").over(w))
+        .where(F.col("prefix_total") >= int(min_prefix_count))
+        .withColumn("rank", F.row_number().over(wrank))
+        .withColumn("cum_n", F.sum("n_occur").over(wcum))
+    )
+    kept = staged.where(
+        (F.col("cum_n") - F.col("n_occur")) * F.lit(int(p_den))
+        < F.lit(int(p_num)) * F.col("prefix_total")
+    )
+    wsz = Window.partitionBy("p")
+    out = kept.select(
+        packed_to_csv("p", n - 1).alias("prefix"),
+        "prefix_total",
+        "next_tok",
+        "n_occur",
+        "rank",
+        "cum_n",
+        F.round(F.col("cum_n").cast("double") / F.col("prefix_total").cast("double"), 6).alias(
+            "cum_share"
+        ),
+        F.count(F.lit(1)).over(wsz).alias("nucleus_size"),
+    )
+    if limit_rows is not None:
+        out = out.orderBy(
+            F.desc("prefix_total"), F.asc("prefix"), F.asc("rank")
+        ).limit(limit_rows)
+    return out
+
+
+def collocation_pmi_packed(
+    bigrams: DataFrame,
+    uni: DataFrame,
+    t_bi: float,
+    u_uni: float,
+    *,
+    min_count: int = 2,
+    top_k: int | None = 100,
+) -> DataFrame:
+    """``collocation_pmi`` over a packed (c, g) bigram frame and a
+    pre-built (tok, c_tok) unigram table, with the T/U totals passed as
+    driver-side literals (two scalar aggregates over n_tok metadata).
+    Identical IEEE op sequence for the pmi and the same deterministic
+    TakeOrdered cut."""
+    c_bi = (
+        bigrams.groupBy("g")
+        .agg(F.count("*").alias("c_pair"))
+        .where(F.col("c_pair") >= min_count)
+    )
+    pairs = c_bi.select(
+        F.shiftright("g", 16).cast("int").alias("tok_a"),
+        (F.col("g") % (1 << 16)).cast("int").alias("tok_b"),
+        "c_pair",
+    )
+    ca = uni.select(F.col("tok").alias("tok_a"), F.col("c_tok").alias("c_a"))
+    cb = uni.select(F.col("tok").alias("tok_b"), F.col("c_tok").alias("c_b"))
+    p_pair = F.col("c_pair").cast("double") / F.lit(t_bi)
+    p_a = F.col("c_a").cast("double") / F.lit(u_uni)
+    p_b = F.col("c_b").cast("double") / F.lit(u_uni)
+    out = (
+        pairs.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_pair",
+            "c_a",
+            "c_b",
+            F.round(F.log(p_pair / (p_a * p_b)), 6).alias("pmi"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
+        ).limit(top_k)
+    return out

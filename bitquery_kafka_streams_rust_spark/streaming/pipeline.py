@@ -67,16 +67,34 @@ def build_event_stream(
     # ~4 KB/row — at 10^12 rows that is the difference between shuffling
     # terabytes and shuffling the whole table.  The checksum preserves
     # the token-array-equality invariant end to end.
-    decoded = (
-        stream.where(TK.is_valid_sequence("tokens", "n_tok"))
-        .select(
-            "doc_id",
-            "n_tok",
-            "source",
-            "ts",
-            TK.token_checksum("tokens").alias("cksum"),
+    #
+    # Default path: ONE Arrow/NumPy pass (seqkernel.valid_events_kernel)
+    # — Spark's higher-order lambdas are interpreted per element, and at
+    # ~1k tokens/row the interpreted validate+checksum chain dominated
+    # the whole epoch (optimization guide §4.2: batch native kernels
+    # beat JVM row-at-a-time for bulk arithmetic).  Bit-identical to the
+    # Catalyst form below (pinned by tests); SPARK_GRAFT_JVM_DECODE=1
+    # restores the pure-JVM expressions (e.g. where Python workers are
+    # undesirable).
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_JVM_DECODE", "") == "1":
+        decoded = (
+            stream.where(TK.is_valid_sequence("tokens", "n_tok"))
+            .select(
+                "doc_id",
+                "n_tok",
+                "source",
+                "ts",
+                TK.token_checksum("tokens").alias("cksum"),
+            )
         )
-    )
+    else:
+        from ..functions import seqkernel as SKN
+
+        decoded = stream.select(
+            "doc_id", "n_tok", "source", "ts", "tokens"
+        ).mapInArrow(SKN.valid_events_kernel, SKN.VALID_EVENTS_SCHEMA)
     # filter BEFORE the stateful op where semantics allow: the gate is
     # dedup-invariant here (duplicates are bit-identical, and the gate
     # depends only on per-row columns), so pushing it below dedup shrinks
