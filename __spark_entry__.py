@@ -132,8 +132,43 @@ _SHARDS = """
 """
 
 
+
+# Only tables whose queries do heavy PER-ROW compute (text regexes,
+# vector math) benefit: for cheap scan-agg tables (lineitem/orders/
+# events) the extra exchange costs more than the single-task scan it
+# parallelizes (measured: q1 0.31 -> 0.66 s with a forced repartition
+# at sf0.1).  Values are the per-task row budget fed to
+# datagen.ensure_parallel (sized so one task costs ~0.1-0.3 s).
+_TBL_PARALLEL = {"documents": 500, "embeddings": 100}
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table with adaptive scan parallelism: the driver
+    fixtures are ONE parquet row group per table, so a bare read gives
+    every query a single-task scan stage regardless of core count
+    (guide §2.5: unsplittable input — repartition immediately after the
+    read).  datagen.ensure_parallel is a no-op whenever the scan
+    already carries enough partitions (production many-file tables
+    never pay the exchange); small dimension tables (broadcast sides)
+    are left alone."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    rpt = _TBL_PARALLEL.get(name)
+    if rpt:
+        rows, parts = datagen.table_meta(sf_dir, name)
+        df = datagen.ensure_parallel(
+            df,
+            spark.sparkContext.defaultParallelism,
+            n_rows=rows,
+            rows_per_task=rpt,
+            scan_partitions=parts,
+        )
+    return df
+
+
 def _seq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return datagen.sequences_view(spark, sf_dir)
+    return datagen.sequences_view(
+        spark, sf_dir, min_parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -492,7 +527,7 @@ _SQL_SEQ_DECODE = _SEQ + f"SELECT doc_id, n_tok, {_CKSUM} AS cksum FROM seq"
 
 def _q_events_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1+F2+F4 composite on the events stream table."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     fb = (
         FilterBuilder()
         .event_types(["purchase", "click"])
@@ -512,7 +547,7 @@ WHERE event_type IN ('purchase', 'click') AND user_id >= 100
 
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 per-type rollup + market share + distinct users."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return AG.rollup_with_share(ev, "event_type", "value", user_col="user_id").orderBy("event_type")
 
 
@@ -530,7 +565,7 @@ FROM agg ORDER BY event_type
 
 def _q_events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 events/sec per tumbling hour per type."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return AG.rate_per_window(ev, "ts", 3600, by=["event_type"]).orderBy("win_start", "event_type")
 
 
@@ -545,7 +580,7 @@ def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 typed accessor over the dynamic JSON props column."""
     from bitquery_kafka_streams_rust_spark.operators.extract import json_accessor
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     k = json_accessor("props", "k", "key").cast("long")
     return (
         ev.select("event_id", k.alias("k"))
@@ -567,7 +602,7 @@ FROM x WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1
 
 def _q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 histogram summary: exact percentiles per event_type."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return AG.percentile_summary(ev, "value", by=["event_type"]).orderBy("event_type")
 
 
@@ -583,7 +618,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def _q_events_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 batch analog: ≤1 event per user per 10-min window (earliest wins)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     out = DD.dedup_within_window(ev, "user_id", "ts", 600, order_by=["ts", "event_id"])
     return out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
 
@@ -611,10 +646,10 @@ def _q_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
         F.col("c_mktsegment") == "BUILDING"
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+    o = _tbl(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-06-01")
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+    li = _tbl(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-06-01")
     )
     return (
@@ -706,8 +741,8 @@ def _q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     with customer attribution.  The aggregate-filter subplan reuses the
     lineitem scan; the qualifying-key set joins broadcast (it is
     selectivity-bounded), never as a correlated subquery."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     big = (
         li.groupBy("l_orderkey")
@@ -745,7 +780,7 @@ LIMIT 20
 
 def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-agg with 8 aggregates (§2.6)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -777,7 +812,7 @@ GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 def _q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 at scale: broadcast dims (customer/nation/region) onto orders,
     rollup revenue per region+status."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _tbl(spark, sf_dir, "orders")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
@@ -802,7 +837,7 @@ GROUP BY r_name, o_orderstatus ORDER BY r_name, o_orderstatus
 
 def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 at scale: allowlist as broadcast LEFT SEMI + blocklist LEFT ANTI."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     big = part.where(F.col("p_size") >= 40).select(F.col("p_partkey").alias("l_partkey"))
     fb = FilterBuilder()
@@ -836,7 +871,7 @@ def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced more than once, so each regexp runs exactly once per row
     (the one-select form repeated the 4 marker regexps inside every
     greatest/when reference)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     t = F.col("text")
     feats = docs.select(
         "doc_id",
@@ -924,7 +959,7 @@ FROM feat GROUP BY lang_pred ORDER BY lang_pred
 
 def _q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-content dedup via hash-groupBy (training-data op)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return (
         docs.groupBy(TX.fingerprint_md5(F.col("text")).alias("fp"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
@@ -948,7 +983,7 @@ def _q_doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     first).  Split labels ride the gram index map-side (pure function
     of the id); train grams equi-join on the gram key, never broadcast
     (corpus-sized, unlike decontaminate's tiny eval set)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return DD.split_leakage_report(
         docs,
         {"train": 0.9, "val": 0.05, "test": 0.05},
@@ -996,7 +1031,7 @@ def _q_doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses trivial variants).  Output: copies histogram PLUS the
     normalization's own effect — docs whose normalized form differs
     from the raw text."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id",
         TX.fingerprint_md5(TX.normalize_text(F.col("text"))).alias("fp"),
@@ -1032,7 +1067,7 @@ FROM g GROUP BY 1 ORDER BY 1
 
 def _q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector (ANN baseline)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return SIM.brute_force_topk(emb, queries, k=5).orderBy("q_id", "rank")
 
@@ -1096,7 +1131,7 @@ def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     before it (union-and-carry composition; no native ASOF in Spark)."""
     from bitquery_kafka_streams_rust_spark.operators.asof import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     buys = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("click_event_id")
@@ -1122,7 +1157,7 @@ def _q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     first(ignorenulls) over the following window."""
     from bitquery_kafka_streams_rust_spark.operators.asof import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -1183,7 +1218,7 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram of sessions-per-user."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     epoch = F.unix_timestamp(F.col("ts"))
     lag = F.lag(epoch).over(w)
@@ -1215,7 +1250,7 @@ def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     single groupBy, the three set sizes from one final aggregate (the
     union/intersect chain formulation re-scans the table per branch —
     7 scans and 8 shuffles vs 1 scan and 2 here)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     flags = (
         ev.where(F.col("event_type").isin("click", "purchase"))
         .groupBy("user_id")
@@ -1248,7 +1283,7 @@ ORDER BY kind
 
 def _q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 grouping sets: CUBE over returnflag × linestatus."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
@@ -1265,7 +1300,7 @@ ORDER BY l_returnflag, l_linestatus
 
 def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot linestatus into columns (conditional-agg equivalence)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
@@ -1285,7 +1320,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: polynomial rolling hash (JVM-side
     aggregate over chars), md5, hex prefix of the raw payload."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1312,7 +1347,7 @@ def _q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes stop-grams before the self-join (quadratic hot-key guard at
     100 TB); the fixture's max gram DF is 7, so pairs are unchanged,
     and the oracle mirrors the cap exactly."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     out = DD.ngram_jaccard_pairs(
         docs, threshold=0.3, hash_grams=False, max_gram_doc_freq=50
     )
@@ -1350,7 +1385,7 @@ def _q_doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection count, rounded to 6 dp on both engines before the
     threshold."""
     out = DD.ngram_containment_pairs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        _tbl(spark, sf_dir, "documents"),
         n=3,
         threshold=0.5,
         hash_grams=False,
@@ -1394,7 +1429,7 @@ def _q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-ROWS window; ties (ts, event_id)-deterministic."""
     from bitquery_kafka_streams_rust_spark.operators.timeseries import ewma
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return ewma(ev, "user_id", "ts", "value", window=16).select(
         "user_id", "event_id", "value", "ewma"
     ).orderBy("user_id", "event_id")
@@ -1425,7 +1460,7 @@ def _q_doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer DP — zero float surface, bit-identical on both engines."""
     from bitquery_kafka_streams_rust_spark.operators.fuzzy import fuzzy_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return fuzzy_pairs(
         docs, block_len=8, prefix_len=40, max_dist=5, max_block_size=1000
     ).orderBy("id_a", "id_b")
@@ -1454,7 +1489,7 @@ def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature extraction (stubbed decode, real Arrow batch path)."""
     from bitquery_kafka_streams_rust_spark import multimodal as MM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     media = MM.attach_payload(docs)
     return MM.extract_features(media).select(
         "doc_id", "byte_len", "width", "height", "n_frames", "ok"
@@ -1476,7 +1511,7 @@ def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal 1→N frame sampling via mapInPandas (UDTF shape)."""
     from bitquery_kafka_streams_rust_spark import multimodal as MM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return MM.frame_sample(MM.attach_payload(docs), every_n=10)
 
 
@@ -1612,7 +1647,7 @@ def _q_events_usd_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P4 accessor): per-tier counts and USD volume."""
     from bitquery_kafka_streams_rust_spark.operators import extract as EX
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     priced = ev.select(
         F.col("value").alias("amount_base"),
         (EX.json_double("props", "k")).alias("price"),
@@ -1647,7 +1682,7 @@ def _q_topic_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission counts."""
     from bitquery_kafka_streams_rust_spark import sources as SRC
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         F.concat(F.lit("topic_"), F.col("event_type")).alias("topic"), "event_id"
     )
     routed = SRC.route_topics(ev, {"topic_purchase": "buy", "topic_signup": "join"})
@@ -1720,7 +1755,7 @@ def _q_ids_base58(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant stays for binary addresses (test_encoding)."""
     from bitquery_kafka_streams_rust_spark.functions import encoding as ENC
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return ev.select(
         "event_id", ENC.base58_of_long("event_id").alias("b58")
     ).orderBy("event_id")
@@ -1747,7 +1782,7 @@ def _q_ids_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift/mask arithmetic in DuckDB."""
     from bitquery_kafka_streams_rust_spark.operators import layout as LAY
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     x = F.pmod(F.col("event_id"), F.lit(1024)).cast("long")
     y = F.pmod(F.col("user_id"), F.lit(1024)).cast("long")
     return ev.select(
@@ -1779,7 +1814,7 @@ def _q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct aggregation (count/sum/min/max re-aggregability)."""
     from bitquery_kafka_streams_rust_spark.operators import aggregates as AGG
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return AGG.rollup_cascade(
         ev, "ts", "value", by=("event_type",), levels=(60, 3600, 86400)
     ).orderBy("resolution_s", "bucket_start", "event_type")
@@ -1810,7 +1845,7 @@ def _q_events_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation the oracle uses, which sorts every history)."""
     from bitquery_kafka_streams_rust_spark.operators import cdc as CDC
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     log = ev.select(
         "user_id",
         F.unix_timestamp("ts").alias("ts_s"),
@@ -1861,7 +1896,7 @@ def _q_doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the incremental-recuration primitive (re-embed only what moved)."""
     from bitquery_kafka_streams_rust_spark.operators import cdc as CDC
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     old = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "source", "n_chars")
     new = docs.where(F.col("doc_id") % 10 != 1).select(
         "doc_id",
@@ -1904,7 +1939,7 @@ def _q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     long of state per key and is parity-tested in tests/test_cep.py)."""
     from bitquery_kafka_streams_rust_spark.operators import cep as CEP
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return CEP.followed_by(ev, "signup", "purchase", 600).orderBy("b_id")
 
 
@@ -1935,7 +1970,7 @@ def _q_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     of cep_followed_by, same one-window hash-partitioned shape."""
     from bitquery_kafka_streams_rust_spark.operators import cep as CEP
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     out = CEP.not_followed_by(ev, "signup", "purchase", 600)
     # nullable timestamp → epoch with -1 sentinel: the driver's value
     # compare treats NaT != NaT, so NULL timestamps can never hash-match
@@ -1977,7 +2012,7 @@ def _q_cep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier steps)) over the strictly-preceding frame."""
     from bitquery_kafka_streams_rust_spark.operators import cep as CEP
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return CEP.pattern_chain(
         ev, ["view", "click", "purchase"], [28800, 28800]
     ).orderBy("last_id")
@@ -2197,7 +2232,7 @@ def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_embeddings,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     out = quantize_embeddings(emb)
     return out.select(
         F.col("id").alias("vec_id"),
@@ -2249,7 +2284,7 @@ def _q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_interval_join,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     signups = ev.where(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_id"),
         F.col("ts").alias("start_ts"),
@@ -2292,7 +2327,7 @@ def _q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible."""
     from bitquery_kafka_streams_rust_spark.operators.sketches import heavy_hitters
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", mean_ratio=1.2).orderBy("user_id")
 
 
@@ -2322,7 +2357,7 @@ def _q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-25 priorities are the sample.  Plans as TakeOrderedAndProject
     (per-partition bounded heaps, no global sort); the oracle replays
     the identical draw by inlining the same hash + pow."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     out = SAMP.weighted_sample_exact(docs, "n_chars", 25, id_col="doc_id", seed=71)
     return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
 
@@ -2347,7 +2382,7 @@ def _q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     last activity."""
     from bitquery_kafka_streams_rust_spark.operators.timeseries import resample_ffill
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     out = resample_ffill(ev, "user_id", "ts", "value", 86400)
     return out.orderBy("user_id", "bucket_ts")
 
@@ -2380,7 +2415,7 @@ def _q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic PII payload is derived from doc_id by identical
     string arithmetic on both engines (the sequences-view convention);
     the compare hashes the scrubbed text via md5."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     did = F.col("doc_id")
     seg = lambda mod, *parts: F.when(  # noqa: E731
         did % mod == 0, F.concat(*parts)
@@ -2438,8 +2473,8 @@ def _q_seq_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV strings; §4.2: vectorized explosion instead of an interpreted
     slice+join lambda per gram) — the CSV rendering applies to the
     200-row result only."""
-    grams = SKN.spine_scalars(spark, sf_dir).select("_c", "n_tok").mapInArrow(
-        SKN.packed_gram_kernel(3), "c long, g long"
+    grams = datagen.exploded_packed_grams(
+        SKN.spine_scalars(spark, sf_dir), 3
     )
     return NG.ngram_stats_packed(grams, 3, min_count=2, top_k=200)
 
@@ -2468,9 +2503,7 @@ def _q_seq_ngram_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
     output bounded at any SF by a deterministic (prefix_total DESC,
     prefix, rank) TakeOrdered cut.  Packed-prefix Arrow kernel feeds the
     same window stack (see seq_ngram_stats)."""
-    pairs = SKN.spine_scalars(spark, sf_dir).select("_c", "n_tok").mapInArrow(
-        SKN.packed_prefix_kernel(3), "c long, p long, next_tok int"
-    )
+    pairs = datagen.exploded_packed_prefix(SKN.spine_scalars(spark, sf_dir), 3)
     return NG.ngram_continuations_packed(
         pairs, 3, k=3, min_prefix_count=8, limit_rows=1500
     )
@@ -2514,9 +2547,7 @@ def _q_seq_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see seq_ngram_stats); the vocab count comes from the kernel's
     # in-task distinct (vocab-bounded rows per batch) instead of a
     # corpus-sized one-token explode.
-    pairs = SKN.spine_scalars(spark, sf_dir).select("_c", "n_tok").mapInArrow(
-        SKN.packed_prefix_kernel(3), "c long, p long, next_tok int"
-    )
+    pairs = datagen.exploded_packed_prefix(SKN.spine_scalars(spark, sf_dir), 3)
     vocab = (
         SKN.spine_scalars(spark, sf_dir).select("_c", "n_tok")
         .mapInArrow(SKN.distinct_tokens_kernel(), "t int")
@@ -2566,7 +2597,7 @@ def _q_emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scale-invariant)."""
     from bitquery_kafka_streams_rust_spark.operators import drift as DR
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     old = emb.where(F.col("vec_id") % 10 != 0)
     new = emb.where(F.col("vec_id") % 10 != 1)
     return DR.centroid_drift(old, new)
@@ -2670,7 +2701,13 @@ def _q_seq_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; the island merge is a per-doc (never global) window."""
     from bitquery_kafka_streams_rust_spark.operators import spans as SP
 
-    return SP.dup_span_stats(_seq(spark, sf_dir), n=8, min_docs=2)
+    # kernel-built (c, pos, g) positions + packed aggregation (guide
+    # §2.3/§4.2): int keys through the frequency/join exchanges, doc_id
+    # reconstructed on the bounded output
+    spine = SKN.spine_scalars(spark, sf_dir)
+    pos = datagen.exploded_gram_positions(spine, 8)
+    lens = spine.groupBy(F.col("_c").alias("c")).agg(F.max("n_tok").alias("n_tok"))
+    return SP.dup_span_stats_packed(pos, lens, n=8, min_docs=2)
 
 
 _SQL_SEQ_DUP_SPANS = (
@@ -2726,7 +2763,9 @@ def _q_seq_dup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, all on 3-long rows."""
     from bitquery_kafka_streams_rust_spark.operators import spans as SP
 
-    return SP.dup_span_trim(_seq(spark, sf_dir), n=8, min_docs=2)
+    # scalar-spine form: dedup/semi/anti splits on scalars, gram
+    # positions + token explosion + untouched checksum in Arrow kernels
+    return SP.dup_span_trim_packed(SKN.spine_scalars(spark, sf_dir), n=8, min_docs=2)
 
 
 _SQL_SEQ_DUP_TRIM = (
@@ -2952,10 +2991,8 @@ def _q_seq_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram hashing runs in the Arrow kernel, emitting narrow (_b, g)
     # position rows straight into the same aggregation stack
     spine = SKN.spine_scalars(spark, sf_dir).dropDuplicates(["doc_id"])
-    g = spine.select(
-        (F.col("_c") % 5).cast("long").alias("_b"), "_c", "n_tok"
-    ).mapInArrow(
-        SKN.keyed_gram_hash_kernel("_b", n=8), "_b long, g long"
+    g = datagen.exploded_gram_positions(spine, 8).select(
+        (F.col("c") % 5).cast("long").alias("_b"), "g"
     )
     return DR.novelty_curve_grams(g)
 
@@ -3000,7 +3037,7 @@ def _q_events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest alert threshold, tagged with the highest tier they exceed
     (whale > 150, big > 100 on this table's value scale) — a map-side
     filter + CASE, pushed to the scan."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return (
         AG.threshold_alerts(ev, "value", {"whale": 150.0, "big": 100.0})
         .select("event_id", "value", "alert_tier")
@@ -3263,7 +3300,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, portable-hash variant (polynomial
     shingle/band hashes → the identical pipeline runs as the DuckDB
     oracle; the xxhash64 scale path keeps its own pytest)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(docs, threshold=0.4, portable=True).orderBy("id_a", "id_b")
 
 
@@ -3329,7 +3366,7 @@ def _q_doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered to pairs touching a changed doc."""
     from bitquery_kafka_streams_rust_spark.operators import cdc as CDC
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     old = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "source", "n_chars")
     new_meta = docs.where(F.col("doc_id") % 10 != 1).select(
         "doc_id",
@@ -3405,7 +3442,7 @@ def _q_doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha=0.7, budget=corpus size): per-source docs, rate (may exceed 1
     for upsampled tails) and realized output size under the
     deterministic stage-7 fractional draw."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     rs = SAMP.temperature_resample(docs, alpha=0.7)
     return (
         rs.groupBy("source")
@@ -3449,7 +3486,7 @@ def _q_doc_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once resume pinned in tests/test_neardup_stream.py."""
     from bitquery_kafka_streams_rust_spark.streaming import neardup as ND
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     probe = docs.where(F.col("doc_id") % 10 == 0)
     index = docs.where(F.col("doc_id") % 10 != 0)
     return ND.probe_index_batch(probe, index, threshold=0.4, portable=True).orderBy(
@@ -3509,7 +3546,7 @@ def _q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     five steps).  Edges are the portable MinHash pairs."""
     from bitquery_kafka_streams_rust_spark.operators import graph as GR
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(docs, threshold=0.4, portable=True)
     return GR.pagerank(pairs, n_iter=5)
 
@@ -3583,7 +3620,7 @@ SELECT id, round(pr, 6) AS pr FROM p5 ORDER BY id
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, portable 32-bit variant (oracle-checked;
     the 64-bit xxhash64 scale path keeps its own pytest)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return DD.simhash_near_dups(docs, max_hamming=6, portable=True).orderBy("id_a", "id_b")
 
 
@@ -3632,7 +3669,7 @@ def _q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic ±1000 integer lattice (similarity.py:63-85) — pure
     portable arithmetic, so the whole approximate index is replayed by
     the DuckDB oracle (recall vs exact top-k is pytest-bounded)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     return SIM.lsh_topk(emb, q, k=5, n_planes=6, n_probes=6).orderBy("q_id", "rank")
 
@@ -3677,7 +3714,7 @@ def _q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth — the metric an index-tuning loop optimizes.  Both sides share
     the rounded-cosine + (cos DESC, id ASC) tie-break, so the
     intersection is deterministic and the DuckDB oracle replays it."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     return SIM.ann_recall(emb, q, k=5, n_planes=6, n_probes=6)
 
@@ -3742,7 +3779,7 @@ def _q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment (zero shuffle on the corpus scan), 2-probe queries, exact
     cosine rank within probed cells.  The whole index is deterministic
     integer/double arithmetic, so the DuckDB oracle replays it."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     return SIM.ivf_topk(emb, q, k=5, n_cells=16, n_probe=2).orderBy("q_id", "rank")
 
@@ -3790,7 +3827,7 @@ def _q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash train/val/test split (sampling.hash_split):
     a pure map-side function of doc_id (Knuth multiplicative mix) — no
     shuffle, no RNG state, identical assignment at any cluster size."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     split = SAMP.hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
     return (
         split.groupBy("split")
@@ -3815,7 +3852,7 @@ def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sampling.stratified_sample_exact): hash-ordered row_number per
     stratum; WindowGroupLimit pushes the rank<=n filter below the sort
     so the shuffle carries O(n_strata*n) rows, not the corpus."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return (
         SAMP.stratified_sample_exact(docs, 20, strata_col="source", id_col="doc_id")
         .select("source", "doc_id", "n_chars")
@@ -3838,7 +3875,7 @@ def _q_doc_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed range sort on the mixing hash — rerun/cluster-size
     invariant, unlike ORDER BY rand().  Contract query takes the first
     100 (TakeOrdered); the export path keeps the full order."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return (
         SAMP.shuffle_order(docs, id_col="doc_id")
         .select("doc_id", SAMP.hash_frac(F.col("doc_id")).alias("pos"))
@@ -3858,7 +3895,7 @@ def _q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the signature; exact cosine verifies in-bucket.  The
     ±1000 integer lattice is portable arithmetic, so the DuckDB oracle
     replays the whole index."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     return DD.embedding_near_dups(emb, threshold=0.35, n_planes=4).orderBy("id_a", "id_b")
 
 
@@ -3893,7 +3930,7 @@ def _q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution — one join, no iteration.  Whole index is replayable
     arithmetic, so the DuckDB oracle reproduces every kept/dropped
     decision."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     return DD.semantic_dedup(emb, threshold=0.35, n_cells=16).orderBy("vec_id")
 
 
@@ -3934,7 +3971,7 @@ def _q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-row higher-order expressions — zero shuffle, zero Python —
     vs the explode+groupBy formulation that would shuffle
     words_per_doc x corpus rows."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     m = docs.select(
         "doc_id",
         TX.dup_word_frac(F.col("text")).alias("dup_word_frac"),
@@ -3991,7 +4028,7 @@ def _q_doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, never data.  ``target_shares=None`` derives the uniform
     shares inside that one metadata aggregate (no separate
     distinct-sources corpus pass)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     kept = SAMP.rebalance_to_mix(docs, None, total_budget=70000)
     return (
         kept.groupBy("source")
@@ -4026,7 +4063,7 @@ def _q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle inlines the identical bin/cutoff arithmetic; exact ntile
     stays pinned to this path by
     test_quality_buckets_hist_tracks_exact_ntile."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", TX.quality_score(F.col("text")).alias("quality")
     )
@@ -4095,7 +4132,7 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus); the corpus gram index joins map-side — cost
     O(corpus grams), never a pairwise doc join.  String grams here for
     the oracle; the scale path hashes them."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     ev = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return (
@@ -4129,7 +4166,7 @@ def _q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+groupBy per round over the PAIR set (metadata-scale next to
     the corpus), early-stopped on convergence; the DuckDB oracle
     replays connectivity with a recursive CTE."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(
         docs, threshold=0.3, hash_grams=False, max_gram_doc_freq=50
     )
@@ -4162,7 +4199,7 @@ def _q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     every column — the pre-training sanity sweep.  Exact distinct here
     (string-cast parity with the oracle); approx_count_distinct is the
     sketch path at scale."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return AG.profile_table(ev, ["event_id", "user_id", "event_type"]).orderBy("col_name")
 
 
@@ -4194,7 +4231,7 @@ def _q_doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle, zero Python — the plan that survives 100 TB.
     Reference analog: the scoring gate in
     src/processors/dex_processor.rs:179-223."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         TX.classifier_logit(F.col("text")).alias("logit"),
@@ -4239,7 +4276,7 @@ def _q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity is the driver-side IDF log (9 dp, both engines)."""
     from bitquery_kafka_streams_rust_spark.operators.retrieval import bm25_topk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return bm25_topk(docs, ["hash", "merge", "window"], k=25)
 
 
@@ -4298,8 +4335,8 @@ def _q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_fuse,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
+    emb = _tbl(spark, sf_dir, "embeddings")
     lex = add_rank(bm25_topk(docs, ["hash", "merge", "window"], k=30))
     dense = SIM.ivf_topk(
         emb, emb.where(F.col("vec_id") == 0), k=30, n_cells=16, n_probe=2
@@ -4448,7 +4485,7 @@ def _q_events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending event_id for determinism."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     w = Window.partitionBy("win", "event_type").orderBy(
         F.col("value").desc(), F.col("event_id").asc()
     )
@@ -4495,7 +4532,7 @@ def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     The summary explodes ONE 1-row aggregate — no global window."""
     from bitquery_kafka_streams_rust_spark.operators.funnel import funnel_counts
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"], horizon_s=3600)
 
 
@@ -4549,7 +4586,7 @@ def _q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     events-per-session — never corpus-wide."""
     from bitquery_kafka_streams_rust_spark.operators.funnel import top_session_paths
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return top_session_paths(ev, gap_s=1800, depth=3, k=10)
 
 
@@ -4590,7 +4627,7 @@ def _q_doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         importance_resample,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return importance_resample(docs, "src7", dim=64, keep_frac=0.3)
 
 
@@ -4652,7 +4689,7 @@ def _q_emb_rand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         random_projection,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     return random_projection(emb, out_dim=16, dim=64)
 
 
@@ -4712,7 +4749,7 @@ def _q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded count; the size side is broadcast."""
     from bitquery_kafka_streams_rust_spark.operators.funnel import retention_cohorts
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return retention_cohorts(ev, bucket_s=86400)
 
 
@@ -4753,7 +4790,7 @@ def _q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_sketch,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     sk = quantile_sketch(ev, "value", by="event_type", width=0.25, n_buckets=4096)
     return quantile_estimate(
         sk, (0.5, 0.9, 0.99), by="event_type", width=0.25
@@ -4795,7 +4832,7 @@ def _q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-exact arithmetic on identical inputs and cannot flip."""
     from bitquery_kafka_streams_rust_spark.operators.anomaly import mad_outliers
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return (
         mad_outliers(ev, "value", "event_type", k=3.0)
         .select("event_id", "event_type", "value", "med", "mad", "deviation")
@@ -4833,7 +4870,7 @@ def _q_doc_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same prefix as doc_pagerank's oracle)."""
     from bitquery_kafka_streams_rust_spark.operators import graph as GR
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(docs, threshold=0.4, portable=True)
     return GR.triangle_stats(pairs)
 
@@ -5027,7 +5064,7 @@ def _q_emb_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Spark-vs-libm log2 ulps both removed)."""
     from bitquery_kafka_streams_rust_spark.operators.retrieval import retrieval_eval
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     truth = SIM.brute_force_topk(emb, q, k=10)
     cand = SIM.ivf_topk(emb, q, k=10, n_cells=16, n_probe=2)
@@ -5117,7 +5154,7 @@ def _q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch against COUNT(DISTINCT) in the same output."""
     from bitquery_kafka_streams_rust_spark.operators.sketches import hll_distinct
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     est = hll_distinct(ev, "user_id", ["event_type"])
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_distinct")
@@ -5186,7 +5223,7 @@ def _q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-safe value changes under the (ts, event_id) total order."""
     from bitquery_kafka_streams_rust_spark.operators import cdc as CDC
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     dim = CDC.scd2_build(ev, ["user_id"], ["event_type"], ["ts", "event_id"])
     # the open-ended current run's NULL effective_to ships as nullable
     # epoch seconds: the driver comparator equates NULL floats, not
@@ -5235,7 +5272,7 @@ def _q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     last(ignorenulls) carry) — no interval explosion."""
     from bitquery_kafka_streams_rust_spark.operators import cdc as CDC
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     dim = CDC.scd2_build(
         ev.where(F.col("event_type").isin("signup", "error")),
         ["user_id"],
@@ -5289,7 +5326,7 @@ def _q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     six moments are partial-aggregable, assignment is a map-side
     expression; means/variances round to 9 dp before the z arithmetic
     and outputs to 6 dp on both engines (identical IEEE op sequence)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return AG.ab_test(ev, "user_id", "value", ["event_type"]).orderBy("event_type")
 
 
@@ -5338,7 +5375,7 @@ def _q_events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     to double, and replay one identical IEEE readout sequence."""
     from bitquery_kafka_streams_rust_spark.operators import regress as RG
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     pts = ev.select(
         "event_type",
         (F.unix_timestamp("ts") - F.lit(1704067200)).alias("x"),
@@ -5459,7 +5496,7 @@ def _q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the final rounded readout."""
     from bitquery_kafka_streams_rust_spark.operators import drift as DR
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     pts = ev.select(
         "event_type",
         F.unix_timestamp("ts").alias("x"),
@@ -5521,7 +5558,7 @@ def _q_events_cusum_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch side, the parity tests pin stream==batch."""
     from bitquery_kafka_streams_rust_spark.operators import drift as DR
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     pts = ev.select(
         "event_type",
         F.unix_timestamp("ts").alias("x"),
@@ -5579,7 +5616,7 @@ def _q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout."""
     from bitquery_kafka_streams_rust_spark.operators import pca as P
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     out = P.embedding_covariance(emb)
     return out.select(
         out["i"].cast("long").alias("i"),
@@ -5631,7 +5668,7 @@ def _q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anisotropic pytest fixture)."""
     from bitquery_kafka_streams_rust_spark.operators import pca as P
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     return P.pca_top_component(emb).orderBy("vec_id")
 
 
@@ -5777,9 +5814,7 @@ def _q_seq_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break."""
     # packed bigram + in-task unigram partial-combine (see seq_ngram_stats)
     spine = SKN.spine_scalars(spark, sf_dir)
-    bigrams = spine.select("_c", "n_tok").mapInArrow(
-        SKN.packed_gram_kernel(2), "c long, g long"
-    )
+    bigrams = datagen.exploded_packed_grams(spine, 2)
     uni = (
         spine.select("_c", "n_tok")
         .mapInArrow(SKN.token_counts_kernel(), "t int, cnt long")
@@ -5834,7 +5869,7 @@ def _q_doc_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is plain brute force.  All pruning/acceptance decisions are exact
     integer arithmetic (rational threshold, cross-multiplied) — floats
     appear only in the display-rounded jaccard column."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return DD.allpairs_prefix_jaccard(
         docs, n=3, threshold_num=3, threshold_den=10, hash_grams=False
     )
@@ -5871,7 +5906,7 @@ def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn-sized anti-join; the rollup is channel-bounded."""
     from bitquery_kafka_streams_rust_spark.operators.funnel import attribution
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return attribution(ev, lookback_s=7200)
 
 
@@ -5925,7 +5960,7 @@ def _q_doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs — order-independent and bit-equal in DuckDB."""
     from bitquery_kafka_streams_rust_spark.operators import evalmetrics as EM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     scored = docs.select(
         "source",
         TX.classifier_score(F.col("text")).alias("score"),
@@ -5991,7 +6026,7 @@ def _q_doc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a data-scale window."""
     from bitquery_kafka_streams_rust_spark.operators import evalmetrics as EM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     scored = docs.select(
         "lang",
         TX.classifier_score(F.col("text")).alias("score"),
@@ -6059,7 +6094,7 @@ def _q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout is an identical IEEE sequence in DuckDB."""
     from bitquery_kafka_streams_rust_spark.operators import timeseries as TS
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return TS.acf(ev, "event_type", "ts", "value", lags=(1, 2, 3)).orderBy(
         "event_type", "lag"
     )
@@ -6114,7 +6149,7 @@ def _q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     One percentile aggregate + one map-side-combined aggregate."""
     from bitquery_kafka_streams_rust_spark.operators import anomaly as AN
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return AN.winsorize_stats(ev, "value", "event_type").orderBy("event_type")
 
 
@@ -6154,8 +6189,14 @@ def _q_seq_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     every chunk of an aliased doc a guaranteed n_occ=2 group."""
     from bitquery_kafka_streams_rust_spark.operators import cdchunk as CC
 
-    seq = datagen.sequences_view(spark, sf_dir)
-    ch = CC.chunk_table(seq, w=8, boundary_bits=5)
+    # chunk table from the Arrow kernel (seqkernel.cdc_chunk_kernel —
+    # parity-pinned against chunk_table): one vectorized pass replaces
+    # the ~12 interpreted HOF walks per row, and the boundary carries
+    # only chunk-sized rows (guide §4.2)
+    ch = SKN.spine_scalars(spark, sf_dir).select("doc_id", "_c", "n_tok").mapInArrow(
+        SKN.cdc_chunk_kernel(w=8, boundary_bits=5),
+        "doc_id string, chunk_idx int, start int, chunk_len int, chunk_hash long",
+    )
     return CC.duplicate_chunks(ch).orderBy("chunk_len", "chunk_hash")
 
 
@@ -6250,7 +6291,7 @@ def _q_doc_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs after pii_scrub removes direct identifiers."""
     from bitquery_kafka_streams_rust_spark.operators import privacy as PV
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+    docs = _tbl(spark, sf_dir, "documents").withColumn(
         "len_band", F.floor(F.col("n_chars") / 100).cast("int")
     )
     return PV.k_anonymity(
@@ -6281,7 +6322,7 @@ def _q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfidf_topk_terms,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return tfidf_topk_terms(docs, k=5).orderBy("doc_id", "rk")
 
 
@@ -6328,7 +6369,7 @@ def _q_doc_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         reciprocal_best_match,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     pairs = fuzzy_pairs(
         docs, block_len=8, prefix_len=40, max_dist=5, max_block_size=1000
     )
@@ -6373,7 +6414,7 @@ def _q_events_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map-side-quantized c·ln(c) terms (round-the-libm-call + the
     integer-grid-sum doctrine — cross-item summation order cannot
     drift).  One (group, item) exchange + one group aggregate."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return AG.concentration(ev, "user_id", ["event_type"]).orderBy("event_type")
 
 
@@ -6411,7 +6452,7 @@ def _q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decimal STRING of round(|v|·1e6) exact longs — integer
     formatting is engine-identical where floor(log10) ulp-straddles at
     powers of ten; expected shares are 9-dp literals on both sides."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return AG.benford_digits(ev, "value", ["event_type"]).orderBy(
         "event_type", "digit"
     )
@@ -6455,7 +6496,7 @@ def _q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned windows — order-independent, bit-equal in DuckDB."""
     from bitquery_kafka_streams_rust_spark.operators import survival as SV
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    ev = _tbl(spark, sf_dir, "events").withColumn(
         "cohort", F.col("user_id") % 3
     )
     durs = SV.durations_to_event(
@@ -6541,7 +6582,7 @@ def _q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤|states| cells of a prev-row.  Counts exact; prob one division."""
     from bitquery_kafka_streams_rust_spark.operators.funnel import transition_matrix
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return transition_matrix(ev, "user_id", "ts", "event_type").orderBy(
         "prev_state", "state"
     )
@@ -6572,7 +6613,7 @@ def _q_events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction a rate monitor applies before CUSUM/EWMA thresholds."""
     from bitquery_kafka_streams_rust_spark.operators import timeseries as TS
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return TS.seasonal_profile(ev, "event_type", "ts", "value").orderBy(
         "event_type", "bucket"
     )
@@ -6610,7 +6651,7 @@ def _q_emb_label_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 9 dp before any comparison, margins quantize to a 1e6 grid
     before the per-label mean.  Map-side scoring, one metadata collect
     (labels × 64 sums), one partial-combined readout aggregate."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     return SIM.label_margin_eval(emb).orderBy("label")
 
 
@@ -6677,7 +6718,7 @@ def _q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal."""
     from bitquery_kafka_streams_rust_spark.operators.assoc import pair_rules
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return pair_rules(ev, "user_id", "event_type").orderBy(
         "antecedent", "consequent"
     )
@@ -6721,7 +6762,7 @@ def _q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitquery_kafka_streams_rust_spark.operators import regress as RG
     from bitquery_kafka_streams_rust_spark.operators.sampling import hash_frac
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     sided = ev.select(
         "event_type",
         "value",
@@ -6780,7 +6821,7 @@ def _q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     row share (zh has no marker set, so its row quantifies the 'und'
     fallback).  One narrow aggregate; the normalizer is a window over
     the ≤5 predictions per actual language."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     g = (
         docs.select(F.col("lang"), TX.detect_lang(F.col("text")).alias("pred"))
         .groupBy("lang", "pred")
@@ -6832,9 +6873,7 @@ def _q_seq_nucleus_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (prefix, next) exchange as the continuation table; windows are
     prefix-partitioned; TakeOrdered bounds output at any SF."""
     # packed-prefix Arrow kernel, same window stack (see seq_ngram_stats)
-    pairs = SKN.spine_scalars(spark, sf_dir).select("_c", "n_tok").mapInArrow(
-        SKN.packed_prefix_kernel(3), "c long, p long, next_tok int"
-    )
+    pairs = datagen.exploded_packed_prefix(SKN.spine_scalars(spark, sf_dir), 3)
     return NG.nucleus_sets_packed(
         pairs, 3, p_num=9, p_den=10, min_prefix_count=8, limit_rows=1500
     )
@@ -6880,7 +6919,7 @@ def _q_doc_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is neither anchor nor positive) — reproducible at any scale
     and restart, no RNG state.  Bucket top-3 is a bucket-partitioned
     WindowGroupLimit over metadata; join is broadcast."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(docs, threshold=0.4, portable=True)
     return SIM.contrastive_triplets(
         docs.select(F.col("doc_id").alias("id")), pairs, n_buckets=64
@@ -6930,7 +6969,7 @@ def _q_doc_score_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row readout."""
     from bitquery_kafka_streams_rust_spark.operators import evalmetrics as EM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "source", TX.classifier_score(F.col("text")).alias("score")
     )
@@ -6993,7 +7032,7 @@ def _q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-space drift score next to token_drift's KL."""
     from bitquery_kafka_streams_rust_spark.operators.drift import psi_bins
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     base = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
     return psi_bins(ev, "value", base, ["event_type"]).orderBy(
         "event_type", "bin"
@@ -7047,7 +7086,7 @@ def _q_doc_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_recall and integer-cross-product lift."""
     from bitquery_kafka_streams_rust_spark.operators import evalmetrics as EM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         "source",
@@ -7117,7 +7156,7 @@ def _q_doc_length_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's length distribution diverge from the pool"."""
     from bitquery_kafka_streams_rust_spark.operators.drift import chi2_homogeneity
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     return chi2_homogeneity(docs, "n_chars", ["source"], bin_width=50).orderBy(
         "source"
     )
@@ -7160,7 +7199,7 @@ def _q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         interarrival_stats,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return interarrival_stats(ev, "event_type", "ts").orderBy("event_type")
 
 

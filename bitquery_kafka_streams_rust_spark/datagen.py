@@ -47,14 +47,96 @@ def canon_id(doc_id):
     return F.when(doc_id % 100 == 99, doc_id - 1).otherwise(doc_id)
 
 
-def sequences_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ensure_parallel(
+    df: DataFrame,
+    max_parallelism: int | None,
+    n_rows: int | None = None,
+    rows_per_task: int | None = None,
+    scan_partitions: int | None = None,
+) -> DataFrame:
+    """Round-robin repartition a scan that arrived under-parallel (the
+    guide §2.5 unsplittable-input fix): the driver testdata is ONE
+    parquet row group per table, so every derivation otherwise runs in
+    a single task regardless of core count.  Adaptive twice over:
+
+    - the TARGET is sized from the work, not the machine: with
+      ``n_rows``/``rows_per_task`` given, target = clamp(ceil(rows /
+      rows_per_task), 1, max_parallelism) — a tiny input stays
+      single-task (an exchange would cost more than it buys, measured
+      on the kernel paths), a big one fans out to the cores;
+    - it is a NO-OP when the scan already carries >= target partitions
+      (production many-file tables never pay the extra exchange).
+
+    Round-robin is deterministic under retries (Spark sorts before
+    repartitioning, SPARK-23207); call this on the narrow PRE-DERIVATION
+    spine so fat derived columns never ride the exchange.  Pass
+    ``scan_partitions`` (e.g. the footer-estimated split count from
+    :func:`table_meta`) to avoid the df.rdd materialization — measured
+    ~0.3 s of driver-side plan work per call otherwise."""
+    if not max_parallelism:
+        return df
+    target = max_parallelism
+    if n_rows is not None and rows_per_task:
+        target = min(max_parallelism, -(-max(n_rows, 1) // rows_per_task))
+    if target <= 1:
+        return df
+    if scan_partitions is None:
+        scan_partitions = df.rdd.getNumPartitions()
+    if scan_partitions < target:
+        return df.repartition(target)
+    return df
+
+
+def table_meta(sf_dir: str, name: str) -> tuple[int, int]:
+    """(rows, estimated scan partitions) from parquet footers and file
+    sizes — no Spark job, no df.rdd materialization.  The partition
+    estimate mirrors Spark's split math coarsely (bytes /
+    maxPartitionBytes per file, min 1), which is all the no-op guard
+    needs.  Metadata only: nothing about query RESULTS is cached."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    max_part = int(_os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                                   str(32 * 1024 * 1024)))
+    path_glob = f"{sf_dir}/{name}.parquet"
+    rows = 0
+    parts = 0
+    for p in _glob.glob(path_glob) or _glob.glob(path_glob + "/*.parquet"):
+        try:
+            rows += _pq.ParquetFile(p).metadata.num_rows
+            parts += max(1, _os.path.getsize(p) // max_part)
+        except Exception:
+            return 0, 0  # unknown -> caller falls back to core-count target
+    return rows, parts
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    return table_meta(sf_dir, name)[0]
+
+
+def sequences_view(
+    spark: SparkSession, sf_dir: str, min_parallelism: int | None = None
+) -> DataFrame:
     """Sequences table derived from ``{sf_dir}/documents.parquet``.
 
     Output schema == schemas.SEQUENCES. All columns are deterministic
     functions of (doc_id, source); tokens of a duplicated doc are
     bit-identical to the original (token-array equality invariant).
+    ``min_parallelism``: see :func:`ensure_parallel` (applied to the
+    scalar doc spine BEFORE derivation, so the fat token arrays never
+    ride the exchange).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # ~1.5M tokens of interpreted HOF work per task (rows_per_task=1500)
+    rows, parts = table_meta(sf_dir, "documents") if min_parallelism else (None, None)
+    docs = ensure_parallel(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+        min_parallelism,
+        n_rows=rows,
+        rows_per_task=1500,
+        scan_partitions=parts,
+    )
     # bound reference, NOT F.col("doc_id"): the output column is also named
     # doc_id and Spark's lateral-column-alias resolution would shadow the input
     d = docs["doc_id"]
@@ -195,7 +277,9 @@ def write_spine_batches(
     return replicas * n_docs
 
 
-def shards_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shards_view(
+    spark: SparkSession, sf_dir: str, min_parallelism: int | None = None
+) -> DataFrame:
     """Shard stream for the stream-stream correlation join (J2).
 
     Each doc splits into 4 shards carrying a deterministic slice of its
@@ -203,7 +287,14 @@ def shards_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-alias rows emit no shards (one shard set per doc_id), and
     shard ts is offset by shard_id minutes (join-window test).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    rows, parts = table_meta(sf_dir, "documents") if min_parallelism else (None, None)
+    docs = ensure_parallel(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+        min_parallelism,
+        n_rows=rows,
+        rows_per_task=1500,
+        scan_partitions=parts,
+    )
     d = docs["doc_id"]  # bound ref; see sequences_view
     n_tok = (d * F.lit(40503) % F.lit(MAX_TOK)).cast("int")
     ts = F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=d % 86400)
@@ -448,4 +539,107 @@ def token_blocks_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c * 10).alias("slot"),
         (F.to_timestamp(F.lit(EPOCH)) + F.make_interval(secs=c % 86400)).alias("ts"),
         txs.alias("transactions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exploded position/gram tables via SCALAR codegen (optimization round 6)
+# ---------------------------------------------------------------------------
+#
+# For EXPLODED outputs (one row per token/gram position) the Arrow
+# kernel route pays serialization on the full exploded volume, while
+# tokens of this generator are position-computable: explode a plain
+# integer sequence() and derive the token/gram value as a whole-stage-
+# codegen'd SCALAR expression — no arrays, no lambdas, no Python
+# (measured 3-4x faster than the kernel emit and ~3x faster than the
+# interpreted transform+posexplode chain at sf0.1).  Kernels stay the
+# right tool for per-row REDUCTIONS (checksums, hit counts) and for
+# real stored token arrays; these builders are the generator-fused
+# explosion twins.  All arithmetic is term-for-term the sequences_view
+# formula, so values are bit-identical.
+
+
+def gen_token_at(c, pos0):
+    """Token value of canon doc ``c`` at 0-based position ``pos0`` —
+    the scalar form of the sequences_view element formula."""
+    return (c * F.lit(K1) + pos0.cast("long") * F.lit(K2)) % F.lit(VOCAB_SIZE)
+
+
+def exploded_token_positions(spine: DataFrame) -> DataFrame:
+    """(c, pos, token): one row per 1-based token position, from the
+    scalar spine (needs columns _c, n_tok)."""
+    c = F.col("c")
+    pos = F.col("pos")
+    return (
+        spine.where(F.col("n_tok") > 0)
+        .select(
+            F.col("_c").alias("c"),
+            F.explode(F.sequence(F.lit(1).cast("int"), F.col("n_tok"))).alias("pos"),
+        )
+        .select("c", pos.cast("long").alias("pos"),
+                gen_token_at(c, pos - 1).alias("token"))
+    )
+
+
+def exploded_gram_positions(
+    spine: DataFrame, n: int = 8, base: int = 313, mod: int = 2147483647
+) -> DataFrame:
+    """(c, pos, g): one row per 1-based full-window gram start with the
+    rolling polynomial hash, as a folded scalar expression (every
+    partial sum stays < mod + 2^47: int64-safe)."""
+    c = F.col("c")
+    pos = F.col("pos")
+    g = F.lit(0).cast("long")
+    for k in range(n):
+        g = (g + gen_token_at(c, pos + F.lit(k - 1)) * F.lit(pow(base, n - 1 - k, mod))) % F.lit(mod)
+    return (
+        spine.where(F.col("n_tok") >= n)
+        .select(
+            F.col("_c").alias("c"),
+            F.explode(
+                F.sequence(F.lit(1).cast("int"), F.col("n_tok") - (n - 1))
+            ).alias("pos"),
+        )
+        .select("c", pos.cast("long").alias("pos"), g.alias("g"))
+    )
+
+
+def exploded_packed_grams(spine: DataFrame, n: int) -> DataFrame:
+    """(c, g): one row per n-gram occurrence with the 16-bit-packed gram
+    key (seqkernel.packed_gram_kernel's pairing), as scalar codegen."""
+    c = F.col("c")
+    pos = F.col("pos")
+    g = F.lit(0).cast("long")
+    for k in range(n):
+        g = g * F.lit(1 << 16) + gen_token_at(c, pos + F.lit(k - 1))
+    return (
+        spine.where(F.col("n_tok") >= n)
+        .select(
+            F.col("_c").alias("c"),
+            F.explode(
+                F.sequence(F.lit(1).cast("int"), F.col("n_tok") - (n - 1))
+            ).alias("pos"),
+        )
+        .select("c", g.alias("g"))
+    )
+
+
+def exploded_packed_prefix(spine: DataFrame, n: int) -> DataFrame:
+    """(c, p, next_tok): one row per n-gram occurrence — packed
+    (n-1)-token prefix plus the following token, as scalar codegen."""
+    c = F.col("c")
+    pos = F.col("pos")
+    p = F.lit(0).cast("long")
+    for k in range(n - 1):
+        p = p * F.lit(1 << 16) + gen_token_at(c, pos + F.lit(k - 1))
+    nx = gen_token_at(c, pos + F.lit(n - 2)).cast("int")
+    return (
+        spine.where(F.col("n_tok") >= n)
+        .select(
+            F.col("_c").alias("c"),
+            F.explode(
+                F.sequence(F.lit(1).cast("int"), F.col("n_tok") - (n - 1))
+            ).alias("pos"),
+        )
+        .select("c", p.alias("p"), nx.alias("next_tok"))
     )

@@ -276,12 +276,21 @@ def spine_scalars(spark, sf_dir: str, prefilter=None):
     """The scalar spine frame (doc_id, n_tok, source, ts, _c) shared by
     the generator-fused kernels; ``_c`` is the canon id the token
     formula derives from.  ``prefilter`` (over these columns) applies
-    before any kernel so pruned rows cost nothing (guide §4.1)."""
+    before any kernel so pruned rows cost nothing (guide §4.1).  The
+    spine is adaptively repartitioned (datagen.ensure_parallel) so the
+    kernels parallelize even off a one-row-group testdata file."""
     from pyspark.sql import functions as F
 
     from .. import datagen
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    rows, parts = datagen.table_meta(sf_dir, "documents")
+    docs = datagen.ensure_parallel(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+        spark.sparkContext.defaultParallelism,
+        n_rows=rows,
+        rows_per_task=20_000,  # ~20M generated tokens per NumPy task
+        scan_partitions=parts,
+    )
     d = docs["doc_id"]
     c = datagen.canon_id(d)
     source = (
@@ -571,5 +580,283 @@ def keyed_gram_hash_kernel(key_col: str, n: int = 8, base: int = 313,
                  pa.array(g, type=pa.int64())],
                 names=[key_col, "g"],
             )
+
+    return fn
+
+
+def gram_positions_kernel(n: int = 8, base: int = 313, mod: int = P31,
+                          from_gen: bool = True):
+    """mapInArrow kernel: spine scalars -> (c, pos, g) one row per
+    full-window gram position (1-based pos) — the NumPy twin of
+    spans.gram_positions, with the canon doc NUMBER as the key (narrower
+    exchange than the doc_id string; doc_id == 'doc'+c reconstructs
+    post-aggregate)."""
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            flat, rid, pos, starts, lengths, _nulls = _batch_tokens(batch, from_gen)
+            c = batch.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+            win_idx = np.flatnonzero(pos <= (lengths[rid] - n))
+            coeffs = [pow(base, n - 1 - k, mod) for k in range(n)]
+            g = np.zeros(len(win_idx), dtype=np.int64)
+            for k, ck in enumerate(coeffs):
+                g = (g + flat[win_idx + k] * ck) % mod
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c[rid[win_idx]], type=pa.int64()),
+                 pa.array(pos[win_idx] + 1, type=pa.int64()),
+                 pa.array(g, type=pa.int64())],
+                names=["c", "pos", "g"],
+            )
+
+    return fn
+
+
+def token_positions_kernel(from_gen: bool = True):
+    """mapInArrow kernel: spine scalars -> (c, pos, token) — the
+    posexplode twin for the span-trim path, generated in-task."""
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            flat, rid, pos, starts, lengths, _nulls = _batch_tokens(batch, from_gen)
+            c = batch.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c[rid], type=pa.int64()),
+                 pa.array(pos + 1, type=pa.int64()),
+                 pa.array(flat, type=pa.int64())],
+                names=["c", "pos", "token"],
+            )
+
+    return fn
+
+
+def gen_cksum_mod_kernel(mod: int):
+    """mapInArrow kernel: (doc_id, n_tok, _c) -> (doc_id, n_tok, cksum)
+    with cksum = sum((i+1) * token_i) mod ``mod`` (0 for empty rows) —
+    the weighted-sum checksum shape under a caller-chosen modulus (the
+    span-trim family uses 2^31 - 1)."""
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            c = batch.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+            rid, pos, starts = _flat_positions(n)
+            flat = (c[rid] * K1 + pos * K2) % VOCAB_SIZE
+            s = _segment_reduce(np.add, (pos + 1) * flat, starts, n, 0)
+            s %= mod
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), batch.column("n_tok"),
+                 pa.array(s, type=pa.int64())],
+                names=["doc_id", "n_tok", "cksum"],
+            )
+
+    return fn
+
+
+def adjacent_pair_counts_kernel():
+    """mapInArrow kernel: (tokens) -> batch-local (l, r, cnt) adjacent-
+    pair counts (BPE counting stage; overlapping occurrences count, the
+    classical convention).  Rows shorter than 2 contribute nothing.
+    Token ids may exceed the base vocab (BPE mint ids), so the pack is
+    l*2^32 + r — exact for any int32 ids."""
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            flat, rid, pos, starts, lengths, _nulls = _list_column(batch, "tokens")
+            if flat.size < 2:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=pa.int32()), pa.array([], type=pa.int32()),
+                     pa.array([], type=pa.int64())],
+                    names=["l", "r", "cnt"],
+                )
+                continue
+            mask = rid[:-1] == rid[1:]  # pair stays within one row
+            key = flat[:-1][mask] * np.int64(2**32) + flat[1:][mask]
+            uk, cnt = np.unique(key, return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array((uk >> 32).astype(np.int32), type=pa.int32()),
+                 pa.array((uk & 0xFFFFFFFF).astype(np.int32), type=pa.int32()),
+                 pa.array(cnt.astype(np.int64), type=pa.int64())],
+                names=["l", "r", "cnt"],
+            )
+
+    return fn
+
+
+_CDC_KNUTH = 2654435761
+_CDC_MOD = 2**31
+
+
+def _cdc_avalanche(x: np.ndarray, stage_salt: int) -> np.ndarray:
+    """NumPy twin of cdchunk._avalanche: XOR stage salt -> Knuth
+    multiply -> two xorshift-multiply rounds, all mod 2^31 — identical
+    int64 arithmetic (inputs nonnegative < 2^31)."""
+    h = ((x ^ stage_salt) % _CDC_MOD) * _CDC_KNUTH % _CDC_MOD
+    for sh in (13, 17):
+        h = (h ^ (h >> sh)) * _CDC_KNUTH % _CDC_MOD
+    return h
+
+
+def cdc_chunk_kernel(w: int = 8, boundary_bits: int = 5,
+                     base: int = 313, mod: int = P31,
+                     stage_salt: int = 13 * 0x9E3779B9,
+                     from_gen: bool = True):
+    """mapInArrow kernel: spine scalars (or tokens) -> one row per
+    content-defined chunk (doc_id, chunk_idx, start, chunk_len,
+    chunk_hash) — the NumPy twin of cdchunk.chunk_table, term for term:
+    rolling base-313 window hash, stage-13 avalanche, sparse-residue
+    cuts (+ forced end-of-doc cut), offset-weighted avalanched chunk
+    fingerprints.  The interpreted form walks ~12 HOF lambda passes per
+    row; this is one vectorized pass, and the output is chunk-sized
+    (~n/2^boundary_bits rows), so the Arrow boundary carries little."""
+    mask = (1 << boundary_bits) - 1
+
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            flat, rid, pos, starts, lengths, _nulls = _batch_tokens(batch, from_gen)
+            doc_id = batch.column("doc_id")
+            n_rows = batch.num_rows
+            # window hashes (start index i covers i..i+w-1), avalanched
+            win_idx = np.flatnonzero(pos <= (lengths[rid] - w))
+            coeffs = [pow(base, w - 1 - k, mod) for k in range(w)]
+            hsh = np.zeros(len(win_idx), dtype=np.int64)
+            for k, ck in enumerate(coeffs):
+                hsh = (hsh + flat[win_idx + k] * ck) % mod
+            hsh = _cdc_avalanche(hsh, stage_salt)
+            # cut end-positions (1-based within row): p = pos_in_row + w
+            is_cut = (hsh & mask) == 0
+            cut_flat = win_idx[is_cut]
+            cut_rid = rid[cut_flat]
+            cut_p = pos[cut_flat] + w           # 1-based end position
+            # append the end-of-doc cut for every non-empty row whose
+            # last cut (if any) is not already n
+            nz = np.flatnonzero(lengths > 0)
+            last_cut = np.zeros(n_rows, dtype=np.int64)
+            np.maximum.at(last_cut, cut_rid, cut_p)  # cuts are increasing per row
+            need_end = nz[last_cut[nz] != lengths[nz]]
+            all_rid = np.concatenate([cut_rid, need_end])
+            all_end = np.concatenate([cut_p, lengths[need_end]])
+            order = np.lexsort((all_end, all_rid))
+            crid = all_rid[order]
+            cend = all_end[order]
+            # chunk starts: 0 for the first chunk of a row, else prev end
+            first = np.ones(crid.size, dtype=bool)
+            first[1:] = crid[1:] != crid[:-1]
+            cstart = np.empty_like(cend)
+            cstart[first] = 0
+            cstart[~first] = cend[:-1][~first[1:]] if crid.size else cend[:0]
+            # chunk_idx: running index within row
+            idx = np.arange(crid.size, dtype=np.int64)
+            row_first_idx = np.maximum.accumulate(np.where(first, idx, 0))
+            chunk_idx = idx - row_first_idx + 1
+            # offset-weighted fingerprint via prefix-sum difference:
+            # sum_{j in [s,e)} flat[j]*(j+1-s)  (j 0-based within row)
+            #   = [reduceat of flat*(pos+1)] - s * [reduceat of flat]
+            gstart = starts[crid] + cstart      # global flat index of chunk start
+            glen = cend - cstart
+            w1 = flat * (pos + 1)
+            s1 = _segment_reduce(np.add, w1, gstart, glen, 0)
+            s0 = _segment_reduce(np.add, flat, gstart, glen, 0)
+            fp = (s1 - cstart * s0) % mod
+            fp = _cdc_avalanche(fp, stage_salt)
+            yield pa.RecordBatch.from_arrays(
+                [doc_id.take(pa.array(crid, type=pa.int64())),
+                 pa.array(chunk_idx.astype(np.int32), type=pa.int32()),
+                 pa.array((cstart + 1).astype(np.int32), type=pa.int32()),
+                 pa.array(glen.astype(np.int32), type=pa.int32()),
+                 pa.array(fp, type=pa.int64())],
+                names=["doc_id", "chunk_idx", "start", "chunk_len", "chunk_hash"],
+            )
+
+    return fn
+
+
+def _string_codes(arr: pa.Array):
+    """(codes int64 flat, starts, lengths) of a string column — char
+    CODEPOINTS, matching Spark ascii()/DuckDB ascii() per character.
+    ASCII fast path reads the UTF-8 buffer directly (byte == codepoint);
+    any non-ASCII byte falls back to per-row ord() decoding so the
+    kernel stays correct on arbitrary text."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    lo = arr.offset
+    offsets = buf_off[lo:lo + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lengths = offsets[1:] - offsets[:-1]
+    seg = data[offsets[0]:offsets[-1]]
+    if seg.size == 0 or (seg < 0x80).all():
+        rid, pos, starts = _flat_positions(lengths)
+        flat = data[np.repeat(offsets[:-1], lengths) + pos].astype(np.int64)
+        return flat, starts, lengths
+    # non-ASCII fallback: decode row by row (codepoint semantics)
+    texts = arr.to_pylist()
+    lengths = np.array([0 if t is None else len(t) for t in texts], dtype=np.int64)
+    flat = np.fromiter(
+        (ord(ch) for t in texts if t for ch in t), dtype=np.int64,
+        count=int(lengths.sum()),
+    )
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    return flat, starts, lengths
+
+
+def minhash_sig_kernel(num_hashes: int = 64, k: int = 5,
+                       base: int = 313, mod: int = P31,
+                       prime: int = 4294967311):
+    """mapInArrow kernel: (id, text) -> (id, sig array<long>) — the
+    PORTABLE MinHash signature (dedup.minhash_signature portable=True)
+    in one vectorized pass: char-code k-shingle polynomial hashes, then
+    per-slot minima of the large-multiplier universal hash family.  The
+    interpreted form pays |shingles| x num_hashes lambda steps per doc;
+    here each of the num_hashes permutations is one whole-batch
+    multiply-add + segmented min.  min over the shingle MULTISET equals
+    min over the distinct set, so no distinct pass is needed.  Values
+    are bit-identical (same coefficients, same modulus, int64-exact:
+    x < 2^31 times max multiplier ~2.66e9 stays < 2^63)."""
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column("id")
+            flat, starts, lengths = _string_codes(batch.column("text"))
+            n_rows = batch.num_rows
+            rid, pos, _ = _flat_positions(lengths)
+            # shingle hashes: k-window poly for rows len>=k, whole-string
+            # Horner for 0<len<k (the _shingles convention; len==0 rows
+            # hash the empty fold = 0 via the short path: _shingles wraps
+            # text of length 0 as one whole-string gram too)
+            win_idx = np.flatnonzero(pos <= (lengths[rid] - k))
+            coeffs = [pow(base, k - 1 - j, mod) for j in range(k)]
+            g = np.zeros(len(win_idx), dtype=np.int64)
+            for j, cj in enumerate(coeffs):
+                g = (g + flat[win_idx + j] * cj) % mod
+            g_rid = rid[win_idx]
+            short = np.flatnonzero(lengths < k)
+            if short.size:
+                sh = np.zeros(short.size, dtype=np.int64)
+                slen = lengths[short]
+                sstart = starts[short]
+                mx = int(slen.max()) if short.size else 0
+                for j in range(mx):
+                    live = j < slen
+                    sh[live] = (sh[live] * base + flat[sstart[live] + j]) % mod
+                g = np.concatenate([g, sh])
+                g_rid = np.concatenate([g_rid, short])
+            # signatures: per permutation, min per row over its shingles
+            order = np.argsort(g_rid, kind="stable")
+            g_s = g[order]
+            rid_s = g_rid[order]
+            row_counts = np.bincount(rid_s, minlength=n_rows).astype(np.int64)
+            row_starts = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(row_counts[:-1], out=row_starts[1:])
+            sig = np.full((n_rows, num_hashes), prime, dtype=np.int64)
+            for j in range(num_hashes):
+                v = (g_s * (2654435761 + 40503 * j) + 7919 * j + 7) % prime
+                sig[:, j] = _segment_reduce(np.minimum, v, row_starts,
+                                            row_counts, prime)
+            sig_list = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n_rows + 1) * num_hashes, num_hashes,
+                                   dtype=np.int32)),
+                pa.array(sig.reshape(-1), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sig_list], names=["id", "sig"])
 
     return fn

@@ -64,19 +64,17 @@ MERGE_SCHEMA = (
 
 
 def _pair_counts(df: DataFrame, tokens_col: str) -> DataFrame:
-    t = df[tokens_col]
-    pairs = df.where(F.size(t) >= 2).select(
-        F.explode(
-            F.zip_with(
-                F.slice(t, F.lit(1), F.size(t) - 1),
-                F.slice(t, F.lit(2), F.size(t) - 1),
-                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-            )
-        ).alias("p")
+    """Adjacent-pair count table.  The counting itself runs in the Arrow
+    kernel (seqkernel.adjacent_pair_counts_kernel): per task-batch the
+    pairs are packed and np.unique-counted, so only the batch-local
+    (l, r, cnt) partials reach the (tiny) final aggregate — replacing
+    the interpreted slice+zip_with struct explode (guide §4.2)."""
+    from ..functions.seqkernel import adjacent_pair_counts_kernel
+
+    partials = df.select(F.col(tokens_col).alias("tokens")).mapInArrow(
+        adjacent_pair_counts_kernel(), "l int, r int, cnt long"
     )
-    return pairs.groupBy(
-        F.col("p.l").alias("l"), F.col("p.r").alias("r")
-    ).agg(F.count("*").alias("cnt"))
+    return partials.groupBy("l", "r").agg(F.sum("cnt").alias("cnt"))
 
 
 def _merge_rewrite(tokens: Column, left: int, right: int, new_id: int) -> Column:
@@ -102,13 +100,27 @@ def bpe_train(
     n_merges: int = 3,
     tokens_col: str = "tokens",
     new_id_base: int = 1_000_001,
+    materialize_rounds: bool = True,
+    reliable: bool = False,
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``n_merges`` BPE merges.  Returns (merge list, rewritten
     corpus).  Each merge dict: merge_round / left_tok / right_tok /
     new_tok / pair_count.  Stops early if no pair remains (all docs
-    shorter than 2 tokens)."""
+    shorter than 2 tokens).
+
+    ``materialize_rounds`` (default on) checkpoints the corpus between
+    rounds: without it, round r's pair count replays every earlier
+    round's rewrite AND the source derivation (the count pass and the
+    rewrite each re-evaluate the lineage, so work grew quadratically in
+    K — measured 19 s -> ~5 s for K=3 at sf0.1).  This is the module
+    docstring's "checkpoint between rounds" advice made the default;
+    ``reliable=True`` swaps localCheckpoint for the lineage-keeping
+    DISK_ONLY persist (preemptible-capacity contract of the dedup
+    family)."""
+    from .dedup import _materialize
+
     merges: list[dict] = []
-    cur = df
+    cur = _materialize(df, reliable) if materialize_rounds else df
     for r in range(1, int(n_merges) + 1):
         top = (
             _pair_counts(cur, tokens_col)
@@ -132,6 +144,8 @@ def bpe_train(
         cur = cur.withColumn(
             tokens_col, _merge_rewrite(cur[tokens_col], left, right, new_id)
         )
+        if materialize_rounds:
+            cur = _materialize(cur, reliable)
     return merges, cur
 
 

@@ -203,15 +203,33 @@ def _banded_sigs(
     checkpoint; ~0.5 KB/row stored, the volume one shuffle of it
     would spill anyway).  ``banded`` rows are NARROW (id, band,
     band_hash) — signatures never ride the band-join exchanges."""
-    sig = _materialize(
-        docs.select(
-            F.col(id_col).alias("id"),
-            minhash_signature(
-                F.col(text_col), num_hashes, portable=portable
-            ).alias("sig"),
-        ),
-        reliable,
-    )
+    if portable:
+        # portable signatures run in the Arrow kernel (seqkernel.
+        # minhash_sig_kernel, parity-pinned): the interpreted aggregate
+        # pays |shingles| x num_hashes lambda steps per doc, the kernel
+        # one vectorized multiply-add + segmented min per permutation
+        # (guide §4.2).  xxhash64 signatures stay JVM-side (the hash
+        # itself is a JVM intrinsic there).
+        from ..functions.seqkernel import minhash_sig_kernel
+
+        narrow = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        id_type = narrow.schema["id"].dataType.simpleString()
+        sig = _materialize(
+            narrow.mapInArrow(
+                minhash_sig_kernel(num_hashes), f"id {id_type}, sig array<long>"
+            ),
+            reliable,
+        )
+    else:
+        sig = _materialize(
+            docs.select(
+                F.col(id_col).alias("id"),
+                minhash_signature(
+                    F.col(text_col), num_hashes, portable=portable
+                ).alias("sig"),
+            ),
+            reliable,
+        )
     banded = sig.select(
         "id",
         _band_explode(F.col("sig"), num_hashes, bands, portable).alias(

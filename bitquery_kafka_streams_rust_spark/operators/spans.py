@@ -255,3 +255,130 @@ def dup_span_trim(
         .alias("kept_checksum"),
     )
     return affected_out.unionByName(untouched_out).orderBy(id_col)
+
+
+# ---------------------------------------------------------------------------
+# packed-key forms (optimization round 6)
+# ---------------------------------------------------------------------------
+#
+# Same plans as above, but the gram-position table arrives from the
+# Arrow kernel (seqkernel.gram_positions_kernel) keyed by the canon doc
+# NUMBER ``c`` instead of the doc_id string: the frequency aggregate and
+# dup-position join exchange 8-byte ints (guide §2.3), the rolling hash
+# runs vectorized instead of k interpreted zip_with passes (guide §4.2),
+# and doc_id reconstructs as 'doc'+c on the bounded outputs.
+
+
+def _dup_spans_packed(pos: DataFrame, *, n: int, min_docs: int) -> DataFrame:
+    dup_g = (
+        pos.groupBy("g")
+        .agg(F.countDistinct("c").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dp = pos.join(dup_g, "g").select("c", "pos")
+    w = Window.partitionBy("c").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    isl = dp.select("c", "pos", brk.alias("brk")).select(
+        "c",
+        "pos",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("isl"),
+    )
+    return isl.groupBy("c", "isl").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+
+
+def dup_span_stats_packed(
+    pos: DataFrame,
+    lens: DataFrame,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    reliable: bool = False,
+) -> DataFrame:
+    """``dup_span_stats`` over a kernel-built (c, pos, g) position frame
+    plus a (c, n_tok) length frame — identical output (doc_id
+    reconstructed post-aggregate)."""
+    pos = _materialize(pos, reliable)
+    spans = _dup_spans_packed(pos, n=n, min_docs=min_docs)
+    per_doc = spans.groupBy("c").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + n).alias("dup_tok"),
+        F.max(F.col("e") - F.col("s") + n).alias("max_span"),
+    )
+    return (
+        per_doc.join(lens, "c")
+        .select(
+            F.concat(F.lit("doc"), F.col("c").cast("string")).alias("doc_id"),
+            "n_spans",
+            "dup_tok",
+            "max_span",
+            "n_tok",
+            F.round(F.col("dup_tok") / F.col("n_tok"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_span_trim_packed(
+    spine: DataFrame,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    mod: int = _P31,
+    reliable: bool = False,
+) -> DataFrame:
+    """``dup_span_trim`` over the scalar spine (doc_id, n_tok, source,
+    ts, _c): per-doc dedup, gram positions, token explosion of affected
+    docs run as codegen'd scalar explosions (datagen builders — for
+    exploded outputs the Arrow boundary costs more than it saves); the
+    untouched-doc checksum is one Arrow reduction kernel; the span
+    geometry, anti-join and rank window are the same narrow-row plan.
+    Identical output."""
+    from .. import datagen
+    from ..functions import seqkernel as SKN
+
+    docs = spine.dropDuplicates(["doc_id"])
+    pos = _materialize(datagen.exploded_gram_positions(docs, n), reliable)
+    spans = _materialize(_dup_spans_packed(pos, n=n, min_docs=min_docs), reliable)
+    span_ids = spans.select("c").distinct()
+    affected = docs.join(span_ids, docs["_c"] == span_ids["c"], "left_semi")
+    untouched = docs.join(span_ids, docs["_c"] == span_ids["c"], "left_anti")
+
+    covered = spans.select(
+        "c",
+        F.explode(F.sequence(F.col("s"), F.col("e") + F.lit(n - 1))).alias("pos"),
+    )
+    tok = datagen.exploded_token_positions(affected)
+    kept = tok.join(covered, ["c", "pos"], "left_anti")
+    w = Window.partitionBy("c").orderBy("pos")
+    ranked = kept.select(
+        "c", "token", F.row_number().over(w).cast("long").alias("newpos")
+    )
+    kept_agg = ranked.groupBy("c").agg(
+        F.count("*").alias("kept_n_tok"),
+        (F.sum(F.col("token") * F.col("newpos")) % F.lit(mod)).alias("kept_checksum"),
+    )
+    lens = affected.select(F.col("_c").alias("c"), F.col("n_tok").cast("long").alias("n_tok"))
+    affected_out = lens.join(kept_agg, "c", "left").select(
+        F.concat(F.lit("doc"), F.col("c").cast("string")).alias("doc_id"),
+        "n_tok",
+        F.coalesce("kept_n_tok", F.lit(0)).alias("kept_n_tok"),
+        (F.col("n_tok") - F.coalesce("kept_n_tok", F.lit(0))).alias("removed_tok"),
+        F.coalesce("kept_checksum", F.lit(0)).alias("kept_checksum"),
+    )
+    # untouched docs: newpos == pos, so the kept checksum is the plain
+    # weighted sum mod `mod` — one kernel feature pass, no explosion
+    untouched_out = untouched.select("doc_id", "n_tok", "_c").mapInArrow(
+        SKN.gen_cksum_mod_kernel(mod), "doc_id string, n_tok int, cksum long"
+    ).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_tok").cast("long").alias("kept_n_tok"),
+        F.lit(0).cast("long").alias("removed_tok"),
+        F.col("cksum").alias("kept_checksum"),
+    )
+    return affected_out.unionByName(untouched_out).orderBy("doc_id")

@@ -137,3 +137,91 @@ def test_shard_part_len_equals_size(spark, sf_dir):
     sh = datagen.shards_view(spark, sf_dir)
     bad = sh.where(F.col("part_len") != F.size("tokens_part")).count()
     assert bad == 0
+
+
+def test_cdc_chunk_kernel_matches_chunk_table(spark, sf_dir):
+    """Kernel CDC chunk table == Catalyst cdchunk.chunk_table, row for
+    row (boundaries, forced end cuts, fingerprints, avalanche)."""
+    from bitquery_kafka_streams_rust_spark.operators import cdchunk as CC
+
+    slow = CC.chunk_table(datagen.sequences_view(spark, sf_dir), w=8, boundary_bits=5)
+    fast = SKN.spine_scalars(spark, sf_dir).select("doc_id", "_c", "n_tok").mapInArrow(
+        SKN.cdc_chunk_kernel(w=8, boundary_bits=5),
+        "doc_id string, chunk_idx int, start int, chunk_len int, chunk_hash long",
+    )
+    cols = ["doc_id", "chunk_idx", "start", "chunk_len", "chunk_hash"]
+    assert _rows(fast, cols) == _rows(slow, cols)
+
+
+def test_exploded_builders_match_kernels(spark, sf_dir):
+    """Codegen exploded builders == the kernel emissions (and hence the
+    interpreted forms pinned elsewhere): packed grams, packed prefixes,
+    gram positions, token positions."""
+    spine = SKN.spine_scalars(spark, sf_dir)
+    fast_g = datagen.exploded_packed_grams(spine, 3)
+    slow_g = spine.select("_c", "n_tok").mapInArrow(
+        SKN.packed_gram_kernel(3), "c long, g long"
+    )
+    assert _rows(fast_g, ["c", "g"]) == _rows(slow_g, ["c", "g"])
+    fast_p = datagen.exploded_packed_prefix(spine, 3)
+    slow_p = spine.select("_c", "n_tok").mapInArrow(
+        SKN.packed_prefix_kernel(3), "c long, p long, next_tok int"
+    )
+    assert _rows(fast_p, ["c", "p", "next_tok"]) == _rows(slow_p, ["c", "p", "next_tok"])
+    fast_pos = datagen.exploded_gram_positions(spine, 8)
+    slow_pos = spine.select("_c", "n_tok").mapInArrow(
+        SKN.gram_positions_kernel(n=8), "c long, pos long, g long"
+    )
+    assert _rows(fast_pos, ["c", "pos", "g"]) == _rows(slow_pos, ["c", "pos", "g"])
+    fast_t = datagen.exploded_token_positions(spine)
+    slow_t = spine.select("_c", "n_tok").mapInArrow(
+        SKN.token_positions_kernel(), "c long, pos long, token long"
+    )
+    assert _rows(fast_t, ["c", "pos", "token"]) == _rows(slow_t, ["c", "pos", "token"])
+
+
+def test_adjacent_pair_counts_kernel(spark, sf_dir):
+    seq = datagen.sequences_view(spark, sf_dir)
+    t = seq["tokens"]
+    slow = (
+        seq.where(F.size(t) >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(t, F.lit(1), F.size(t) - 1),
+                    F.slice(t, F.lit(2), F.size(t) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    fast = (
+        seq.select("tokens")
+        .mapInArrow(SKN.adjacent_pair_counts_kernel(), "l int, r int, cnt long")
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert _rows(fast, ["l", "r", "cnt"]) == _rows(slow, ["l", "r", "cnt"])
+
+
+def test_ensure_parallel_adaptive():
+    from bitquery_kafka_streams_rust_spark.datagen import table_meta
+
+    rows, parts = table_meta("/root/testdata/sf0.001", "documents")
+    assert rows > 0 and parts >= 1
+
+
+def test_minhash_sig_kernel_matches_interpreted(spark, sf_dir):
+    """Portable MinHash signatures from the Arrow kernel == the
+    interpreted aggregate form, per slot (incl. short/empty texts)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    slow = docs.select(
+        F.col("doc_id").alias("id"),
+        DD.minhash_signature(F.col("text"), 64, portable=True).alias("sig"),
+    )
+    sig, _banded = DD._banded_sigs(docs, "doc_id", "text", 64, 16, True, False)
+    a = sorted((r["id"], tuple(r["sig"])) for r in slow.collect())
+    b = sorted((r["id"], tuple(r["sig"])) for r in sig.collect())
+    assert a == b
