@@ -139,7 +139,12 @@ _SHARDS = """
 # parallelizes (measured: q1 0.31 -> 0.66 s with a forced repartition
 # at sf0.1).  Values are the per-task row budget fed to
 # datagen.ensure_parallel (sized so one task costs ~0.1-0.3 s).
-_TBL_PARALLEL = {"documents": 500, "embeddings": 100}
+# documents 500/task (regex-heavy text scoring ~0.1-0.3 s/task);
+# embeddings 500/task — high enough that the sf0.01 fixture (200 rows)
+# stays single-task: the sweep showed the extra exchange taxing the
+# metadata-collect queries (label margins, centroid drift) ~1 s there,
+# while sf0.1's 2000 rows still fan out to 4 tasks.
+_TBL_PARALLEL = {"documents": 500, "embeddings": 500}
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
