@@ -521,7 +521,13 @@ def _q_seq_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         TK.decode_tokens("payload").alias("tokens"),
     )
     ok = dec.where(F.col("tokens").isNotNull())  # poison-pill gate D5
-    return ok.select("doc_id", "n_tok", TK.token_checksum("tokens").alias("cksum"))
+    # checksum of the decoded arrays via the Arrow reduction kernel
+    # (guide §4.2) — the decoded frame is already on the Python side of
+    # the boundary conceptually; the interpreted HOF tail was the last
+    # per-element cost in the round-trip
+    return ok.select("doc_id", "n_tok", "tokens").mapInArrow(
+        SKN.cksum_from_tokens_kernel, "doc_id string, n_tok int, cksum bigint"
+    )
 
 
 _SQL_SEQ_DECODE = _SEQ + f"SELECT doc_id, n_tok, {_CKSUM} AS cksum FROM seq"

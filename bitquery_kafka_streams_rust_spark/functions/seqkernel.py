@@ -860,3 +860,20 @@ def minhash_sig_kernel(num_hashes: int = 64, k: int = 5,
             yield pa.RecordBatch.from_arrays([ids, sig_list], names=["id", "sig"])
 
     return fn
+
+
+def cksum_from_tokens_kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: (doc_id, n_tok, tokens) -> (doc_id, n_tok,
+    cksum) — token_checksum over REAL arrays (no validity gate), the
+    reduction tail of the codec round-trip.  NULL token rows yield NULL
+    cksum (token_checksum's behavior on NULL input)."""
+    for batch in it:
+        flat, rid, pos, starts, lengths, nulls = _list_column(batch, "tokens")
+        cks = _segment_reduce(np.add, (pos + 1) * flat, starts, lengths, 0)
+        cks %= M31
+        mask = nulls if nulls is not None else None
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), batch.column("n_tok"),
+             pa.array(cks, type=pa.int64(), mask=mask)],
+            names=["doc_id", "n_tok", "cksum"],
+        )

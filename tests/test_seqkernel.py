@@ -225,3 +225,13 @@ def test_minhash_sig_kernel_matches_interpreted(spark, sf_dir):
     a = sorted((r["id"], tuple(r["sig"])) for r in slow.collect())
     b = sorted((r["id"], tuple(r["sig"])) for r in sig.collect())
     assert a == b
+
+
+def test_cksum_from_tokens_kernel(spark, sf_dir):
+    seq = datagen.sequences_view(spark, sf_dir)
+    slow = seq.select("doc_id", "n_tok", TK.token_checksum("tokens").alias("cksum"))
+    fast = seq.select("doc_id", "n_tok", "tokens").mapInArrow(
+        SKN.cksum_from_tokens_kernel, "doc_id string, n_tok int, cksum bigint"
+    )
+    cols = ["doc_id", "n_tok", "cksum"]
+    assert _rows(fast, cols) == _rows(slow, cols)
